@@ -1,0 +1,347 @@
+"""Renderer: the stateful orchestrator with a Plan-keyed executable cache.
+
+The analogue of ``dvren::Renderer`` (reference
+``include/dvren/render/renderer.hpp:15-152``, ``src/render/renderer.cpp``).
+Buffer management changes completely: the reference sizes 25 host vectors and
+a scratch workspace (renderer.cpp:45-113) and replays a CUDA Graph; here
+buffers belong to jit-compiled executables and "graph capture" is AOT
+compilation (``jax.jit(...).lower().compile()``) - compile once per Plan,
+replay many times. Workspace accounting is preserved as an API
+(:meth:`Renderer.workspace_info`): analytic bytes per buffer family mirroring
+renderer.cpp:572-610 plus the real XLA temp allocation when compiled.
+
+Forward/Backward semantics preserved:
+- Forward runs the staged or fused path per ``RenderOptions.use_fused_path``
+  (renderer.cpp:276-349), collects per-stage timings when ``capture_stats``
+  and raises on sample-capacity overflow (samp_cpu.cpp:245-247 parity);
+- Backward requires a prior Forward and a dL/dI of exactly ray_count*3
+  (renderer.cpp:396-403), zeroes grads, produces per-sample grads
+  (``hp_diff`` parity), scatters them into voxel grads, and returns real
+  camera gradients where the reference returns a zero stub.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field as dc_field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvren_tpu.core.context import Context
+from dvren_tpu.core.plan import Plan
+from dvren_tpu.core.status import DvrenError, check
+from dvren_tpu.fields.dense_grid import DenseGridField
+from dvren_tpu.ops import diff as diff_ops
+from dvren_tpu.ops.compose import compose
+from dvren_tpu.ops.integrate import integrate
+from dvren_tpu.ops.raygen import generate_rays
+from dvren_tpu.ops.sampling import generate_samples
+from dvren_tpu.render.pipeline import RenderOutputs, eval_fields, render
+
+
+@dataclass(frozen=True)
+class RenderOptions:
+    """Mirrors ``dvren::RenderOptions`` (renderer.hpp:17-21).
+
+    ``enable_graph`` maps to AOT precompilation (the jit-replay equivalent of
+    CUDA Graph capture).
+    """
+
+    use_fused_path: bool = True
+    enable_graph: bool = False
+    capture_stats: bool = True
+
+
+@dataclass
+class WorkspaceInfo:
+    """Mirrors ``dvren::WorkspaceInfo`` (renderer.hpp:23-39)."""
+
+    ray_buffer_bytes: int = 0
+    sample_buffer_bytes: int = 0
+    integration_buffer_bytes: int = 0
+    image_buffer_bytes: int = 0
+    gradient_buffer_bytes: int = 0
+    workspace_buffer_bytes: int = 0
+
+    def total_bytes(self) -> int:
+        return (self.ray_buffer_bytes + self.sample_buffer_bytes
+                + self.integration_buffer_bytes + self.image_buffer_bytes
+                + self.gradient_buffer_bytes + self.workspace_buffer_bytes)
+
+
+@dataclass
+class RenderStats:
+    """Mirrors ``dvren::RenderStats`` (renderer.hpp:41-48)."""
+
+    total_ms: float = 0.0
+    ray_ms: float = 0.0
+    sample_ms: float = 0.0
+    integrate_ms: float = 0.0
+    compose_ms: float = 0.0
+    notes: list[str] = dc_field(default_factory=list)
+
+
+@dataclass
+class ForwardResult:
+    """Mirrors ``dvren::ForwardResult`` (renderer.hpp:50-59); flat numpy
+    buffers in the reference's layouts."""
+
+    image: np.ndarray           # (H*W*3,) float32
+    transmittance: np.ndarray   # (H*W,) float32
+    opacity: np.ndarray         # (H*W,) float32
+    depth: np.ndarray           # (H*W,) float32
+    hitmask: np.ndarray         # (H*W,) uint32
+    ray_count: int = 0
+    sample_count: int = 0
+    stats: RenderStats = dc_field(default_factory=RenderStats)
+
+
+@dataclass
+class BackwardResult:
+    """Mirrors ``dvren::BackwardResult`` (renderer.hpp:61-66) plus real
+    camera gradients (reference camera grad is a zero stub)."""
+
+    sigma: np.ndarray           # (voxel_count,) float32, [z][y][x]
+    color: np.ndarray           # (3*voxel_count,) float32
+    camera: np.ndarray          # (3, 4) float32 = dL/d(c2w)
+    camera_k: np.ndarray | None = None        # (3, 3) dL/dK
+    sample_count: int = 0
+
+
+class Renderer:
+    """Plan-bound renderer with jit executable caching."""
+
+    def __init__(self, ctx: Context, plan: Plan,
+                 options: RenderOptions | None = None):
+        self._ctx = ctx
+        self._plan = plan
+        self._options = options or RenderOptions()
+        self._last_outputs: RenderOutputs | None = None
+        self._last_field = None
+        self._compiled_fused = None   # AOT executable when enable_graph
+        self._fused_jit = jax.jit(lambda field: render(self._plan, field))
+        self._stage_jits = None
+        self._backward_jit = jax.jit(self._backward_impl)
+
+    # ------------------------------------------------------------------ fwd
+
+    @property
+    def plan(self) -> Plan:
+        return self._plan
+
+    @property
+    def options(self) -> RenderOptions:
+        return self._options
+
+    def _build_stage_jits(self):
+        plan = self._plan
+
+        def stage_rays():
+            return generate_rays(plan)
+
+        def stage_samples(rays):
+            return generate_samples(plan, rays)
+
+        def stage_fields(field, lattice):
+            return eval_fields(field, lattice)
+
+        def stage_integrate(sigma, color, lattice):
+            return integrate(sigma, color, lattice.dt, lattice.mask,
+                             plan.t_near, plan.t_far)
+
+        def stage_compose(rays, intl):
+            return compose(rays.pixel_ids, intl.radiance, intl.transmittance,
+                           intl.opacity, intl.depth, plan.width, plan.height,
+                           plan.t_far)
+
+        return dict(
+            rays=jax.jit(stage_rays),
+            samples=jax.jit(stage_samples),
+            fields=jax.jit(stage_fields),
+            integrate=jax.jit(stage_integrate),
+            compose=jax.jit(stage_compose),
+        )
+
+    def forward(self, field, out: ForwardResult | None = None) -> ForwardResult:
+        """Render one frame; analogue of Renderer::Forward (renderer.cpp:232)."""
+        stats = RenderStats()
+        t0 = time.perf_counter()
+
+        if self._options.use_fused_path:
+            outputs = self._forward_fused(field, stats)
+        else:
+            outputs = self._forward_staged(field, stats)
+
+        jax.block_until_ready(outputs.planes)
+        stats.total_ms = (time.perf_counter() - t0) * 1e3
+
+        sample_count = int(outputs.lattice.sample_count())
+        check(sample_count <= self._plan.max_samples,
+              f"sample capacity exceeded: {sample_count} > "
+              f"{self._plan.max_samples}")
+
+        self._last_outputs = outputs
+        self._last_field = field
+
+        planes = outputs.planes
+        result = out or ForwardResult(
+            image=np.empty(0), transmittance=np.empty(0),
+            opacity=np.empty(0), depth=np.empty(0), hitmask=np.empty(0))
+        result.image = np.asarray(planes.image, np.float32).reshape(-1)
+        result.transmittance = np.asarray(
+            planes.transmittance, np.float32).reshape(-1)
+        result.opacity = np.asarray(planes.opacity, np.float32).reshape(-1)
+        result.depth = np.asarray(planes.depth, np.float32).reshape(-1)
+        result.hitmask = np.asarray(planes.hitmask, np.uint32).reshape(-1)
+        result.ray_count = self._plan.ray_count
+        result.sample_count = sample_count
+        result.stats = stats
+        return result
+
+    # Keep the reference-style capitalized aliases.
+    Forward = forward
+
+    def _forward_fused(self, field, stats: RenderStats) -> RenderOutputs:
+        if self._options.enable_graph:
+            if self._compiled_fused is None:
+                t0 = time.perf_counter()
+                lowered = self._fused_jit.lower(field)
+                self._compiled_fused = lowered.compile()
+                stats.notes.append(
+                    f"graph_captured_aot_compile_ms="
+                    f"{(time.perf_counter() - t0) * 1e3:.3f}")
+            outputs = self._compiled_fused(field)
+            stats.notes.append("graph_executed")
+        else:
+            outputs = self._fused_jit(field)
+            stats.notes.append("fused_path")
+        return outputs
+
+    def _forward_staged(self, field, stats: RenderStats) -> RenderOutputs:
+        if self._stage_jits is None:
+            self._stage_jits = self._build_stage_jits()
+        s = self._stage_jits
+        capture = self._options.capture_stats
+
+        def timed(label, fn, *args):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            if capture:
+                jax.block_until_ready(out)
+                setattr(stats, label, (time.perf_counter() - t0) * 1e3)
+            return out
+
+        rays = timed("ray_ms", s["rays"])
+        lattice = timed("sample_ms", s["samples"], rays)
+        t0 = time.perf_counter()
+        sigma, color = s["fields"](field, lattice)
+        intl = s["integrate"](sigma, color, lattice)
+        if capture:
+            jax.block_until_ready(intl)
+            stats.integrate_ms = (time.perf_counter() - t0) * 1e3
+        planes = timed("compose_ms", s["compose"], rays, intl)
+        stats.notes.append("staged_path")
+        return RenderOutputs(rays=rays, lattice=lattice, sigma=sigma,
+                             color=color, intl=intl, planes=planes)
+
+    # ------------------------------------------------------------------ bwd
+
+    def _backward_impl(self, field, outputs: RenderOutputs,
+                       dl_dradiance: jnp.ndarray):
+        d_sigma_s, d_color_s = diff_ops.per_sample_grads(
+            dl_dradiance, outputs.sigma, outputs.color,
+            outputs.lattice.dt, outputs.lattice.mask)
+        sigma_g, color_g = field.accumulate_sample_gradients(
+            outputs.lattice.positions, d_sigma_s, d_color_s)
+        cam = diff_ops.camera_grads(self._plan, field, dl_dradiance)
+        return d_sigma_s, d_color_s, sigma_g, color_g, cam
+
+    def backward(self, field: DenseGridField, dl_di,
+                 out: BackwardResult | None = None) -> BackwardResult:
+        """Analogue of Renderer::Backward (renderer.cpp:390-446).
+
+        ``dl_di`` is flat (ray_count*3,) or (ray_count, 3): the loss gradient
+        w.r.t. per-ray radiance.
+        """
+        if self._last_outputs is None:
+            raise DvrenError.invalid_argument(
+                "Backward requires a prior Forward")
+        outputs = self._last_outputs
+        n = self._plan.ray_count
+        dl = np.asarray(dl_di, np.float32).reshape(-1)
+        check(dl.size == n * 3,
+              f"dL/dI must have {n * 3} elements, got {dl.size}")
+        sample_count = int(outputs.lattice.sample_count())
+        check(sample_count > 0, "Backward requires a non-empty sample set")
+
+        dl_dev = jnp.asarray(dl.reshape(n, 3))
+        _, _, sigma_g, color_g, cam = self._backward_jit(
+            field, outputs, dl_dev)
+
+        result = out or BackwardResult(
+            sigma=np.empty(0), color=np.empty(0),
+            camera=np.zeros((3, 4), np.float32))
+        result.sigma = np.asarray(sigma_g, np.float32).reshape(-1)
+        result.color = np.asarray(color_g, np.float32).reshape(-1)
+        result.camera = np.asarray(cam["c2w"], np.float32)
+        result.camera_k = np.asarray(cam["k"], np.float32)
+        result.sample_count = sample_count
+        return result
+
+    Backward = backward
+
+    def per_sample_gradients(self, dl_di) -> tuple[np.ndarray, np.ndarray]:
+        """Packed per-sample (dsigma (M,), dcolor (M,3)) - ``hp_diff`` parity
+        view over live samples in ray-major order."""
+        if self._last_outputs is None:
+            raise DvrenError.invalid_argument(
+                "per_sample_gradients requires a prior Forward")
+        outputs = self._last_outputs
+        n = self._plan.ray_count
+        dl_dev = jnp.asarray(
+            np.asarray(dl_di, np.float32).reshape(n, 3))
+        d_sigma, d_color = diff_ops.per_sample_grads(
+            dl_dev, outputs.sigma, outputs.color,
+            outputs.lattice.dt, outputs.lattice.mask)
+        mask = np.asarray(outputs.lattice.mask)
+        return (np.asarray(d_sigma)[mask], np.asarray(d_color)[mask])
+
+    # ------------------------------------------------------------ accounting
+
+    @property
+    def last_outputs(self) -> RenderOutputs | None:
+        """Device-side outputs of the last forward (for functional users)."""
+        return self._last_outputs
+
+    def workspace_info(self) -> WorkspaceInfo:
+        """Analytic byte accounting per buffer family (renderer.cpp:572-610).
+
+        Sample-family capacity is the dense lattice N*K (the static-shape
+        replacement for max_samples ragged packing). ``workspace_buffer_bytes``
+        reports XLA's real temp allocation when an AOT executable exists,
+        else an estimate.
+        """
+        plan = self._plan
+        n = plan.ray_count
+        k = plan.sampling.max_steps
+        nk = n * k
+        f32 = 4
+        info = WorkspaceInfo()
+        info.ray_buffer_bytes = n * (3 + 3 + 1 + 1) * f32 + n * 4
+        info.sample_buffer_bytes = (nk * (3 + 1 + 1 + 3) * f32
+                                    + nk * 1  # mask (bool)
+                                    + (n + 1) * 4)
+        info.integration_buffer_bytes = n * (3 + 1 + 1 + 1) * f32 + nk * 4 * f32
+        pixels = plan.pixel_count
+        info.image_buffer_bytes = pixels * (3 + 1 + 1 + 1) * f32 + pixels * 4
+        info.gradient_buffer_bytes = nk * f32 + nk * 3 * f32 + 12 * f32
+        if self._compiled_fused is not None:
+            try:
+                mem = self._compiled_fused.memory_analysis()
+                info.workspace_buffer_bytes = int(
+                    getattr(mem, "temp_size_in_bytes", 0))
+            except Exception:  # pragma: no cover - backend-dependent
+                info.workspace_buffer_bytes = 0
+        return info
