@@ -114,16 +114,42 @@ def _parse_plan(node: dict) -> PlanConfig:
     )
 
 
+def _procedural_volume(kind: str, nx: int, ny: int, nz: int):
+    """Built-in procedural volumes (extension beyond the reference schema, so
+    example configs need not inline megabytes of voxel data)."""
+    zs, ys, xs = np.meshgrid(
+        np.linspace(0, 1, nz), np.linspace(0, 1, ny), np.linspace(0, 1, nx),
+        indexing="ij")
+    if kind == "gaussian_blob":
+        r2 = (xs - 0.5) ** 2 + (ys - 0.5) ** 2 + (zs - 0.45) ** 2
+        sigma = 12.0 * np.exp(-r2 / 0.05)
+        color = np.stack([xs, ys, 1.0 - zs], axis=-1)
+    elif kind == "sdf_sphere_shell":
+        r = np.sqrt((xs - 0.5) ** 2 + (ys - 0.5) ** 2 + (zs - 0.5) ** 2)
+        shell = np.exp(-((r - 0.35) ** 2) / (2 * 0.02 ** 2))
+        sigma = 25.0 * shell
+        color = np.stack([0.9 * np.ones_like(xs), 0.6 + 0.4 * zs, 0.4 + 0.6 * ys],
+                         axis=-1)
+    else:
+        raise DvrenError.invalid_argument(
+            f"unknown procedural volume: {kind}")
+    return sigma.astype(np.float32).reshape(-1), \
+        color.astype(np.float32).reshape(-1)
+
+
 def _parse_volume(node: dict) -> DenseGridConfig:
     dims = node["size"]
     check(len(dims) == 3, "volume.size must contain 3 integers")
     nx, ny, nz = (int(v) for v in dims)
-    sigma = np.asarray(node["density"], np.float32)
-    if "color" in node:
-        color = np.asarray(node["color"], np.float32)
+    if "procedural" in node:
+        sigma, color = _procedural_volume(node["procedural"], nx, ny, nz)
     else:
-        # Grayscale default from density (main.cpp:167-177).
-        color = np.repeat(sigma, 3)
+        sigma = np.asarray(node["density"], np.float32)
+        if "color" in node:
+            color = np.asarray(node["color"], np.float32)
+        else:
+            # Grayscale default from density (main.cpp:167-177).
+            color = np.repeat(sigma, 3)
     bbox_min = tuple(float(v) for v in node.get("bbox_min", (0.0, 0.0, 0.0)))
     bbox_max = tuple(float(v) for v in node.get("bbox_max", (1.0, 1.0, 1.0)))
     check(len(bbox_min) == 3 and len(bbox_max) == 3,
