@@ -53,7 +53,12 @@ def compose(
     width: int,
     height: int,
     t_far: float,
+    unique_pixels: bool = True,
 ) -> ImagePlanes:
+    """``unique_pixels=True`` (each ray owns its pixel - always the case for
+    generated rays, whose ids enumerate the ROI) unlocks gradients through
+    the product/min scatters; override bundles with colliding ids must pass
+    False and lose those gradients (the reference has none at all)."""
     num_pixels = width * height
     pid = pixel_ids.astype(jnp.int32)
 
@@ -62,7 +67,8 @@ def compose(
         jnp.ones_like(transmittance), pid, num_segments=num_pixels)
     hit = counts > 0
 
-    trans = jax.ops.segment_prod(transmittance, pid, num_segments=num_pixels)
+    trans = jax.ops.segment_prod(transmittance, pid, num_segments=num_pixels,
+                                 unique_indices=unique_pixels)
     trans = jnp.where(hit, trans, 1.0)
 
     # Single-ray pixels must reproduce the per-ray opacity exactly
@@ -72,7 +78,8 @@ def compose(
     opac_sum = jax.ops.segment_sum(opacity, pid, num_segments=num_pixels)
     opac = jnp.where(counts > 1, 1.0 - trans, jnp.where(hit, opac_sum, 0.0))
 
-    dep = jax.ops.segment_min(depth, pid, num_segments=num_pixels)
+    dep = jax.ops.segment_min(depth, pid, num_segments=num_pixels,
+                              unique_indices=unique_pixels)
     dep = jnp.where(hit, dep, t_far)
 
     return ImagePlanes(

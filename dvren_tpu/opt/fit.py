@@ -1,0 +1,127 @@
+"""Differentiable grid fitting: Adam on voxel grids from multi-view renders.
+
+The training-loop capability the reference only exercises one step of in its
+tests (SURVEY.md section 3.2: "training loop = Forward -> loss grad ->
+Backward -> user-side optimizer update -> recreate field"). Here the whole
+step is one jit-compiled function: render -> MSE -> jax.grad into the field
+pytree -> optax update. This is the BASELINE.json "64^3 grid fit to PSNR 35"
+workload.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field as dc_field
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dvren_tpu.core.plan import CameraConfig, Plan
+from dvren_tpu.render.pipeline import render
+
+
+@dataclass
+class FitConfig:
+    learning_rate: float = 5e-2
+    steps: int = 500
+    target_psnr: float | None = 35.0
+    log_every: int = 50
+    sigma_min: float = 0.0       # project sigma to >= 0 after each step
+
+
+@dataclass
+class FitResult:
+    field: object
+    psnr_history: list[float] = dc_field(default_factory=list)
+    loss_history: list[float] = dc_field(default_factory=list)
+    steps_run: int = 0
+    wall_clock_s: float = 0.0
+    reached_target: bool = False
+
+
+def mse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((pred - target) ** 2)
+
+
+def psnr(loss: jnp.ndarray) -> jnp.ndarray:
+    return -10.0 * jnp.log10(jnp.maximum(loss, 1e-12))
+
+
+def render_views(plan: Plan, field, cameras: Sequence[CameraConfig]):
+    """Render (V, H, W, 3) images for a list of camera poses (vmapped over
+    the stacked c2w matrices; one compile for all views)."""
+    c2ws = jnp.stack([jnp.asarray(c.c2w, jnp.float32).reshape(3, 4)
+                      for c in cameras])
+
+    def one(c2w):
+        return render(plan, field, c2w=c2w).planes.image
+
+    return jax.vmap(one)(c2ws)
+
+
+def make_train_step(plan: Plan, cameras: Sequence[CameraConfig],
+                    optimizer, param_labels=("sigma", "color")):
+    """Build a jitted (field, opt_state, targets) -> (field, opt_state, loss)
+    step. ``field`` must expose ``with_params`` over the trained leaves
+    (DenseGridField) or be a params pytree (HashMLPField.params).
+    """
+    c2ws = jnp.stack([jnp.asarray(c.c2w, jnp.float32).reshape(3, 4)
+                      for c in cameras])
+
+    def loss_fn(params, field, targets):
+        field = field.with_params(*params) if isinstance(params, tuple) \
+            else field.with_params(params)
+
+        def one(c2w):
+            return render(plan, field, c2w=c2w).planes.image
+
+        pred = jax.vmap(one)(c2ws)
+        return mse(pred, targets)
+
+    @jax.jit
+    def step(params, field, opt_state, targets):
+        loss, grads = jax.value_and_grad(loss_fn)(params, field, targets)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def fit_dense_grid(plan: Plan, field, cameras: Sequence[CameraConfig],
+                   targets: np.ndarray, config: FitConfig | None = None,
+                   checkpoint_cb: Callable | None = None) -> FitResult:
+    """Fit a DenseGridField's sigma+color to target views with Adam.
+
+    targets: (V, H, W, 3) float32 ground-truth images.
+    """
+    config = config or FitConfig()
+    optimizer = optax.adam(config.learning_rate)
+    params = (field.sigma, field.color)
+    opt_state = optimizer.init(params)
+    step = make_train_step(plan, cameras, optimizer)
+    targets = jnp.asarray(targets, jnp.float32)
+
+    result = FitResult(field=field)
+    t0 = time.perf_counter()
+    for i in range(config.steps):
+        params, opt_state, loss = step(params, field, opt_state, targets)
+        # Keep density physical (sigma >= 0); color clamped to [0, 1].
+        params = (jnp.maximum(params[0], config.sigma_min),
+                  jnp.clip(params[1], 0.0, 1.0))
+        loss_f = float(loss)
+        p = float(psnr(loss))
+        result.loss_history.append(loss_f)
+        result.psnr_history.append(p)
+        result.steps_run = i + 1
+        if checkpoint_cb is not None and (i + 1) % max(config.log_every, 1) == 0:
+            checkpoint_cb(field.with_params(*params), i + 1, p)
+        if config.target_psnr is not None and p >= config.target_psnr:
+            result.reached_target = True
+            break
+    result.wall_clock_s = time.perf_counter() - t0
+    result.field = field.with_params(*params)
+    return result

@@ -68,6 +68,7 @@ def render(
     ``rays`` overrides generation (the hp_ray override path,
     ray_cpu.cpp:148-150). Camera arrays default to the plan's static camera.
     """
+    unique_pixels = rays is None  # generated rays enumerate the ROI
     if rays is None:
         rays = generate_rays(plan, k=k, c2w=c2w, ortho_scale=ortho_scale)
     lattice = generate_samples(plan, rays)
@@ -76,7 +77,8 @@ def render(
                      plan.t_near, plan.t_far)
     planes = compose(
         rays.pixel_ids, intl.radiance, intl.transmittance, intl.opacity,
-        intl.depth, plan.width, plan.height, plan.t_far)
+        intl.depth, plan.width, plan.height, plan.t_far,
+        unique_pixels=unique_pixels)
     return RenderOutputs(
         rays=rays, lattice=lattice, sigma=sigma, color=color,
         intl=intl, planes=planes)

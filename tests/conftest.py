@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8").strip()
 import jax  # noqa: E402  (after env setup, before any compilation)
 
+# The axon sitecustomize force-registers the TPU tunnel and overrides
+# jax_platforms to "axon,cpu" regardless of the environment; pin the test
+# suite back to the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.abspath(

@@ -1,0 +1,117 @@
+"""Manifest-driven contract runner with a one-line JSON scoreboard.
+
+The analogue of the reference OJ runner (``hotpath/tests/runner/
+hp_runner.cpp:182-213``): reads ``tests/manifest.yaml``, runs each case's
+pytest node, and prints exactly one JSON line
+
+    {"cases": [{"name", "status", "message"}...],
+     "summary": {"pass": N, "fail": N, "skip": N}}
+
+Exit status is non-zero iff any case fails. Cases whose tests are missing
+are reported as fail (contract drift), matching the runner's unknown-case
+behavior.
+
+Usage: python tools/run_manifest.py [--manifest tests/manifest.yaml]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_manifest(path: str) -> list[dict]:
+    """Minimal YAML subset reader for the manifest (name/test pairs)."""
+    cases = []
+    current = None
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].rstrip()
+            m = re.match(r"\s*-\s*name:\s*(\S+)", line)
+            if m:
+                current = {"name": m.group(1)}
+                cases.append(current)
+                continue
+            m = re.match(r"\s*test:\s*(\S+)", line)
+            if m and current is not None:
+                current["test"] = m.group(1)
+    return [c for c in cases if "test" in c]
+
+
+def run_cases(cases: list[dict]) -> list[dict]:
+    """One pytest invocation for all nodes; parse the result per node."""
+    nodes = [c["test"] for c in cases]
+    report = os.path.join(REPO, ".manifest_report.json")
+    cmd = [sys.executable, "-m", "pytest", "-q", "--no-header",
+           "--tb=line", *dict.fromkeys(nodes)]
+    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+    out = proc.stdout + proc.stderr
+
+    # Parse pytest's terse failure lines into per-node status.
+    failed_nodes = set()
+    skipped_nodes = set()
+    for line in out.splitlines():
+        m = re.match(r"(FAILED|ERROR)\s+(\S+?)(?:\s+-|$)", line)
+        if m:
+            failed_nodes.add(m.group(2))
+        m = re.match(r"SKIPPED.*\s(\S+::\S+)", line)
+        if m:
+            skipped_nodes.add(m.group(1))
+
+    results = []
+    for case in cases:
+        node = case["test"]
+        if node in failed_nodes:
+            status, message = "fail", "pytest reported failure"
+        elif node in skipped_nodes:
+            status, message = "skip", "pytest reported skip"
+        else:
+            status, message = "pass", ""
+        results.append({"name": case["name"], "status": status,
+                        "message": message})
+
+    # Collection errors (missing test): every case in a file that failed to
+    # collect is a failure.
+    if proc.returncode not in (0, 1):
+        for r in results:
+            if r["status"] == "pass":
+                r["status"] = "fail"
+                r["message"] = f"pytest exited {proc.returncode}"
+    if os.path.exists(report):
+        os.unlink(report)
+    return results
+
+
+def build_scoreboard(results: list[dict]) -> dict:
+    summary = {"pass": 0, "fail": 0, "skip": 0}
+    for r in results:
+        summary[r["status"]] += 1
+    return {"cases": results, "summary": summary}
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--manifest",
+                        default=os.path.join(REPO, "tests/manifest.yaml"))
+    args = parser.parse_args()
+
+    cases = load_manifest(args.manifest)
+    if not cases:
+        print(json.dumps({"cases": [], "summary":
+                          {"pass": 0, "fail": 1, "skip": 0},
+                          "error": "empty manifest"}))
+        return 1
+    results = run_cases(cases)
+    scoreboard = build_scoreboard(results)
+    print(json.dumps(scoreboard))
+    return 1 if scoreboard["summary"]["fail"] > 0 else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
