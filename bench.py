@@ -41,49 +41,67 @@ def _scene(width, height, grid_n, max_steps):
     return plan, field
 
 
-def _time_compiled(fn, args, iters, warmup=3):
+def _time_compiled(fn, args_variants, iters, warmup=3):
+    """Average seconds/call, cycling argument variants so no layer between
+    the client and the chip can serve cached-by-value results."""
     import jax
     for _ in range(warmup):
-        out = fn(*args)
+        out = fn(*args_variants[0])
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
+    for i in range(iters):
+        out = fn(*args_variants[i % len(args_variants)])
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
 
 def main():
+    import sys
+
     import jax
     import jax.numpy as jnp
-    from dvren_tpu.render.pipeline import render
+    from dvren_tpu.render.pipeline import plan_jitter_table, render_streamed
+
+    def log(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
     width = height = 512
     max_steps = 128
     plan, field = _scene(width, height, 64, max_steps)
     n_rays = plan.ray_count
+    log(f"device={jax.devices()[0]} rays={n_rays} steps={max_steps}")
+    jitter = jax.device_put(plan_jitter_table(plan))
 
     @jax.jit
-    def forward(field):
-        out = render(plan, field)
-        return out.planes.image
+    def forward(field, jitter):
+        return render_streamed(plan, field, jitter=jitter).image
 
-    fwd = forward.lower(field).compile()
-    fwd_s = _time_compiled(fwd, (field,), iters=10)
+    t0 = time.perf_counter()
+    fwd = forward.lower(field, jitter).compile()
+    log(f"fwd compile {time.perf_counter() - t0:.1f}s")
+    field_b = field.with_params(field.sigma * 1.0001, field.color)
+    fwd_s = _time_compiled(
+        fwd, [(field, jitter), (field_b, jitter)], iters=10)
     fwd_mrays = n_rays / fwd_s / 1e6
+    log(f"fwd {fwd_s * 1e3:.2f} ms -> {fwd_mrays:.1f} Mrays/s")
 
     target = jnp.zeros((height, width, 3), jnp.float32)
 
-    def loss_fn(params):
+    def loss_fn(params, jitter):
         f = field.with_params(*params)
-        img = render(plan, f).planes.image
+        img = render_streamed(plan, f, jitter=jitter).image
         return jnp.mean((img - target) ** 2)
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
     params = (field.sigma, field.color)
-    fb = grad_fn.lower(params).compile()
-    fb_s = _time_compiled(fb, (params,), iters=5)
+    t0 = time.perf_counter()
+    fb = grad_fn.lower(params, jitter).compile()
+    log(f"fwd+bwd compile {time.perf_counter() - t0:.1f}s")
+    params_b = (params[0] * 1.0001, params[1])
+    fb_s = _time_compiled(
+        fb, [(params, jitter), (params_b, jitter)], iters=5)
     fb_mrays = n_rays / fb_s / 1e6
+    log(f"fwd+bwd {fb_s * 1e3:.2f} ms -> {fb_mrays:.1f} Mrays/s")
 
     samples = n_rays * max_steps
     result = {

@@ -106,6 +106,18 @@ class DenseGridField:
             self.color, positions, self.bbox_min, self.bbox_max,
             self.interp, self.oob)
 
+    def sigma_at_planes(self, px, py, pz) -> jnp.ndarray:
+        """SoA hot-path variant: coordinate planes in, density plane out."""
+        return grid_ops.eval_grid_planes(
+            self.sigma, px, py, pz, self.bbox_min, self.bbox_max,
+            self.interp, self.oob)
+
+    def color_at_planes(self, px, py, pz) -> tuple[jnp.ndarray, ...]:
+        """SoA hot-path variant: coordinate planes in, (r, g, b) planes out."""
+        return grid_ops.eval_grid_planes(
+            self.color, px, py, pz, self.bbox_min, self.bbox_max,
+            self.interp, self.oob)
+
     # -- gradients -------------------------------------------------------------
 
     def zero_grads(self) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -86,5 +86,14 @@ class HashMLPField:
     def color_at(self, positions: jnp.ndarray) -> jnp.ndarray:
         return ops.eval_color(positions, self.params, self.spec)
 
+    def sigma_at_planes(self, px, py, pz) -> jnp.ndarray:
+        return ops.eval_sigma(jnp.stack([px, py, pz], axis=-1),
+                              self.params, self.spec)
+
+    def color_at_planes(self, px, py, pz):
+        out = ops.eval_color(jnp.stack([px, py, pz], axis=-1),
+                             self.params, self.spec)
+        return (out[..., 0], out[..., 1], out[..., 2])
+
     def with_params(self, params: dict) -> "HashMLPField":
         return HashMLPField(params=params, spec=self.spec)

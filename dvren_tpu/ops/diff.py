@@ -37,17 +37,23 @@ from dvren_tpu.ops.sampling import generate_samples
 def per_sample_grads(
     dl_dradiance: jnp.ndarray,
     sigma: jnp.ndarray,
-    color: jnp.ndarray,
+    color,
     dt: jnp.ndarray,
     mask: jnp.ndarray,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-sample (dsigma (N,K), dcolor (N,K,3)) for dL/dI (N,3)."""
+    """Per-sample (dsigma (N,K), dcolor (N,K,3)) for dL/dI (N,3).
+
+    ``color`` may be an (N, K, 3) array or a tuple of three (N, K) planes
+    (the SoA hot-path form); the returned dcolor is always (N, K, 3).
+    """
 
     def f(s, c):
         return radiance_only(s, c, dt, mask)
 
     _, vjp = jax.vjp(f, sigma, color)
     d_sigma, d_color = vjp(dl_dradiance.astype(sigma.dtype))
+    if isinstance(d_color, (tuple, list)):
+        d_color = jnp.stack(list(d_color), axis=-1)
     return d_sigma, d_color
 
 
@@ -65,8 +71,9 @@ def camera_grads(
     def f(k, c2w, ortho_scale):
         rays = generate_rays(plan, k=k, c2w=c2w, ortho_scale=ortho_scale)
         lattice = generate_samples(plan, rays)
-        sig = field.sigma_at(lattice.positions)
-        col = field.color_at(lattice.positions)
+        px, py, pz = lattice.position_planes
+        sig = field.sigma_at_planes(px, py, pz)
+        col = field.color_at_planes(px, py, pz)
         return radiance_only(sig, col, lattice.dt, lattice.mask)
 
     k0 = jnp.asarray(plan.camera.k, jnp.float32).reshape(3, 3)

@@ -7,6 +7,12 @@ the grid *is* the trilinear 8-corner scatter-add the reference hand-codes in
 ``src/fields/dense_grid.cpp:171-309`` (deterministic on TPU), and its vjp
 w.r.t. positions feeds camera gradients.
 
+Layout: the hot entry point is :func:`eval_grid_planes`, which takes the
+sample coordinates as three (N, K) planes and returns per-channel planes.
+Arrays with a minor dimension of 3 pad to the 128-lane tile width on TPU
+(42x memory blowup); the structure-of-arrays form avoids that entirely.
+:func:`eval_grid` keeps the (..., 3)-positions API for parity callers.
+
 Coordinate convention (grid_dense_cpu.cpp:94-119,157-159): world position is
 normalized by the field bbox to local in [0,1], then scaled by (n-1) so voxel
 centers sit at the lattice points. OOB_ZERO returns 0 outside; OOB_CLAMP
@@ -23,46 +29,104 @@ Nearest rounding matches C++ ``std::round`` (half away from zero) via
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from dvren_tpu.core.plan import InterpMode, OobPolicy
 
 
-def _local_coords(positions, bbox_min, bbox_max, oob: OobPolicy):
-    """World -> [0,1] local coords + outside mask (grid_dense_cpu.cpp:94-119)."""
-    bbox_min = jnp.asarray(bbox_min, jnp.float32)
-    bbox_max = jnp.asarray(bbox_max, jnp.float32)
-    extent = bbox_max - bbox_min
-    safe = jnp.where(extent != 0.0, extent, 1.0)
-    local = jnp.where(extent != 0.0, (positions - bbox_min) / safe, 0.0)
-    outside = jnp.any((local < 0.0) | (local > 1.0), axis=-1)
-    if oob == OobPolicy.CLAMP:
-        local = jnp.clip(local, 0.0, 1.0)
-        outside = jnp.zeros_like(outside)
+def _axis_local(p, lo: float, hi: float):
+    """World coord -> [0,1] local along one axis + outside mask.
+
+    bbox endpoints are static Python floats (field meta), so the degenerate
+    extent branch resolves at trace time (grid_dense_cpu.cpp:99-105)."""
+    extent = float(hi) - float(lo)
+    if extent == 0.0:
+        local = jnp.zeros_like(p)
+    else:
+        local = (p - lo) * (1.0 / extent)
+    outside = (local < 0.0) | (local > 1.0)
     return local, outside
 
 
-def _lattice_coords(local, shape_xyz):
-    """[0,1] local -> continuous lattice coords fx, fy, fz in [0, n-1]."""
-    nx, ny, nz = shape_xyz
-    scale = jnp.asarray(
-        [float(nx - 1), float(ny - 1), float(nz - 1)], jnp.float32)
-    return local * scale
+def eval_grid_planes(
+    grid: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    pz: jnp.ndarray,
+    bbox_min,
+    bbox_max,
+    interp: InterpMode = InterpMode.LINEAR,
+    oob: OobPolicy = OobPolicy.ZERO,
+):
+    """Evaluate a dense grid at SoA world coordinates.
 
-
-def _gather(grid, ix, iy, iz):
-    """grid[(z, y, x)] batched gather; indices are in-bounds by construction.
-
-    grid: (Z, Y, X) or (Z, Y, X, C); index arrays share a common shape.
+    grid: (Z, Y, X) scalar or (Z, Y, X, C) vector field.
+    px/py/pz: equal-shaped coordinate planes.
+    Returns one array (scalar grid) or a tuple of C arrays, each the shape
+    of the coordinate planes, float32.
     """
-    return grid[iz, iy, ix]
+    scalar = grid.ndim == 3
+    nz, ny, nx = grid.shape[0], grid.shape[1], grid.shape[2]
 
+    lx, ox = _axis_local(px, bbox_min[0], bbox_max[0])
+    ly, oy = _axis_local(py, bbox_min[1], bbox_max[1])
+    lz, oz = _axis_local(pz, bbox_min[2], bbox_max[2])
 
-def _interp_weights(f):
-    """Per-axis floor indices + fractions. f: (..., 3) lattice coords."""
-    i0 = jnp.floor(f).astype(jnp.int32)
-    frac = f - i0.astype(jnp.float32)
-    return i0, frac
+    if oob == OobPolicy.CLAMP:
+        lx = jnp.clip(lx, 0.0, 1.0)
+        ly = jnp.clip(ly, 0.0, 1.0)
+        lz = jnp.clip(lz, 0.0, 1.0)
+        outside = None
+    else:
+        outside = ox | oy | oz
+
+    fx = lx * (nx - 1)
+    fy = ly * (ny - 1)
+    fz = lz * (nz - 1)
+
+    planes = [grid] if scalar else [grid[..., c] for c in range(grid.shape[3])]
+
+    if interp == InterpMode.NEAREST:
+        # round-half-away-from-zero for non-negative coords
+        ix = jnp.clip(jnp.floor(fx + 0.5).astype(jnp.int32), 0, nx - 1)
+        iy = jnp.clip(jnp.floor(fy + 0.5).astype(jnp.int32), 0, ny - 1)
+        iz = jnp.clip(jnp.floor(fz + 0.5).astype(jnp.int32), 0, nz - 1)
+        outs = [g[iz, iy, ix].astype(jnp.float32) for g in planes]
+    else:
+        ix0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, nx - 1)
+        iy0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, ny - 1)
+        iz0 = jnp.clip(jnp.floor(fz).astype(jnp.int32), 0, nz - 1)
+        ix1 = jnp.minimum(ix0 + 1, nx - 1)
+        iy1 = jnp.minimum(iy0 + 1, ny - 1)
+        iz1 = jnp.minimum(iz0 + 1, nz - 1)
+        tx = fx - ix0.astype(jnp.float32)
+        ty = fy - iy0.astype(jnp.float32)
+        tz = fz - iz0.astype(jnp.float32)
+
+        outs = []
+        for g in planes:
+            c000 = g[iz0, iy0, ix0].astype(jnp.float32)
+            c100 = g[iz0, iy0, ix1].astype(jnp.float32)
+            c010 = g[iz0, iy1, ix0].astype(jnp.float32)
+            c110 = g[iz0, iy1, ix1].astype(jnp.float32)
+            c001 = g[iz1, iy0, ix0].astype(jnp.float32)
+            c101 = g[iz1, iy0, ix1].astype(jnp.float32)
+            c011 = g[iz1, iy1, ix0].astype(jnp.float32)
+            c111 = g[iz1, iy1, ix1].astype(jnp.float32)
+
+            # Same lerp chain as trilinear_sample (grid_dense_cpu.cpp:57-85).
+            c00 = c000 + (c100 - c000) * tx
+            c10 = c010 + (c110 - c010) * tx
+            c01 = c001 + (c101 - c001) * tx
+            c11 = c011 + (c111 - c011) * tx
+            c0 = c00 + (c10 - c00) * ty
+            c1 = c01 + (c11 - c01) * ty
+            outs.append(c0 + (c1 - c0) * tz)
+
+    if outside is not None:
+        outs = [jnp.where(outside, 0.0, o) for o in outs]
+    return outs[0] if scalar else tuple(outs)
 
 
 def eval_grid(
@@ -73,61 +137,14 @@ def eval_grid(
     interp: InterpMode = InterpMode.LINEAR,
     oob: OobPolicy = OobPolicy.ZERO,
 ) -> jnp.ndarray:
-    """Evaluate a dense grid at world positions.
-
-    grid: (Z, Y, X) scalar field or (Z, Y, X, C) vector field, any float dtype
-          (accumulation runs in float32).
-    positions: (..., 3) world coordinates in xyz order.
-    Returns (...,) or (..., C) float32.
-    """
-    scalar = grid.ndim == 3
-    nz, ny, nx = grid.shape[0], grid.shape[1], grid.shape[2]
-
-    local, outside = _local_coords(positions, bbox_min, bbox_max, oob)
-    f = _lattice_coords(local, (nx, ny, nz))
-    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
-
-    if interp == InterpMode.NEAREST:
-        # round-half-away-from-zero for non-negative coords
-        ix = jnp.clip(jnp.floor(fx + 0.5).astype(jnp.int32), 0, nx - 1)
-        iy = jnp.clip(jnp.floor(fy + 0.5).astype(jnp.int32), 0, ny - 1)
-        iz = jnp.clip(jnp.floor(fz + 0.5).astype(jnp.int32), 0, nz - 1)
-        out = _gather(grid, ix, iy, iz).astype(jnp.float32)
-    else:
-        ix0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, nx - 1)
-        iy0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, ny - 1)
-        iz0 = jnp.clip(jnp.floor(fz).astype(jnp.int32), 0, nz - 1)
-        ix1 = jnp.minimum(ix0 + 1, nx - 1)
-        iy1 = jnp.minimum(iy0 + 1, ny - 1)
-        iz1 = jnp.minimum(iz0 + 1, nz - 1)
-        tx = (fx - ix0.astype(jnp.float32))
-        ty = (fy - iy0.astype(jnp.float32))
-        tz = (fz - iz0.astype(jnp.float32))
-        if not scalar:
-            tx = tx[..., None]
-            ty = ty[..., None]
-            tz = tz[..., None]
-
-        c000 = _gather(grid, ix0, iy0, iz0).astype(jnp.float32)
-        c100 = _gather(grid, ix1, iy0, iz0).astype(jnp.float32)
-        c010 = _gather(grid, ix0, iy1, iz0).astype(jnp.float32)
-        c110 = _gather(grid, ix1, iy1, iz0).astype(jnp.float32)
-        c001 = _gather(grid, ix0, iy0, iz1).astype(jnp.float32)
-        c101 = _gather(grid, ix1, iy0, iz1).astype(jnp.float32)
-        c011 = _gather(grid, ix0, iy1, iz1).astype(jnp.float32)
-        c111 = _gather(grid, ix1, iy1, iz1).astype(jnp.float32)
-
-        # Same lerp chain as trilinear_sample (grid_dense_cpu.cpp:57-85).
-        c00 = c000 + (c100 - c000) * tx
-        c10 = c010 + (c110 - c010) * tx
-        c01 = c001 + (c101 - c001) * tx
-        c11 = c011 + (c111 - c011) * tx
-        c0 = c00 + (c10 - c00) * ty
-        c1 = c01 + (c11 - c01) * ty
-        out = c0 + (c1 - c0) * tz
-
-    zero_mask = outside if scalar else outside[..., None]
-    return jnp.where(zero_mask, 0.0, out)
+    """(..., 3)-positions API over :func:`eval_grid_planes` (parity callers;
+    hot paths pass coordinate planes directly)."""
+    out = eval_grid_planes(
+        grid, positions[..., 0], positions[..., 1], positions[..., 2],
+        bbox_min, bbox_max, interp, oob)
+    if isinstance(out, tuple):
+        return jnp.stack(out, axis=-1)
+    return out
 
 
 def scatter_grid_grads(
@@ -147,8 +164,6 @@ def scatter_grid_grads(
     scatter-add is deterministic on TPU, matching the reference's ordered
     CPU accumulation.
     """
-    import jax
-
     zeros = jnp.zeros(grid_shape, jnp.float32)
 
     def f(grid):

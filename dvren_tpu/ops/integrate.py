@@ -72,19 +72,35 @@ def compute_alpha(sigma, dt):
     return jnp.where(od <= 0.0, 0.0, alpha)
 
 
+def _color_planes(color):
+    """Accept color as (N, K, 3) or as a tuple of three (N, K) planes.
+
+    The SoA tuple is the hot-path form: (N, K, 3) arrays pad the minor dim
+    to the 128-lane tile on TPU (42x blowup); planes tile perfectly.
+    """
+    if isinstance(color, (tuple, list)):
+        return color[0], color[1], color[2]
+    return color[..., 0], color[..., 1], color[..., 2]
+
+
 def integrate(
     sigma: jnp.ndarray,
-    color: jnp.ndarray,
+    color,
     dt: jnp.ndarray,
     mask: jnp.ndarray,
     t_near: float,
     t_far: float,
     stop_threshold: float = STOP_THRESHOLD,
+    with_aux: bool = True,
 ) -> Integration:
     """Integrate radiance along each ray of the dense lattice.
 
-    sigma: (N, K); color: (N, K, 3); dt: (N, K) with 0 in masked slots;
-    mask: (N, K) bool prefix mask. t_near/t_far are the plan scalars.
+    sigma: (N, K); color: (N, K, 3) or a tuple of three (N, K) planes;
+    dt: (N, K) with 0 in masked slots; mask: (N, K) bool prefix mask.
+    t_near/t_far are the plan scalars.
+    ``with_aux=False`` skips materializing the (N, K, 4) aux tensor (the
+    production path; aux exists for reference parity and inspection only -
+    backward recomputes everything it needs).
     """
     maskf = mask.astype(sigma.dtype)
 
@@ -104,10 +120,13 @@ def integrate(
     # weight_k = T_before_k * alpha_k = P_{k-1} - P_k: the telescoped form
     # keeps sum(w) == 1 - T exact and avoids expm1's vendor error entirely.
     weight = (t_before - p) * procf
-    alpha = compute_alpha(sigma, dt) * maskf  # aux parity (int_cpu.cpp:201)
 
-    radiance = jnp.einsum("nk,nkc->nc", weight, color,
-                          precision=jax.lax.Precision.HIGHEST)
+    cr, cg, cb = _color_planes(color)
+    radiance = jnp.stack([
+        jnp.sum(weight * cr, axis=1),
+        jnp.sum(weight * cg, axis=1),
+        jnp.sum(weight * cb, axis=1),
+    ], axis=-1)
 
     # Final T: P at the last processed slot (monotone decreasing -> min).
     t_final = jnp.min(jnp.where(processed, p, 1.0), axis=1)
@@ -122,10 +141,14 @@ def integrate(
         opacity > OPACITY_EPS, depth_weighted / jnp.maximum(opacity, OPACITY_EPS),
         t_far)
 
-    log_t_before = jnp.log(jnp.maximum(t_before, LOG_T_FLOOR))
-    aux = jnp.stack(
-        [alpha * procf, weight, t_before * procf, log_t_before * procf],
-        axis=-1)
+    if with_aux:
+        alpha = compute_alpha(sigma, dt) * maskf  # int_cpu.cpp:201 parity
+        log_t_before = jnp.log(jnp.maximum(t_before, LOG_T_FLOOR))
+        aux = jnp.stack(
+            [alpha * procf, weight, t_before * procf, log_t_before * procf],
+            axis=-1)
+    else:
+        aux = None
 
     return Integration(
         radiance=radiance,
@@ -149,5 +172,9 @@ def radiance_only(sigma, color, dt, mask, stop_threshold: float = STOP_THRESHOLD
     t_before = jnp.concatenate([jnp.ones_like(p[:, :1]), p[:, :-1]], axis=1)
     processed = mask & (t_before > stop_threshold)
     weight = (t_before - p) * processed.astype(sigma.dtype)
-    return jnp.einsum("nk,nkc->nc", weight, color,
-                      precision=jax.lax.Precision.HIGHEST)
+    cr, cg, cb = _color_planes(color)
+    return jnp.stack([
+        jnp.sum(weight * cr, axis=1),
+        jnp.sum(weight * cg, axis=1),
+        jnp.sum(weight * cb, axis=1),
+    ], axis=-1)

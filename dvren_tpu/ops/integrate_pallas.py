@@ -145,9 +145,13 @@ def _prepare(sigma, color, dt, mask, tile_n):
     dt_eff = jnp.where(mask, dt, 0.0).astype(jnp.float32)
     sig = _pad_nk(sigma.astype(jnp.float32), n_pad, k_pad)
     dtp = _pad_nk(dt_eff, n_pad, k_pad)
-    cr = _pad_nk(color[..., 0].astype(jnp.float32), n_pad, k_pad)
-    cg = _pad_nk(color[..., 1].astype(jnp.float32), n_pad, k_pad)
-    cb = _pad_nk(color[..., 2].astype(jnp.float32), n_pad, k_pad)
+    if isinstance(color, (tuple, list)):   # SoA planes (hot path)
+        cr_s, cg_s, cb_s = color
+    else:
+        cr_s, cg_s, cb_s = color[..., 0], color[..., 1], color[..., 2]
+    cr = _pad_nk(cr_s.astype(jnp.float32), n_pad, k_pad)
+    cg = _pad_nk(cg_s.astype(jnp.float32), n_pad, k_pad)
+    cb = _pad_nk(cb_s.astype(jnp.float32), n_pad, k_pad)
     return sig, dtp, cr, cg, cb, n_pad, k_pad
 
 
@@ -213,8 +217,7 @@ def _bwd_call(sigma, color, dt, mask, g_rad, tile_n, interpret):
     )(sig, dtp, cr, cg, cb, g_pad, tri, up)
 
     d_sigma = dsig[:n, :k]
-    d_color = jnp.stack([dcr[:n, :k], dcg[:n, :k], dcb[:n, :k]], axis=-1)
-    return d_sigma, d_color
+    return d_sigma, (dcr[:n, :k], dcg[:n, :k], dcb[:n, :k])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -238,8 +241,12 @@ def _vjp_fwd(sigma, color, dt, mask, t_near, t_far, tile_n, interpret):
 def _vjp_bwd(t_near, t_far, tile_n, interpret, residuals, cotangents):
     sigma, color, dt, mask = residuals
     g_rad, _g_t, _g_op, _g_depth = cotangents
-    d_sigma, d_color = _bwd_call(sigma, color, dt, mask, g_rad,
-                                 tile_n, interpret)
+    d_sigma, d_planes = _bwd_call(sigma, color, dt, mask, g_rad,
+                                  tile_n, interpret)
+    if isinstance(color, (tuple, list)):
+        d_color = type(color)(d_planes)
+    else:
+        d_color = jnp.stack(list(d_planes), axis=-1)
     return d_sigma, d_color, None, None
 
 

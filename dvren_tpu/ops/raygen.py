@@ -59,12 +59,20 @@ def generate_rays(
     k: jnp.ndarray | None = None,
     c2w: jnp.ndarray | None = None,
     ortho_scale: jnp.ndarray | None = None,
+    start: jnp.ndarray | int = 0,
+    count: int | None = None,
 ) -> Rays:
-    """Generate one ray per ROI pixel, row-major over (roi.height, roi.width).
+    """Generate rays for ROI pixels, row-major over (roi.height, roi.width).
 
     ``k`` (3,3), ``c2w`` (3,4) and ``ortho_scale`` default to the plan's
     static camera but may be traced arrays (e.g. under ``jax.grad`` for pose /
     focal refinement). The plan supplies all static facts (shapes, model).
+
+    ``start``/``count`` select a contiguous ray block (for the tiled
+    streaming path): ``count`` is static, ``start`` may be traced. Block
+    entries past the ROI are emitted as degenerate padding rays
+    (t_far == t_near so they produce no samples; pixel_id == width*height so
+    the compose scatter drops them).
     """
     if k is None or c2w is None or ortho_scale is None:
         dk, dc2w, ds = camera_arrays(plan)
@@ -75,9 +83,11 @@ def generate_rays(
     c2w = jnp.asarray(c2w, jnp.float32).reshape(3, 4)
 
     roi = plan.roi
-    n = plan.ray_count
+    n = plan.ray_count if count is None else count
 
-    local = jnp.arange(n, dtype=jnp.int32)
+    global_idx = jnp.arange(n, dtype=jnp.int32) + jnp.asarray(start, jnp.int32)
+    in_roi = global_idx < plan.ray_count
+    local = jnp.minimum(global_idx, plan.ray_count - 1)
     local_x = local % roi.width
     local_y = local // roi.width
     px = (roi.x + local_x).astype(jnp.float32)
@@ -118,8 +128,14 @@ def generate_rays(
     directions = dir_world * inv_len
 
     t_near = jnp.full((n,), plan.t_near, dtype=jnp.float32)
-    t_far = jnp.full((n,), plan.t_far, dtype=jnp.float32)
+    # padding rays: t_far == t_near -> zero samples (samp_cpu.cpp:222-224)
+    t_far = jnp.where(in_roi, jnp.float32(plan.t_far),
+                      jnp.float32(plan.t_near))
     pixel_ids = (roi.y + local_y) * plan.width + (roi.x + local_x)
+    # Padding rays scatter out of range and are dropped by the compose;
+    # ids stay distinct so the unique_indices contract holds.
+    pad_ids = plan.width * plan.height + (global_idx - plan.ray_count)
+    pixel_ids = jnp.where(in_roi, pixel_ids, pad_ids)
 
     return Rays(
         origins=origins.astype(jnp.float32),

@@ -106,6 +106,31 @@ def stratified_jitter(seed: int, ray_index, step):
     return hi20 * jnp.float32(2.0 ** -20) + lo32 * jnp.float32(2.0 ** -52)
 
 
+def jitter_table(seed: int, n_rays: int, n_steps: int,
+                 ray_offset: int = 0):
+    """Host-side (numpy uint64) jitter table: exact splitmix64, (N, K) f32.
+
+    The stratified jitter is a pure function of (seed, ray, step) - constant
+    for a given plan - so the production path precomputes it once and ships
+    it to the device as a resident input. This is both bit-exact with the
+    reference (true uint64, no limb emulation) and keeps the compiled
+    program free of the uint32 emulation soup (which the axon TPU relay's
+    fast dispatch path cannot keep resident; see .claude/skills/verify).
+    """
+    import numpy as np
+
+    rays = (np.arange(n_rays, dtype=np.uint64)
+            + np.uint64(ray_offset))[:, None]
+    steps = np.arange(n_steps, dtype=np.uint64)[None, :]
+    s = np.uint64(seed & 0xFFFFFFFFFFFFFFFF) ^ (rays << np.uint64(32)) ^ steps
+    with np.errstate(over="ignore"):
+        s = (s ^ (s >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        s = (s ^ (s >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        s = s ^ (s >> np.uint64(31))
+    frac = (s & np.uint64(0x000FFFFFFFFFFFFF)).astype(np.float64)
+    return (frac / float(0x0010000000000000)).astype(np.float32)
+
+
 def mix_seed_py(state: int) -> int:
     """Pure-Python splitmix64 finalizer (test oracle)."""
     mask = 0xFFFFFFFFFFFFFFFF

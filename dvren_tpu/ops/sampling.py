@@ -40,16 +40,33 @@ from dvren_tpu.utils.pytree import pytree_dataclass
 class SampleLattice:
     """Dense sample lattice; the static-shape analogue of ``hp_samp_t``.
 
-    t:         (N, K) float32  sample parameter along each ray
-    dt:        (N, K) float32  actual segment length (0 where masked out)
-    mask:      (N, K) bool     live-sample mask (prefix-true per ray)
-    positions: (N, K, 3) float32
+    t:          (N, K) float32  sample parameter along each ray
+    dt:         (N, K) float32  actual segment length (0 where masked out)
+    mask:       (N, K) bool     live-sample mask (prefix-true per ray)
+    px, py, pz: (N, K) float32  world positions, structure-of-arrays
+
+    Positions are stored as three coordinate planes, NOT an (N, K, 3)
+    array: TPU tiles the two minor dimensions, so a minor dim of 3 pads to
+    the 128-lane width - a 42x memory/bandwidth blowup measured at ~1000x
+    slowdown end-to-end. SoA planes tile perfectly (K on lanes, rays on
+    sublanes). Use :attr:`positions` only at API/parity boundaries.
     """
 
     t: jnp.ndarray
     dt: jnp.ndarray
     mask: jnp.ndarray
-    positions: jnp.ndarray
+    px: jnp.ndarray
+    py: jnp.ndarray
+    pz: jnp.ndarray
+
+    @property
+    def positions(self) -> jnp.ndarray:
+        """(N, K, 3) view for parity APIs; avoid in compiled hot paths."""
+        return jnp.stack([self.px, self.py, self.pz], axis=-1)
+
+    @property
+    def position_planes(self) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        return (self.px, self.py, self.pz)
 
     @property
     def num_rays(self) -> int:
@@ -72,8 +89,20 @@ class SampleLattice:
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(per_ray, dtype=jnp.int32)])
 
 
-def generate_samples(plan: Plan, rays: Rays) -> SampleLattice:
-    """March each ray with fixed dt; returns the dense lattice."""
+def generate_samples(plan: Plan, rays: Rays,
+                     ray_index_offset: jnp.ndarray | int = 0,
+                     jitter: jnp.ndarray | None = None) -> SampleLattice:
+    """March each ray with fixed dt; returns the dense lattice.
+
+    ``ray_index_offset`` shifts the ray indices fed to the stratified jitter
+    hash so a tiled render draws the same jitter as the whole-frame render
+    (the reference keys jitter on the global ray index, samp_cpu.cpp:233).
+
+    ``jitter``: optional precomputed (N, K) jitter table (see
+    ops.rng.jitter_table) - the production path, keeping the uint64 hash out
+    of the compiled program. When omitted under STRATIFIED, the in-graph
+    uint32 splitmix emulation is used.
+    """
     dt_step = jnp.float32(plan.sampling.dt)
     k_steps = plan.sampling.max_steps
     n = rays.count
@@ -86,8 +115,11 @@ def generate_samples(plan: Plan, rays: Rays) -> SampleLattice:
     ray_valid = t_far > t_near
     mask = (base_t < t_far) & ray_valid
 
-    if plan.sampling.mode == SamplingMode.STRATIFIED:
-        ray_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
+    if jitter is not None:
+        jitter = jitter.astype(jnp.float32)
+    elif plan.sampling.mode == SamplingMode.STRATIFIED:
+        ray_idx = (jnp.arange(n, dtype=jnp.int32)
+                   + jnp.asarray(ray_index_offset, jnp.int32))[:, None]
         jitter = stratified_jitter(plan.seed, ray_idx, steps[None, :])
     else:
         jitter = jnp.full((1, 1), 0.5, dtype=jnp.float32)
@@ -101,12 +133,16 @@ def generate_samples(plan: Plan, rays: Rays) -> SampleLattice:
     dt_actual = jnp.minimum(base_t + dt_step, t_far) - base_t
     dt_actual = jnp.where(mask, dt_actual, 0.0)
 
-    positions = (rays.origins[:, None, :]
-                 + rays.directions[:, None, :] * sample_t[:, :, None])
+    sample_t = sample_t.astype(jnp.float32)
+    o = rays.origins
+    d = rays.directions
+    px = o[:, 0:1] + d[:, 0:1] * sample_t
+    py = o[:, 1:2] + d[:, 1:2] * sample_t
+    pz = o[:, 2:3] + d[:, 2:3] * sample_t
 
     return SampleLattice(
-        t=sample_t.astype(jnp.float32),
+        t=sample_t,
         dt=dt_actual.astype(jnp.float32),
         mask=mask,
-        positions=positions.astype(jnp.float32),
+        px=px, py=py, pz=pz,
     )

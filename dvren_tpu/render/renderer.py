@@ -38,6 +38,7 @@ from dvren_tpu.ops.compose import compose
 from dvren_tpu.ops.integrate import integrate
 from dvren_tpu.ops.raygen import generate_rays
 from dvren_tpu.ops.sampling import generate_samples
+from dvren_tpu.render import pipeline as pipeline_mod
 from dvren_tpu.render.pipeline import RenderOutputs, eval_fields, render
 
 
@@ -46,12 +47,17 @@ class RenderOptions:
     """Mirrors ``dvren::RenderOptions`` (renderer.hpp:17-21).
 
     ``enable_graph`` maps to AOT precompilation (the jit-replay equivalent of
-    CUDA Graph capture).
+    CUDA Graph capture). ``streaming`` selects the fixed-workspace ray-tile
+    path (None = automatic for plans whose lattice exceeds
+    ``streaming_budget`` samples); streaming trades the per-sample parity
+    views (aux, packed grads) for bounded memory at production sizes.
     """
 
     use_fused_path: bool = True
     enable_graph: bool = False
     capture_stats: bool = True
+    streaming: bool | None = None
+    streaming_budget: int = 1 << 22
 
 
 @dataclass
@@ -121,9 +127,23 @@ class Renderer:
         self._last_outputs: RenderOutputs | None = None
         self._last_field = None
         self._compiled_fused = None   # AOT executable when enable_graph
-        self._fused_jit = jax.jit(lambda field: render(self._plan, field))
+        self._fused_jit = jax.jit(
+            lambda field, jitter: render(self._plan, field, jitter=jitter))
         self._stage_jits = None
         self._backward_jit = jax.jit(self._backward_impl)
+        # Stratified jitter is a pure function of (seed, ray, step) -
+        # precomputed host-side, device-resident across calls.
+        self._jitter_host = pipeline_mod.plan_jitter_table(plan)
+        self._jitter = None
+        lattice_samples = plan.ray_count * plan.sampling.max_steps
+        if self._options.streaming is None:
+            self._streaming = lattice_samples > self._options.streaming_budget
+        else:
+            self._streaming = bool(self._options.streaming)
+        self._stream_jit = jax.jit(
+            lambda field, jitter: pipeline_mod.render_streamed(
+                self._plan, field, jitter=jitter))
+        self._stream_bwd_jit = None
 
     # ------------------------------------------------------------------ fwd
 
@@ -141,8 +161,8 @@ class Renderer:
         def stage_rays():
             return generate_rays(plan)
 
-        def stage_samples(rays):
-            return generate_samples(plan, rays)
+        def stage_samples(rays, jitter):
+            return generate_samples(plan, rays, jitter=jitter)
 
         def stage_fields(field, lattice):
             return eval_fields(field, lattice)
@@ -164,28 +184,46 @@ class Renderer:
             compose=jax.jit(stage_compose),
         )
 
+    def _device_jitter(self):
+        if self._jitter is None and self._jitter_host is not None:
+            self._jitter = jax.device_put(self._jitter_host)
+        return self._jitter
+
+    def _analytic_sample_count(self) -> int:
+        """Live-sample count for generated rays: every ray marches
+        min(max_steps, #k with t_near + k*dt < t_far) steps."""
+        plan = self._plan
+        span = plan.t_far - plan.t_near
+        import math
+        k_live = int(math.ceil(span / plan.sampling.dt - 1e-9))
+        return plan.ray_count * min(plan.sampling.max_steps, max(k_live, 0))
+
     def forward(self, field, out: ForwardResult | None = None) -> ForwardResult:
         """Render one frame; analogue of Renderer::Forward (renderer.cpp:232)."""
         stats = RenderStats()
         t0 = time.perf_counter()
 
-        if self._options.use_fused_path:
-            outputs = self._forward_fused(field, stats)
+        if self._streaming:
+            planes = self._forward_streamed(field, stats)
+            jax.block_until_ready(planes)
+            stats.total_ms = (time.perf_counter() - t0) * 1e3
+            sample_count = self._analytic_sample_count()
+            outputs = None
         else:
-            outputs = self._forward_staged(field, stats)
-
-        jax.block_until_ready(outputs.planes)
-        stats.total_ms = (time.perf_counter() - t0) * 1e3
-
-        sample_count = int(outputs.lattice.sample_count())
+            if self._options.use_fused_path:
+                outputs = self._forward_fused(field, stats)
+            else:
+                outputs = self._forward_staged(field, stats)
+            jax.block_until_ready(outputs.planes)
+            stats.total_ms = (time.perf_counter() - t0) * 1e3
+            sample_count = int(outputs.lattice.sample_count())
+            planes = outputs.planes
         check(sample_count <= self._plan.max_samples,
               f"sample capacity exceeded: {sample_count} > "
               f"{self._plan.max_samples}")
 
         self._last_outputs = outputs
         self._last_field = field
-
-        planes = outputs.planes
         result = out or ForwardResult(
             image=np.empty(0), transmittance=np.empty(0),
             opacity=np.empty(0), depth=np.empty(0), hitmask=np.empty(0))
@@ -203,19 +241,37 @@ class Renderer:
     # Keep the reference-style capitalized aliases.
     Forward = forward
 
-    def _forward_fused(self, field, stats: RenderStats) -> RenderOutputs:
+    def _forward_streamed(self, field, stats: RenderStats):
+        jitter = self._device_jitter()
         if self._options.enable_graph:
             if self._compiled_fused is None:
                 t0 = time.perf_counter()
-                lowered = self._fused_jit.lower(field)
+                self._compiled_fused = self._stream_jit.lower(
+                    field, jitter).compile()
+                stats.notes.append(
+                    f"graph_captured_aot_compile_ms="
+                    f"{(time.perf_counter() - t0) * 1e3:.3f}")
+            planes = self._compiled_fused(field, jitter)
+            stats.notes.append("graph_executed")
+        else:
+            planes = self._stream_jit(field, jitter)
+        stats.notes.append("streaming_path")
+        return planes
+
+    def _forward_fused(self, field, stats: RenderStats) -> RenderOutputs:
+        jitter = self._device_jitter()
+        if self._options.enable_graph:
+            if self._compiled_fused is None:
+                t0 = time.perf_counter()
+                lowered = self._fused_jit.lower(field, jitter)
                 self._compiled_fused = lowered.compile()
                 stats.notes.append(
                     f"graph_captured_aot_compile_ms="
                     f"{(time.perf_counter() - t0) * 1e3:.3f}")
-            outputs = self._compiled_fused(field)
+            outputs = self._compiled_fused(field, jitter)
             stats.notes.append("graph_executed")
         else:
-            outputs = self._fused_jit(field)
+            outputs = self._fused_jit(field, jitter)
             stats.notes.append("fused_path")
         return outputs
 
@@ -234,7 +290,8 @@ class Renderer:
             return out
 
         rays = timed("ray_ms", s["rays"])
-        lattice = timed("sample_ms", s["samples"], rays)
+        lattice = timed("sample_ms", s["samples"], rays,
+                        self._device_jitter())
         t0 = time.perf_counter()
         sigma, color = s["fields"](field, lattice)
         intl = s["integrate"](sigma, color, lattice)
@@ -265,14 +322,16 @@ class Renderer:
         ``dl_di`` is flat (ray_count*3,) or (ray_count, 3): the loss gradient
         w.r.t. per-ray radiance.
         """
-        if self._last_outputs is None:
+        if self._last_field is None:
             raise DvrenError.invalid_argument(
                 "Backward requires a prior Forward")
-        outputs = self._last_outputs
         n = self._plan.ray_count
         dl = np.asarray(dl_di, np.float32).reshape(-1)
         check(dl.size == n * 3,
               f"dL/dI must have {n * 3} elements, got {dl.size}")
+        if self._streaming:
+            return self._backward_streamed(field, dl.reshape(n, 3), out)
+        outputs = self._last_outputs
         sample_count = int(outputs.lattice.sample_count())
         check(sample_count > 0, "Backward requires a non-empty sample set")
 
@@ -292,9 +351,57 @@ class Renderer:
 
     Backward = backward
 
+    def _backward_streamed(self, field: DenseGridField, dl: np.ndarray,
+                           out: BackwardResult | None) -> BackwardResult:
+        """Streaming-mode backward: per-ray dL/dI is scattered to the image
+        plane (generated rays own their pixels) and the gradient streams the
+        same ray tiles as the forward with per-tile rematerialization -
+        no aux persisted, matching the in-kernel-recompute design
+        (BASELINE.json north star) rather than the reference's stored aux."""
+        plan = self._plan
+        roi = plan.roi
+        dl_img = np.zeros((plan.height, plan.width, 3), np.float32)
+        ys = roi.y + np.arange(plan.ray_count) // roi.width
+        xs = roi.x + np.arange(plan.ray_count) % roi.width
+        dl_img[ys, xs] = dl
+        dl_dev = jnp.asarray(dl_img)
+        jitter = self._device_jitter()
+
+        if self._stream_bwd_jit is None:
+            plan_ref = self._plan
+
+            def loss(params, c2w, k_mat, dl_img_dev, jitter):
+                f = field.with_params(*params)
+                planes = pipeline_mod.render_streamed(
+                    plan_ref, f, k=k_mat, c2w=c2w, jitter=jitter)
+                return jnp.sum(planes.image * dl_img_dev)
+
+            self._stream_bwd_jit = jax.jit(
+                jax.grad(loss, argnums=(0, 1, 2)))
+
+        k0 = jnp.asarray(plan.camera.k, jnp.float32).reshape(3, 3)
+        c2w0 = jnp.asarray(plan.camera.c2w, jnp.float32).reshape(3, 4)
+        (sigma_g, color_g), dc2w, dk = self._stream_bwd_jit(
+            (field.sigma, field.color), c2w0, k0, dl_dev, jitter)
+
+        result = out or BackwardResult(
+            sigma=np.empty(0), color=np.empty(0),
+            camera=np.zeros((3, 4), np.float32))
+        result.sigma = np.asarray(sigma_g, np.float32).reshape(-1)
+        result.color = np.asarray(color_g, np.float32).reshape(-1)
+        result.camera = np.asarray(dc2w, np.float32)
+        result.camera_k = np.asarray(dk, np.float32)
+        result.sample_count = self._analytic_sample_count()
+        return result
+
     def per_sample_gradients(self, dl_di) -> tuple[np.ndarray, np.ndarray]:
         """Packed per-sample (dsigma (M,), dcolor (M,3)) - ``hp_diff`` parity
         view over live samples in ray-major order."""
+        if self._streaming:
+            raise DvrenError.unsupported(
+                "per-sample gradient views are unavailable in streaming "
+                "mode (the lattice is never materialized); use a "
+                "non-streaming Renderer for parity inspection")
         if self._last_outputs is None:
             raise DvrenError.invalid_argument(
                 "per_sample_gradients requires a prior Forward")

@@ -1,0 +1,83 @@
+"""Renderer streaming mode: parity with the in-memory paths + backward."""
+
+import numpy as np
+import pytest
+
+from dvren_tpu import (
+    CameraConfig, Context, DenseGridConfig, DenseGridField, DvrenError,
+    Plan, PlanConfig, Renderer, RenderOptions, SamplingConfig, SamplingMode,
+)
+
+
+def scene(mode=SamplingMode.STRATIFIED):
+    rng = np.random.default_rng(2)
+    n = 6
+    plan = Plan.create(PlanConfig(
+        width=14, height=10, t_near=0.3, t_far=2.3, seed=5,
+        camera=CameraConfig(
+            k=(18.0, 0, 7.0, 0, 18.0, 5.0, 0, 0, 1),
+            c2w=(1, 0, 0, 0.5, 0, 1, 0, 0.5, 0, 0, 1, -1.0)),
+        sampling=SamplingConfig(dt=0.08, max_steps=26, mode=mode)))
+    field = DenseGridField.create(DenseGridConfig(
+        resolution=(n, n, n),
+        sigma=rng.uniform(0.5, 6.0, n ** 3),
+        color=rng.uniform(0, 1, 3 * n ** 3)))
+    return plan, field
+
+
+def test_streaming_forward_matches_fused():
+    plan, field = scene()
+    ctx = Context.create()
+    a = Renderer(ctx, plan, RenderOptions(streaming=True)).forward(field)
+    b = Renderer(ctx, plan, RenderOptions(streaming=False)).forward(field)
+    np.testing.assert_allclose(a.image, b.image, atol=1e-6)
+    np.testing.assert_allclose(a.depth, b.depth, atol=1e-5)
+    np.testing.assert_array_equal(a.hitmask, b.hitmask)
+    assert a.sample_count == b.sample_count  # analytic == measured
+    assert "streaming_path" in a.stats.notes
+
+
+def test_streaming_backward_matches_fused():
+    plan, field = scene()
+    ctx = Context.create()
+    dl = np.random.default_rng(3).uniform(
+        -1, 1, (plan.ray_count, 3)).astype(np.float32)
+
+    rs = Renderer(ctx, plan, RenderOptions(streaming=True))
+    rs.forward(field)
+    bs = rs.backward(field, dl)
+
+    rf = Renderer(ctx, plan, RenderOptions(streaming=False))
+    rf.forward(field)
+    bf = rf.backward(field, dl)
+
+    np.testing.assert_allclose(bs.sigma, bf.sigma, rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(bs.color, bf.color, rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(bs.camera, bf.camera, rtol=1e-3, atol=1e-6)
+
+
+def test_streaming_auto_selection():
+    plan, field = scene()
+    ctx = Context.create()
+    r_small = Renderer(ctx, plan)  # tiny plan -> in-memory
+    assert not r_small._streaming
+    r_forced = Renderer(ctx, plan, RenderOptions(streaming_budget=10))
+    assert r_forced._streaming
+
+
+def test_streaming_per_sample_views_rejected():
+    plan, field = scene()
+    r = Renderer(Context.create(), plan, RenderOptions(streaming=True))
+    r.forward(field)
+    with pytest.raises(DvrenError):
+        r.per_sample_gradients(np.zeros((plan.ray_count, 3), np.float32))
+
+
+def test_streaming_graph_replay():
+    plan, field = scene()
+    r = Renderer(Context.create(), plan,
+                 RenderOptions(streaming=True, enable_graph=True))
+    a = r.forward(field)
+    b = r.forward(field)
+    assert a.image.tobytes() == b.image.tobytes()
+    assert "graph_executed" in b.stats.notes
