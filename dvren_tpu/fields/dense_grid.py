@@ -118,6 +118,25 @@ class DenseGridField:
             self.color, px, py, pz, self.bbox_min, self.bbox_max,
             self.interp, self.oob)
 
+    @property
+    def supports_packed_eval(self) -> bool:
+        """Packed-stencil fast path needs trilinear + all dims >= 2."""
+        nz, ny, nx = self.sigma.shape
+        return (self.interp == InterpMode.LINEAR
+                and min(nx, ny, nz) >= 2)
+
+    def packed_eval_planes(self, px, py, pz):
+        """(sigma, r, g, b) planes via ONE gather per sample: the packed
+        trilinear stencil (ops.grid.build_packed_stencil). Value-identical
+        to sigma_at_planes + color_at_planes under LINEAR interpolation,
+        ~18x faster on TPU. The packing is rebuilt in-graph from the
+        current parameters (cheap shifted-slice concat), so gradients flow
+        back into sigma/color exactly."""
+        packed = grid_ops.build_packed_stencil(self.sigma, self.color)
+        return grid_ops.eval_packed_trilinear(
+            packed, self.sigma.shape, px, py, pz,
+            self.bbox_min, self.bbox_max, self.oob)
+
     # -- gradients -------------------------------------------------------------
 
     def zero_grads(self) -> tuple[jnp.ndarray, jnp.ndarray]:

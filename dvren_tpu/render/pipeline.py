@@ -50,12 +50,17 @@ def eval_fields(field, lattice: SampleLattice):
 
     The reference evaluates fields inside the sampling loop
     (samp_cpu.cpp:255-289); here it is one batched evaluation that XLA fuses
-    with its consumers. Masked slots are forced to zero so downstream math
-    never sees garbage from positions beyond t_far.
+    with its consumers. Fields exposing the packed-stencil fast path (dense
+    trilinear grids) evaluate sigma + color with one gather per sample.
+    Masked slots are forced to zero so downstream math never sees garbage
+    from positions beyond t_far.
     """
     px, py, pz = lattice.position_planes
-    sigma = field.sigma_at_planes(px, py, pz)
-    cr, cg, cb = field.color_at_planes(px, py, pz)
+    if getattr(field, "supports_packed_eval", False):
+        sigma, cr, cg, cb = field.packed_eval_planes(px, py, pz)
+    else:
+        sigma = field.sigma_at_planes(px, py, pz)
+        cr, cg, cb = field.color_at_planes(px, py, pz)
     maskf = lattice.mask.astype(sigma.dtype)
     return sigma * maskf, (cr * maskf, cg * maskf, cb * maskf)
 
