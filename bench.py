@@ -112,6 +112,17 @@ def main():
     fb_mrays = n_rays / fb_s / 1e6
     log(f"fwd+bwd {fb_s * 1e3:.2f} ms -> {fb_mrays:.1f} Mrays/s")
 
+    # bf16 packed-table performance mode (reduced field precision)
+    field16 = field.with_packed_dtype("bfloat16")
+    fwd16 = jax.jit(
+        lambda f, j: render_streamed(plan, f, jitter=j).image
+    ).lower(field16, jitter).compile()
+    field16_b = field16.with_params(field16.sigma * 1.0001, field16.color)
+    fwd16_s = _time_compiled(
+        fwd16, [(field16, jitter), (field16_b, jitter)], iters=10)
+    log(f"fwd bf16 table {fwd16_s * 1e3:.2f} ms -> "
+        f"{n_rays / fwd16_s / 1e6:.1f} Mrays/s")
+
     samples = n_rays * max_steps
     result = {
         "metric": "fwd_Mrays_per_s_512",
@@ -120,6 +131,7 @@ def main():
         "vs_baseline": round(fwd_mrays / 1000.0, 4),
         "extra": {
             "fwdbwd_Mrays_per_s": round(fb_mrays, 2),
+            "fwd_bf16_table_Mrays_per_s": round(n_rays / fwd16_s / 1e6, 2),
             "fwd_Msamples_per_s": round(samples / fwd_s / 1e6, 1),
             "fwd_ms": round(fwd_s * 1e3, 3),
             "fwdbwd_ms": round(fb_s * 1e3, 3),
