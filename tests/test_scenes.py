@@ -1,0 +1,175 @@
+"""Scene-level integration tests: the analogues of the reference's
+high-res smoke, SDF-sphere-shell and animation suites
+(``tests/render/test_smoke_forward_highres.cpp``, ``test_sdf_sphere.cpp``,
+``test_smoke_animation.cpp``): structural assertions + subset-pixel
+comparison against the independent scalar oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dvren_tpu import (
+    CameraConfig, Context, DenseGridConfig, DenseGridField, Plan, PlanConfig,
+    Renderer, SamplingConfig,
+)
+from tests import oracle
+
+
+def sphere_shell_volume(n=32, radius=0.35, width=0.03):
+    """SDF sphere shell: density concentrated on |r - R| small
+    (test_sdf_sphere.cpp analogue)."""
+    zs, ys, xs = np.meshgrid(*([np.linspace(0, 1, n)] * 3), indexing="ij")
+    r = np.sqrt((xs - 0.5) ** 2 + (ys - 0.5) ** 2 + (zs - 0.5) ** 2)
+    sigma = 25.0 * np.exp(-((r - radius) ** 2) / (2 * width ** 2))
+    color = np.stack([np.full_like(xs, 0.9), 0.6 + 0.4 * zs, 0.4 + 0.6 * ys],
+                     axis=-1)
+    return sigma.astype(np.float32), color.astype(np.float32)
+
+
+def make_plan(w, h, focal_scale=1.2, dt=0.03125, max_steps=64):
+    return Plan.create(PlanConfig(
+        width=w, height=h, t_near=0.2, t_far=2.2,
+        camera=CameraConfig(
+            k=(w * focal_scale, 0, w / 2, 0, w * focal_scale, h / 2, 0, 0, 1),
+            c2w=(1, 0, 0, 0.5, 0, 1, 0, 0.5, 0, 0, 1, -1.0)),
+        sampling=SamplingConfig(dt=dt, max_steps=max_steps)))
+
+
+def subset_oracle_check(plan, fr, sigma, color, pixels, img_tol=3e-3,
+                        depth_tol=1e-2):
+    """Subset-pixel oracle diff (highres/sdf suites use subsets too)."""
+    K = np.asarray(plan.camera.k).reshape(3, 3)
+    img = fr.image.reshape(plan.height, plan.width, 3)
+    dep = fr.depth.reshape(plan.height, plan.width)
+    for (px, py) in pixels:
+        o, d = oracle.pinhole_ray(px, py, K, plan.camera.c2w)
+        exp = oracle.integrate_pixel(
+            o, d, plan.t_near, plan.t_far, plan.sampling.dt,
+            plan.sampling.max_steps, sigma, color, (0, 0, 0), (1, 1, 1))
+        assert np.abs(img[py, px] - exp["radiance"]).max() < img_tol, (px, py)
+        assert abs(dep[py, px] - exp["depth"]) < depth_tol, (px, py)
+
+
+def test_highres_subset_oracle():
+    """96x72 render (reference runs 960x720); statistical sanity + subset
+    oracle diffs (test_smoke_forward_highres.cpp analogue)."""
+    sigma, color = sphere_shell_volume(20, radius=0.3, width=0.06)
+    plan = make_plan(96, 72)
+    field = DenseGridField.create(DenseGridConfig(
+        resolution=sigma.shape[::-1], sigma=sigma.reshape(-1),
+        color=color.reshape(-1)))
+    fr = Renderer(Context.create(), plan).forward(field)
+    img = fr.image.reshape(72, 96, 3)
+    assert np.isfinite(img).all()
+    assert img.std() > 0.01
+    assert fr.hitmask.sum() == 96 * 72  # all pixels carried a ray
+    rng = np.random.default_rng(0)
+    pixels = list(zip(rng.integers(0, 96, 12), rng.integers(0, 72, 12)))
+    subset_oracle_check(plan, fr, sigma, color, pixels)
+
+
+def test_sdf_sphere_shell_structure():
+    """Ring (limb) brighter than the shell's see-through center
+    (test_sdf_sphere.cpp:229-239 analogue) + >=10% active pixels."""
+    sigma, color = sphere_shell_volume(32, radius=0.35, width=0.015)
+    sigma *= 0.3  # keep the center translucent so the limb stands out
+    plan = make_plan(64, 64, focal_scale=1.6)
+    field = DenseGridField.create(DenseGridConfig(
+        resolution=(32, 32, 32), sigma=sigma.reshape(-1),
+        color=color.reshape(-1)))
+    fr = Renderer(Context.create(), plan).forward(field)
+    opacity = fr.opacity.reshape(64, 64)
+
+    # limb vs center: tangent rays traverse much more shell material
+    center = opacity[30:34, 30:34].mean()
+    # projected shell radius ~ 0.35 * (1.6*64) / 1.5 ~ 24 px from center
+    ring = np.concatenate([opacity[32, 6:12], opacity[32, 52:58]])
+    assert ring.mean() > center + 0.05
+    active = (opacity > 0.05).mean()
+    assert active >= 0.10
+    rng = np.random.default_rng(1)
+    pixels = list(zip(rng.integers(16, 48, 8), rng.integers(16, 48, 8)))
+    subset_oracle_check(plan, fr, sigma, color, pixels)
+
+
+def test_animation_frames():
+    """Time-evolving volume over 12 frames: per-frame invariants + oracle
+    drift gates on sampled frames (test_smoke_animation.cpp analogue).
+    The field is recreated per frame, exactly as the reference does
+    (test_smoke_animation.cpp:305-331); the Plan executable is reused."""
+    plan = make_plan(16, 12, dt=0.0625, max_steps=32)
+    renderer = Renderer(Context.create(), plan)
+    n = 10
+    prev_img = None
+    rng_pix = np.random.default_rng(2)
+    for frame in range(12):
+        t = frame / 12.0
+        zs, ys, xs = np.meshgrid(*([np.linspace(0, 1, n)] * 3),
+                                 indexing="ij")
+        cx_t = 0.35 + 0.3 * t
+        r2 = (xs - cx_t) ** 2 + (ys - 0.5) ** 2 + (zs - 0.45) ** 2
+        sigma = (9.0 * np.exp(-r2 / 0.05)).astype(np.float32)
+        color = np.stack([xs, 1 - xs, np.full_like(xs, 0.5)],
+                         axis=-1).astype(np.float32)
+        field = DenseGridField.create(DenseGridConfig(
+            resolution=(n, n, n), sigma=sigma.reshape(-1),
+            color=color.reshape(-1)))
+        fr = renderer.forward(field)
+        img = fr.image.reshape(12, 16, 3)
+        assert np.isfinite(img).all()
+        assert fr.opacity.max() <= 1.0 + 1e-6
+        assert fr.transmittance.min() >= -1e-6
+        if frame in (0, 6, 11):
+            pixels = list(zip(rng_pix.integers(0, 16, 5),
+                              rng_pix.integers(0, 12, 5)))
+            subset_oracle_check(plan, fr, sigma, color, pixels,
+                                img_tol=4e-3)
+        if prev_img is not None:
+            # motion: the frame actually changes
+            assert np.abs(img - prev_img).max() > 1e-5
+        prev_img = img
+
+
+def test_pose_refinement_converges():
+    """Camera extrinsics refinement via real camera gradients (new
+    capability; BASELINE.json config 4: 'pose + focal refinement')."""
+    import jax
+    import optax
+    from dvren_tpu.render.pipeline import render
+
+    sigma, color = sphere_shell_volume(12, radius=0.3, width=0.08)
+    plan = make_plan(20, 16, dt=0.0625, max_steps=32)
+    field = DenseGridField.create(DenseGridConfig(
+        resolution=(12, 12, 12), sigma=sigma.reshape(-1),
+        color=color.reshape(-1)))
+
+    true_c2w = jnp.asarray(plan.camera.c2w, jnp.float32).reshape(3, 4)
+    target = render(plan, field, c2w=true_c2w).planes.image
+
+    # perturb (and optimize) the translation only - rotation has gauge
+    # freedom against translation on a nearly-symmetric target
+    t_true = true_c2w[:, 3]
+    t0 = t_true + jnp.asarray([0.06, -0.05, 0.0])
+
+    def loss(t):
+        c2w = true_c2w.at[:, 3].set(t)
+        img = render(plan, field, c2w=c2w).planes.image
+        return jnp.mean((img - target) ** 2)
+
+    opt = optax.adam(1e-2)
+    state = opt.init(t0)
+    t = t0
+
+    @jax.jit
+    def step(t, s):
+        l, g = jax.value_and_grad(loss)(t)
+        u, s = opt.update(g, s)
+        return optax.apply_updates(t, u), s, l
+
+    l0 = float(loss(t0))
+    for _ in range(80):
+        t, state, l = step(t, state)
+    err0 = float(jnp.abs(t0 - t_true).max())
+    err1 = float(jnp.abs(t - t_true).max())
+    assert float(l) < l0 * 0.2
+    assert err1 < err0 * 0.5
