@@ -53,6 +53,8 @@ def main(argv: list[str] | None = None) -> int:
         ctx = Context.create()
         plan = Plan.create(config.plan)
         field = DenseGridField.create(config.grid)
+        if config.table_precision != "float32":
+            field = field.with_packed_dtype(config.table_precision)
         return render_to_file(ctx, plan, field, config.options, output_path)
     except DvrenError as exc:
         print(f"error: {exc.status.to_string()}", file=sys.stderr)

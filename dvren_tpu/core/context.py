@@ -11,7 +11,7 @@ jitted executable runs, and the Context records the intended default.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 import enum
 from dataclasses import dataclass, field, replace
 
-from dvren_tpu.core.status import DvrenError, check
+from dvren_tpu.core.status import check
 
 _UINT32_MAX = 0xFFFFFFFF
 

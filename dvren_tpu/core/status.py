@@ -12,7 +12,7 @@ reference-style "check and branch" flow used by the CLI and the Renderer.
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 class StatusCode(enum.IntEnum):

@@ -32,12 +32,17 @@ from dvren_tpu.render.renderer import RenderOptions
 
 @dataclass
 class RenderConfig:
-    """Everything the CLI needs; mirrors the reference's RenderConfig."""
+    """Everything the CLI needs; mirrors the reference's RenderConfig.
+
+    ``table_precision``: "float32" (default) or "bfloat16" - the packed
+    field-table precision (extension; the reference's hp_dtype also lists
+    F16/BF16, hp.h:44-50)."""
 
     plan: PlanConfig = dc_field(default_factory=PlanConfig)
     grid: DenseGridConfig | None = None
     options: RenderOptions = dc_field(default_factory=RenderOptions)
     output_path: str = "frame.ppm"
+    table_precision: str = "float32"
 
 
 def _parse_sampling_mode(value: str) -> SamplingMode:
@@ -177,6 +182,10 @@ def parse_config(root: dict) -> RenderConfig:
             capture_stats=bool(opt.get("capture_stats", True)),
         )
     config.grid = _parse_volume(root["volume"])
+    precision = root["volume"].get("table_precision", "float32")
+    check(precision in ("float32", "bfloat16"),
+          f"unsupported table_precision: {precision}")
+    config.table_precision = precision
     if "output" in root:
         config.output_path = str(root["output"].get("path", "frame.ppm"))
     return config

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dvren_tpu.ops.integrate import LOG_T_FLOOR, OPACITY_EPS, STOP_THRESHOLD
+from dvren_tpu.ops.integrate import OPACITY_EPS, STOP_THRESHOLD
 
 DEFAULT_TILE_N = 256
 LANE = 128
