@@ -14,6 +14,10 @@ reference, SURVEY.md section 5).
 from __future__ import annotations
 
 import argparse
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import json
 import os
 import subprocess

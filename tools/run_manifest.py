@@ -47,7 +47,6 @@ def load_manifest(path: str) -> list[dict]:
 def run_cases(cases: list[dict]) -> list[dict]:
     """One pytest invocation for all nodes; parse the result per node."""
     nodes = [c["test"] for c in cases]
-    report = os.path.join(REPO, ".manifest_report.json")
     cmd = [sys.executable, "-m", "pytest", "-q", "--no-header",
            "--tb=line", *dict.fromkeys(nodes)]
     proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
