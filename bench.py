@@ -123,6 +123,18 @@ def main():
     log(f"fwd bf16 table {fwd16_s * 1e3:.2f} ms -> "
         f"{n_rays / fwd16_s / 1e6:.1f} Mrays/s")
 
+    def loss16(params, jitter):
+        f = field16.with_params(*params)
+        img = render_streamed(plan, f, jitter=jitter).image
+        return jnp.mean((img - target) ** 2)
+
+    fb16 = jax.jit(jax.value_and_grad(loss16)).lower(
+        params, jitter).compile()
+    fb16_s = _time_compiled(
+        fb16, [(params, jitter), (params_b, jitter)], iters=5)
+    log(f"fwd+bwd bf16 table {fb16_s * 1e3:.2f} ms -> "
+        f"{n_rays / fb16_s / 1e6:.1f} Mrays/s")
+
     samples = n_rays * max_steps
     result = {
         "metric": "fwd_Mrays_per_s_512",
@@ -132,6 +144,7 @@ def main():
         "extra": {
             "fwdbwd_Mrays_per_s": round(fb_mrays, 2),
             "fwd_bf16_table_Mrays_per_s": round(n_rays / fwd16_s / 1e6, 2),
+            "fwdbwd_bf16_table_Mrays_per_s": round(n_rays / fb16_s / 1e6, 2),
             "fwd_Msamples_per_s": round(samples / fwd_s / 1e6, 1),
             "fwd_ms": round(fwd_s * 1e3, 3),
             "fwdbwd_ms": round(fb_s * 1e3, 3),

@@ -105,15 +105,17 @@ class SparseGridField:
             packed = np.pad(
                 packed,
                 ((0, BRICK - zc), (0, pad_y - ym), (0, pad_x - xm), (0, 0)))
-            for by_i in range(by):
-                for bx_i in range(bx):
-                    brick = packed[:, by_i * BRICK:(by_i + 1) * BRICK,
-                                   bx_i * BRICK:(bx_i + 1) * BRICK, :]
-                    if np.abs(brick[..., _SIGMA_CH]).max() > threshold:
-                        occupancy[bz_i, by_i, bx_i] = len(brick_rows)
-                        brick_rows.append(
-                            brick.reshape(BRICK ** 3, _CHANNELS)
-                            .astype(np.float32))
+            # (BRICK, by, BRICK, bx, BRICK, 32) -> (by, bx, brick-local...)
+            tiles = packed.reshape(BRICK, by, BRICK, bx, BRICK, _CHANNELS)
+            tiles = tiles.transpose(1, 3, 0, 2, 4, 5).reshape(
+                by, bx, BRICK ** 3, _CHANNELS)
+            sig_max = np.abs(tiles[..., list(_SIGMA_CH)]).max(axis=(2, 3))
+            occ_y, occ_x = np.nonzero(sig_max > threshold)
+            for j, (by_i, bx_i) in enumerate(zip(occ_y, occ_x)):
+                occupancy[bz_i, by_i, bx_i] = len(brick_rows) + j
+            if occ_y.size:
+                brick_rows.extend(
+                    tiles[occ_y, occ_x].astype(np.float32))
 
         table_dtype = jnp.bfloat16 if str(dtype) == "bfloat16" \
             else jnp.float32
