@@ -82,8 +82,6 @@ def run_cases(cases: list[dict]) -> list[dict]:
             if r["status"] == "pass":
                 r["status"] = "fail"
                 r["message"] = f"pytest exited {proc.returncode}"
-    if os.path.exists(report):
-        os.unlink(report)
     return results
 
 

@@ -41,6 +41,7 @@ GATE_CASES = {
     "determinism": [
         "samp_stratified_determinism", "hash_mlp_determinism",
         "graph_determinism", "rng_splitmix_golden",
+        "diff_determinism", "forward_determinism",
     ],
 }
 
