@@ -87,13 +87,18 @@ class HashMLPField:
         return ops.eval_color(positions, self.params, self.spec)
 
     def sigma_at_planes(self, px, py, pz) -> jnp.ndarray:
-        return ops.eval_sigma(jnp.stack([px, py, pz], axis=-1),
-                              self.params, self.spec)
+        return ops.eval_planes(px, py, pz, self.params, self.spec)[0]
 
     def color_at_planes(self, px, py, pz):
-        out = ops.eval_color(jnp.stack([px, py, pz], axis=-1),
-                             self.params, self.spec)
-        return (out[..., 0], out[..., 1], out[..., 2])
+        return ops.eval_planes(px, py, pz, self.params, self.spec)[1:]
+
+    @property
+    def supports_packed_eval(self) -> bool:
+        """Single-pass sigma+color evaluation (shared hash encoding)."""
+        return True
+
+    def packed_eval_planes(self, px, py, pz):
+        return ops.eval_planes(px, py, pz, self.params, self.spec)
 
     def with_params(self, params: dict) -> "HashMLPField":
         return HashMLPField(params=params, spec=self.spec)

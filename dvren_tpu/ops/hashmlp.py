@@ -182,6 +182,76 @@ def pack_params(params: dict, spec: HashMLPSpec) -> jnp.ndarray:
     ]).astype(jnp.float32)
 
 
+def eval_planes(px, py, pz, params: dict, spec: HashMLPSpec):
+    """(sigma, r, g, b) planes - the TPU hot path for hash-MLP fields.
+
+    Value-identical to :func:`eval_sigma` + :func:`eval_color` but laid out
+    for TPU: the feature axis leads (no minor-dim padding), the hash-table
+    lookup is a weighted one-hot contraction (exact by linearity, and the
+    tables are tiny - T entries - so the contraction is trivial on the
+    MXU), and the encoding is computed once for both heads (the reference
+    encodes twice, hash_mlp_cpu.cpp:227/274).
+    """
+    shape = px.shape
+    pxf = px.reshape(-1)
+    pyf = py.reshape(-1)
+    pzf = pz.reshape(-1)
+    s = pxf.shape[0]
+    levels = spec.n_levels
+    t_size = spec.table_size
+    if levels > 1:
+        log_scale = (jnp.log(spec.finest_resolution / spec.base_resolution)
+                     / (levels - 1))
+    else:
+        log_scale = jnp.log(spec.finest_resolution / spec.base_resolution)
+
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (1, t_size), 1)
+    enc_rows = []
+    for level in range(levels):
+        res = spec.base_resolution * jnp.exp(level * log_scale)
+        sx, sy, sz = pxf * res, pyf * res, pzf * res
+        x0 = jnp.floor(sx).astype(jnp.int32)
+        y0 = jnp.floor(sy).astype(jnp.int32)
+        z0 = jnp.floor(sz).astype(jnp.int32)
+        fx = sx - x0.astype(jnp.float32)
+        fy = sy - y0.astype(jnp.float32)
+        fz = sz - z0.astype(jnp.float32)
+
+        w_acc = jnp.zeros((s, t_size), jnp.float32)
+        for dz in (0, 1):
+            wz = fz if dz else 1.0 - fz
+            for dy in (0, 1):
+                wy = fy if dy else 1.0 - fy
+                for dx in (0, 1):
+                    wx = fx if dx else 1.0 - fx
+                    idx = hash_coords(x0 + dx, y0 + dy, z0 + dz, t_size)
+                    onehot = (idx[:, None] == iota_t).astype(jnp.float32)
+                    w_acc = w_acc + onehot * (wx * wy * wz)[:, None]
+        # (S, T) @ (T, F) -> features-leading (F, S)
+        enc_rows.append(jnp.einsum(
+            "st,tf->fs", w_acc, params["hash_table"][level],
+            precision=_HI))
+    enc = jnp.concatenate(enc_rows, axis=0)       # (L*F, S)
+
+    def head(w1, b1):
+        return jnp.maximum(
+            jnp.einsum("hf,fs->hs", w1, enc, precision=_HI)
+            + b1[:, None], 0.0)
+
+    hidden_s = head(params["sigma_w1"], params["sigma_b1"])
+    sigma = jnp.maximum(
+        jnp.einsum("h,hs->s", params["sigma_w2"], hidden_s, precision=_HI)
+        + params["sigma_b2"], 0.0)
+
+    hidden_c = head(params["color_w1"], params["color_b1"])
+    rgb = jnp.clip(
+        jnp.einsum("ch,hs->cs", params["color_w2"], hidden_c, precision=_HI)
+        + params["color_b2"][:, None], 0.0, 1.0)
+
+    return (sigma.reshape(shape), rgb[0].reshape(shape),
+            rgb[1].reshape(shape), rgb[2].reshape(shape))
+
+
 def eval_sigma(positions, params: dict, spec: HashMLPSpec):
     """Sigma head (hash_mlp_cpp:95-119): ReLU MLP, non-negative output.
 
