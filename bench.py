@@ -65,9 +65,18 @@ def _time_compiled(fn, args_variants, iters, warmup=2):
 
 
 def main():
+    import os
     import sys
 
     import jax
+
+    # persistent compile cache: remote TPU compiles take minutes cold
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     from dvren_tpu.render.pipeline import plan_jitter_table, render_streamed
 

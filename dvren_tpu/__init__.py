@@ -40,6 +40,7 @@ from dvren_tpu.core.plan import (
 )
 from dvren_tpu.fields.dense_grid import DenseGridConfig, DenseGridField
 from dvren_tpu.fields.hash_mlp import HashMLPConfig, HashMLPField
+from dvren_tpu.fields.sparse_grid import SparseGridField
 from dvren_tpu.render.renderer import (
     BackwardResult,
     ForwardResult,
@@ -69,6 +70,7 @@ __all__ = [
     "DenseGridField",
     "HashMLPConfig",
     "HashMLPField",
+    "SparseGridField",
     "Renderer",
     "RenderOptions",
     "RenderStats",
