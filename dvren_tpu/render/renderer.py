@@ -415,6 +415,44 @@ class Renderer:
         mask = np.asarray(outputs.lattice.mask)
         return (np.asarray(d_sigma)[mask], np.asarray(d_color)[mask])
 
+    def packed_samples(self) -> dict:
+        """Reference-style packed sample stream (``hp_samp_t`` parity view,
+        hp.h:132-138): positions (M,3), dt (M,), sigma (M,), color (M,3),
+        ray_offset (N+1,) over live samples in ray-major order. Uses the
+        native C packing when available."""
+        if self._streaming:
+            raise DvrenError.unsupported(
+                "packed sample views are unavailable in streaming mode")
+        if self._last_outputs is None:
+            raise DvrenError.invalid_argument(
+                "packed_samples requires a prior Forward")
+        out = self._last_outputs
+        mask = np.asarray(out.lattice.mask)
+        color = np.stack([np.asarray(c) for c in out.color], axis=-1)
+        try:
+            from dvren_tpu import native
+            if native.available():
+                return {
+                    "positions": native.pack_samples(
+                        mask, np.asarray(out.lattice.positions)),
+                    "dt": native.pack_samples(mask,
+                                              np.asarray(out.lattice.dt)),
+                    "sigma": native.pack_samples(mask, np.asarray(out.sigma)),
+                    "color": native.pack_samples(mask, color),
+                    "ray_offset": native.ray_offsets(mask),
+                }
+        except Exception:  # pragma: no cover - toolchain-dependent
+            pass
+        positions = np.asarray(out.lattice.positions)
+        offsets = np.asarray(out.lattice.ray_offsets()).astype(np.uint32)
+        return {
+            "positions": positions[mask],
+            "dt": np.asarray(out.lattice.dt)[mask],
+            "sigma": np.asarray(out.sigma)[mask],
+            "color": color[mask],
+            "ray_offset": offsets,
+        }
+
     # ------------------------------------------------------------ accounting
 
     @property

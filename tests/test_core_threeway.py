@@ -78,3 +78,21 @@ def test_backward_result_shapes(scene):
     assert bwd.color.shape == (field.voxel_count * 3,)
     assert bwd.camera.shape == (3, 4)
     assert bwd.sample_count > 0
+
+
+def test_packed_samples_parity_view(scene):
+    """hp_samp_t packed-stream view over the dense lattice."""
+    plan, field, dl = scene
+    r = Renderer(Context.create(), plan)
+    fr = r.forward(field)
+    packed = r.packed_samples()
+    m = fr.sample_count
+    assert packed["positions"].shape == (m, 3)
+    assert packed["dt"].shape == (m,)
+    assert packed["sigma"].shape == (m,)
+    assert packed["color"].shape == (m, 3)
+    assert packed["ray_offset"].shape == (plan.ray_count + 1,)
+    assert packed["ray_offset"][0] == 0
+    assert packed["ray_offset"][-1] == m
+    assert (np.diff(packed["ray_offset"].astype(np.int64)) >= 0).all()
+    assert (packed["dt"] > 0).all()
