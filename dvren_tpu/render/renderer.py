@@ -325,6 +325,12 @@ class Renderer:
         if self._last_field is None:
             raise DvrenError.invalid_argument(
                 "Backward requires a prior Forward")
+        if not hasattr(field, "accumulate_sample_gradients") \
+                and not self._streaming:
+            raise DvrenError.unsupported(
+                "Renderer.backward targets dense voxel grids (the reference "
+                "hp_diff contract); train other field families through "
+                "jax.grad over dvren_tpu.render.pipeline.render")
         n = self._plan.ray_count
         dl = np.asarray(dl_di, np.float32).reshape(-1)
         check(dl.size == n * 3,

@@ -136,3 +136,60 @@ def test_native_ppm_matches_python(tmp_path):
     native.write_ppm(str(p1), img)
     write_ppm(p2, img)
     assert p1.read_bytes() == p2.read_bytes()
+
+
+def test_orthographic_end_to_end_vs_native_oracle():
+    """Full ortho pipeline (raygen + sampling + trilinear + integrate) vs
+    the independent C++ double-precision kernels."""
+    from dvren_tpu import (CameraConfig, CameraModel, Context, DenseGridConfig,
+                           DenseGridField, Renderer)
+    rng = np.random.default_rng(4)
+    n = 6
+    sigma = rng.uniform(0.5, 6.0, (n, n, n)).astype(np.float32)
+    color = rng.uniform(0, 1, (n, n, n, 3)).astype(np.float32)
+    w, h = 10, 8
+    k = np.array([2.0, 0, w / 2, 0, 2.0, h / 2, 0, 0, 1], np.float32)
+    # translation chosen so no ray grazes a bbox face exactly (knife-edge
+    # OOB classification differs between f32 and f64 ray generation)
+    c2w = np.array([1, 0, 0, 0.53, 0, 1, 0, 0.51, 0, 0, 1, -0.5], np.float32)
+    plan = Plan.create(PlanConfig(
+        width=w, height=h, t_near=0.1, t_far=2.0,
+        camera=CameraConfig(model=CameraModel.ORTHOGRAPHIC, k=tuple(k),
+                            c2w=tuple(c2w), ortho_scale=0.2),
+        sampling=SamplingConfig(dt=0.05, max_steps=40)))
+    field = DenseGridField.create(DenseGridConfig(
+        resolution=(n, n, n), sigma=sigma.reshape(-1),
+        color=color.reshape(-1)))
+    fr = Renderer(Context.create(), plan).forward(field)
+
+    o, d, tn, tf, _ = native.generate_rays(
+        1, k, c2w, 0.2, w, h, (0, 0, w, h), 0.1, 2.0)
+    K = plan.sampling.max_steps
+    dt = plan.sampling.dt
+    nrays = w * h
+    sig_s = np.zeros((nrays, K), np.float32)
+    col_s = np.zeros((nrays, K, 3), np.float32)
+    dts = np.zeros((nrays, K), np.float32)
+    mask = np.zeros((nrays, K), bool)
+    dt32 = np.float32(dt)
+    for r in range(nrays):
+        for s in range(K):
+            base_t = np.float32(tn[r] + np.float32(s) * dt32)
+            if base_t >= tf[r]:
+                break
+            t = np.float32(base_t + np.float32(0.5) * dt32)
+            if t >= tf[r]:
+                t = np.nextafter(tf[r], tn[r])
+            p = (o[r] + d[r] * t).astype(np.float32)
+            sig_s[r, s] = native.eval_grid(sigma, (0, 0, 0), (1, 1, 1),
+                                           1, 0, p[None])[0]
+            col_s[r, s] = native.eval_grid(color, (0, 0, 0), (1, 1, 1),
+                                           1, 0, p[None])[0]
+            dts[r, s] = min(base_t + dt, tf[r]) - base_t
+            mask[r, s] = True
+    ref = native.integrate(sig_s, col_s, dts, mask, 0.1, 2.0)
+    np.testing.assert_allclose(
+        fr.image.reshape(h, w, 3).reshape(-1, 3),
+        ref["radiance"], atol=2e-3)
+    np.testing.assert_allclose(
+        fr.transmittance, ref["transmittance"], atol=2e-3)
