@@ -8,6 +8,11 @@ config; north star >= 1 Grays/s forward, so vs_baseline = value / 1000).
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
 import json
 import time
 
