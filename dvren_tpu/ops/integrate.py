@@ -91,6 +91,7 @@ def integrate(
     t_far: float,
     stop_threshold: float = STOP_THRESHOLD,
     with_aux: bool = True,
+    t_cursor_origin=None,
 ) -> Integration:
     """Integrate radiance along each ray of the dense lattice.
 
@@ -100,6 +101,12 @@ def integrate(
     ``with_aux=False`` skips materializing the (N, K, 4) aux tensor (the
     production path; aux exists for reference parity and inspection only -
     backward recomputes everything it needs).
+
+    ``t_cursor_origin``: where the depth segment cursor starts (scalar or
+    per-ray (N,)). Defaults to t_near (int_cpu.cpp:170). The window-clipped
+    path passes ``t_near + k_enter * dt``: every skipped leading lattice
+    step has the full dt (truncation only happens at t_far), so the cursor
+    advances exactly as if those zero-contribution steps were processed.
     """
     maskf = mask.astype(sigma.dtype)
 
@@ -132,8 +139,11 @@ def integrate(
     opacity = 1.0 - t_final
 
     # Segment cursor: plan t_near plus the dt of all preceding live samples.
+    origin = t_near if t_cursor_origin is None else t_cursor_origin
+    if hasattr(origin, "ndim") and getattr(origin, "ndim", 0) == 1:
+        origin = origin[:, None]
     dt_masked = dt * maskf
-    t_cursor = t_near + jnp.cumsum(dt_masked, axis=1) - dt_masked
+    t_cursor = origin + jnp.cumsum(dt_masked, axis=1) - dt_masked
     segment_mid = t_cursor + 0.5 * dt
     depth_weighted = jnp.sum(weight * segment_mid, axis=1)
     depth = jnp.where(

@@ -61,6 +61,7 @@ def generate_rays(
     ortho_scale: jnp.ndarray | None = None,
     start: jnp.ndarray | int = 0,
     count: int | None = None,
+    ids: jnp.ndarray | None = None,
 ) -> Rays:
     """Generate rays for ROI pixels, row-major over (roi.height, roi.width).
 
@@ -73,6 +74,10 @@ def generate_rays(
     entries past the ROI are emitted as degenerate padding rays
     (t_far == t_near so they produce no samples; pixel_id == width*height so
     the compose scatter drops them).
+
+    ``ids`` (int32 array of global ray indices) overrides start/count for
+    permuted generation (the window-clipped path renders rays in
+    window-length order).
     """
     if k is None or c2w is None or ortho_scale is None:
         dk, dc2w, ds = camera_arrays(plan)
@@ -83,9 +88,13 @@ def generate_rays(
     c2w = jnp.asarray(c2w, jnp.float32).reshape(3, 4)
 
     roi = plan.roi
-    n = plan.ray_count if count is None else count
-
-    global_idx = jnp.arange(n, dtype=jnp.int32) + jnp.asarray(start, jnp.int32)
+    if ids is not None:
+        global_idx = ids.astype(jnp.int32)
+        n = ids.shape[0]
+    else:
+        n = plan.ray_count if count is None else count
+        global_idx = (jnp.arange(n, dtype=jnp.int32)
+                      + jnp.asarray(start, jnp.int32))
     in_roi = global_idx < plan.ray_count
     local = jnp.minimum(global_idx, plan.ray_count - 1)
     local_x = local % roi.width

@@ -91,7 +91,9 @@ class SampleLattice:
 
 def generate_samples(plan: Plan, rays: Rays,
                      ray_index_offset: jnp.ndarray | int = 0,
-                     jitter: jnp.ndarray | None = None) -> SampleLattice:
+                     jitter: jnp.ndarray | None = None,
+                     step_offset: jnp.ndarray | None = None,
+                     num_steps: int | None = None) -> SampleLattice:
     """March each ray with fixed dt; returns the dense lattice.
 
     ``ray_index_offset`` shifts the ray indices fed to the stratified jitter
@@ -102,25 +104,36 @@ def generate_samples(plan: Plan, rays: Rays,
     ops.rng.jitter_table) - the production path, keeping the uint64 hash out
     of the compiled program. When omitted under STRATIFIED, the in-graph
     uint32 splitmix emulation is used.
+
+    ``step_offset`` (N,) shifts each ray's first lattice step (the
+    window-clipped path): slot j covers global step k = step_offset + j,
+    with ``num_steps`` slots per ray (default plan.max_steps). The global
+    lattice (base_t grid, jitter keying, max_steps bound) is preserved, so
+    outputs for the covered window are identical to the full lattice.
     """
     dt_step = jnp.float32(plan.sampling.dt)
-    k_steps = plan.sampling.max_steps
+    k_steps = plan.sampling.max_steps if num_steps is None else num_steps
     n = rays.count
 
     steps = jnp.arange(k_steps, dtype=jnp.int32)
     t_near = rays.t_near[:, None]
     t_far = rays.t_far[:, None]
 
-    base_t = t_near + steps[None, :].astype(jnp.float32) * dt_step
+    if step_offset is not None:
+        steps2d = steps[None, :] + step_offset.astype(jnp.int32)[:, None]
+    else:
+        steps2d = jnp.broadcast_to(steps[None, :], (n, k_steps))
+    base_t = t_near + steps2d.astype(jnp.float32) * dt_step
     ray_valid = t_far > t_near
-    mask = (base_t < t_far) & ray_valid
+    mask = ((base_t < t_far) & ray_valid
+            & (steps2d < plan.sampling.max_steps))
 
     if jitter is not None:
         jitter = jitter.astype(jnp.float32)
     elif plan.sampling.mode == SamplingMode.STRATIFIED:
         ray_idx = (jnp.arange(n, dtype=jnp.int32)
                    + jnp.asarray(ray_index_offset, jnp.int32))[:, None]
-        jitter = stratified_jitter(plan.seed, ray_idx, steps[None, :])
+        jitter = stratified_jitter(plan.seed, ray_idx, steps2d)
     else:
         jitter = jnp.full((1, 1), 0.5, dtype=jnp.float32)
     jitter = jnp.clip(jitter, 0.0, 1.0)

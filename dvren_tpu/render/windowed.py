@@ -1,0 +1,234 @@
+"""Window-clipped rendering: skip provably-zero samples outside the field bbox.
+
+The remaining forward-time lever on TPU is the gather-start count (each
+start costs ~13 ns regardless of slice width). For an OOB_ZERO field, every
+lattice step outside the field's bbox contributes exactly zero (sigma == 0
+=> alpha == 0 => weight == 0; the depth cursor advances by the full dt
+either way), so those steps can be skipped without changing any output.
+
+The acceleration structure is built HOST-side per (plan, camera) - the
+TPU-native analogue of CUDA-Graph capture specialization:
+
+1. regenerate the rays in numpy and slab-test them against the bbox;
+2. per ray: first/last live lattice step inside the bbox (global step
+   indices, so the base_t grid, jitter keying and dt truncation are the
+   same as the full lattice);
+3. sort rays by window length and group them into blocks; each block gets
+   the smallest static step budget (multiple of 32) covering its rays;
+4. the device renders each budget group with its own specialized block
+   size; per-ray outputs are composed by pixel id exactly as usual.
+
+Exactness: for OOB_ZERO fields the result is bit-comparable to the full
+render (tests gate at float32 ulp level). Not applicable to OOB_CLAMP.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvren_tpu.core.plan import CameraModel, OobPolicy, Plan
+from dvren_tpu.core.status import check
+from dvren_tpu.ops.compose import ImagePlanes, compose
+from dvren_tpu.ops.integrate import integrate
+from dvren_tpu.ops.raygen import generate_rays
+from dvren_tpu.ops.sampling import generate_samples
+from dvren_tpu.render.pipeline import eval_fields
+
+_STEP_QUANTUM = 32
+
+
+def _host_rays(plan: Plan):
+    """Numpy mirror of ops.raygen.generate_rays (float32)."""
+    roi = plan.roi
+    n = plan.ray_count
+    idx = np.arange(n, dtype=np.int64)
+    px = (roi.x + idx % roi.width).astype(np.float32)
+    py = (roi.y + idx // roi.width).astype(np.float32)
+    k = np.asarray(plan.camera.k, np.float32).reshape(3, 3)
+    c2w = np.asarray(plan.camera.c2w, np.float32).reshape(3, 4)
+    rot, trans = c2w[:, :3], c2w[:, 3]
+    if plan.camera.model == CameraModel.PINHOLE:
+        a = ((px + 0.5) - k[0, 2]) / k[0, 0]
+        b = ((py + 0.5) - k[1, 2]) / k[1, 1]
+        d = (np.stack([a, b, np.ones_like(a)], -1) @ rot.T).astype(np.float32)
+        o = np.broadcast_to(trans, (n, 3)).astype(np.float32)
+    else:
+        scale = np.float32(plan.camera.ortho_scale)
+        u = (px - k[0, 2]) / k[0, 0] * scale
+        v = (py - k[1, 2]) / k[1, 1] * scale
+        d = np.broadcast_to(rot[:, 2], (n, 3)).astype(np.float32)
+        o = (trans + np.stack([u, v], -1) @ rot[:, :2].T).astype(np.float32)
+    norm = np.sqrt(np.maximum((d * d).sum(-1, keepdims=True),
+                              np.finfo(np.float32).tiny))
+    return o, (d / norm).astype(np.float32)
+
+
+def _windows(plan: Plan, bbox_min, bbox_max):
+    """Per-ray (k_enter, k_count) of live lattice steps inside the bbox.
+
+    Conservative by one step on each side so float rounding between the
+    host f64 slab test and the device f32 march can never clip a
+    contributing sample."""
+    o, d = _host_rays(plan)
+    o = o.astype(np.float64)
+    d = d.astype(np.float64)
+    lo = np.asarray(bbox_min, np.float64)
+    hi = np.asarray(bbox_max, np.float64)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t0 = (lo - o) / d
+        t1 = (hi - o) / d
+    near = np.where(np.isnan(t0), -np.inf, np.minimum(t0, t1)).max(axis=1)
+    far = np.where(np.isnan(t1), np.inf, np.maximum(t0, t1)).min(axis=1)
+    # rays parallel to an axis outside the slab never enter
+    parallel_out = ((d == 0) & ((o < lo) | (o > hi))).any(axis=1)
+    hit = (far >= near) & (far >= 0) & ~parallel_out
+
+    dt = plan.sampling.dt
+    t_near, t_far = plan.t_near, plan.t_far
+    k_max = plan.sampling.max_steps
+    enter_t = np.maximum(near, t_near)
+    exit_t = np.minimum(far, t_far)
+    hit &= exit_t > enter_t
+
+    k_enter = np.floor((enter_t - t_near) / dt).astype(np.int64) - 1
+    k_exit = np.ceil((exit_t - t_near) / dt).astype(np.int64) + 1
+    k_enter = np.clip(k_enter, 0, k_max)
+    k_exit = np.clip(k_exit, 0, k_max)
+    # also bounded by t_far truncation of the global lattice
+    k_live_far = int(math.ceil((t_far - t_near) / dt - 1e-12))
+    k_exit = np.minimum(k_exit, min(k_max, k_live_far))
+
+    k_enter = np.where(hit, k_enter, 0).astype(np.int32)
+    k_count = np.where(hit, np.maximum(k_exit - k_enter, 0),
+                       0).astype(np.int32)
+    return k_enter, k_count
+
+
+@dataclass(frozen=True)
+class WindowedSchedule:
+    """Host-built acceleration structure for one (plan, camera)."""
+
+    groups: tuple  # ((k_budget, ray_ids int32 (M,), k_enter int32 (M,)), ...)
+    total_rays: int
+    skipped_rays: int
+    full_lattice_samples: int
+    windowed_samples: int
+
+
+def build_schedule(plan: Plan, bbox_min, bbox_max,
+                   block: int = 32768) -> WindowedSchedule:
+    k_enter, k_count = _windows(plan, bbox_min, bbox_max)
+    n = plan.ray_count
+    live = np.nonzero(k_count > 0)[0]
+    order = live[np.argsort(-k_count[live], kind="stable")]
+
+    groups = []
+    windowed = 0
+    pad_base = n  # distinct out-of-range ids keep the compose scatter unique
+    for start in range(0, order.size, block):
+        ids = order[start:start + block]
+        budget = int(k_count[ids].max())
+        budget = min(-(-budget // _STEP_QUANTUM) * _STEP_QUANTUM,
+                     plan.sampling.max_steps)
+        group_size = min(block, -(-ids.size // 256) * 256)
+        if ids.size < group_size:  # pad (degenerate rays, dropped in compose)
+            pad = np.arange(pad_base, pad_base + group_size - ids.size)
+            pad_base += group_size - ids.size
+            ids = np.concatenate([ids, pad])
+        ke = np.where(ids < n, k_enter[np.minimum(ids, n - 1)], 0)
+        groups.append((budget, ids.astype(np.int32), ke.astype(np.int32)))
+        windowed += ids.size * budget
+
+    return WindowedSchedule(
+        groups=tuple(groups),
+        total_rays=n,
+        skipped_rays=n - int(live.size),
+        full_lattice_samples=n * plan.sampling.max_steps,
+        windowed_samples=windowed,
+    )
+
+
+def render_windowed(
+    plan: Plan,
+    field,
+    schedule: WindowedSchedule | None = None,
+    jitter: np.ndarray | None = None,
+) -> ImagePlanes:
+    """Window-clipped forward render (OOB_ZERO fields, generated rays).
+
+    ``jitter`` is the full (N, K) host table from plan_jitter_table (or
+    None for FIXED sampling). Differentiable w.r.t. the field.
+    """
+    check(getattr(field, "oob", OobPolicy.ZERO) == OobPolicy.ZERO,
+          "window clipping requires an OOB_ZERO field (outside samples "
+          "must be exactly zero)")
+    if schedule is None:
+        schedule = build_schedule(plan, field.bbox_min, field.bbox_max)
+
+    dt = plan.sampling.dt
+    pid_parts, rad_parts, tr_parts, op_parts, dep_parts = [], [], [], [], []
+
+    for budget, ids_np, ke_np in schedule.groups:
+        block_jitter = None
+        if jitter is not None:
+            jit_np = np.asarray(jitter)
+            rows = np.minimum(ids_np, plan.ray_count - 1)
+            cols = ke_np[:, None] + np.arange(budget)[None, :]
+            cols = np.minimum(cols, jit_np.shape[1] - 1)
+            block_jitter = jnp.asarray(
+                jit_np[rows[:, None], cols].astype(np.float32))
+        out = _render_group(plan, budget, field, jnp.asarray(ids_np),
+                            jnp.asarray(ke_np), block_jitter)
+        pid_parts.append(out[0])
+        rad_parts.append(out[1])
+        tr_parts.append(out[2])
+        op_parts.append(out[3])
+        dep_parts.append(out[4])
+
+    return _compose_groups(
+        plan, jnp.concatenate(pid_parts), jnp.concatenate(rad_parts),
+        jnp.concatenate(tr_parts), jnp.concatenate(op_parts),
+        jnp.concatenate(dep_parts))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _render_group(plan, budget, field, ids, k_enter, block_jitter):
+    rays = generate_rays(plan, ids=ids)
+    lattice = generate_samples(plan, rays, jitter=block_jitter,
+                               step_offset=k_enter, num_steps=budget)
+    sigma, color = eval_fields(field, lattice)
+    t_origin = plan.t_near + k_enter.astype(jnp.float32) * plan.sampling.dt
+    intl = integrate(sigma, color, lattice.dt, lattice.mask,
+                     plan.t_near, plan.t_far, with_aux=False,
+                     t_cursor_origin=t_origin)
+    return (rays.pixel_ids, intl.radiance, intl.transmittance,
+            intl.opacity, intl.depth)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _compose_groups(plan, pids, rad, tr, op, dep):
+    planes = compose(pids, rad, tr, op, dep, plan.width, plan.height,
+                     plan.t_far, unique_pixels=True)
+    # Rays that miss the bbox entirely are never rendered; their pixels keep
+    # the zero-contribution background, which matches the full render except
+    # for the hitmask - every ROI pixel did receive a generated ray
+    # (img_cpu.cpp:169-176), so rebuild the hitmask from the ROI extent.
+    roi = plan.roi
+    ys = jax.lax.broadcasted_iota(jnp.int32, (plan.height, plan.width), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (plan.height, plan.width), 1)
+    in_roi = ((ys >= roi.y) & (ys < roi.y + roi.height)
+              & (xs >= roi.x) & (xs < roi.x + roi.width))
+    return ImagePlanes(
+        image=planes.image,
+        transmittance=planes.transmittance,
+        opacity=planes.opacity,
+        depth=planes.depth,
+        hitmask=in_roi.astype(jnp.int32),
+    )

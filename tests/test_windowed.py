@@ -1,0 +1,109 @@
+"""Window-clipped render == full render for OOB_ZERO fields."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dvren_tpu import (
+    CameraConfig, DenseGridConfig, DenseGridField, DvrenError, OobPolicy,
+    Plan, PlanConfig, SamplingConfig, SamplingMode,
+)
+from dvren_tpu.render.pipeline import plan_jitter_table, render
+from dvren_tpu.render.windowed import build_schedule, render_windowed
+
+
+def scene(mode=SamplingMode.FIXED, bbox=((0.3, 0.3, 0.2), (0.8, 0.9, 0.7))):
+    """A field occupying a sub-box of the marched range, so windows are
+    much shorter than the full lattice."""
+    rng = np.random.default_rng(3)
+    n = 8
+    plan = Plan.create(PlanConfig(
+        width=24, height=18, t_near=0.1, t_far=3.1, seed=17,
+        camera=CameraConfig(
+            k=(30.0, 0, 12.0, 0, 30.0, 9.0, 0, 0, 1),
+            c2w=(1, 0, 0, 0.5, 0, 1, 0, 0.55, 0, 0, 1, -1.1)),
+        sampling=SamplingConfig(dt=0.05, max_steps=60, mode=mode)))
+    field = DenseGridField.create(DenseGridConfig(
+        resolution=(n, n, n),
+        sigma=rng.uniform(0.5, 8.0, n ** 3),
+        color=rng.uniform(0, 1, 3 * n ** 3),
+        bbox_min=bbox[0], bbox_max=bbox[1]))
+    return plan, field
+
+
+def assert_planes_equal(a, b, tol=2e-6):
+    np.testing.assert_allclose(np.asarray(a.image), np.asarray(b.image),
+                               atol=tol)
+    np.testing.assert_allclose(np.asarray(a.transmittance),
+                               np.asarray(b.transmittance), atol=tol)
+    np.testing.assert_allclose(np.asarray(a.opacity),
+                               np.asarray(b.opacity), atol=tol)
+    np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a.hitmask),
+                                  np.asarray(b.hitmask))
+
+
+def test_windowed_matches_full_fixed():
+    plan, field = scene()
+    full = render(plan, field).planes
+    win = render_windowed(plan, field)
+    assert_planes_equal(win, full)
+
+
+def test_windowed_matches_full_stratified():
+    plan, field = scene(mode=SamplingMode.STRATIFIED)
+    jitter = plan_jitter_table(plan)
+    full = render(plan, field, jitter=jnp.asarray(jitter)).planes
+    win = render_windowed(plan, field, jitter=jitter)
+    assert_planes_equal(win, full)
+
+
+def test_windowed_small_blocks_and_padding():
+    plan, field = scene()
+    schedule = build_schedule(plan, field.bbox_min, field.bbox_max, block=50)
+    assert len(schedule.groups) >= 2
+    full = render(plan, field).planes
+    win = render_windowed(plan, field, schedule=schedule)
+    assert_planes_equal(win, full)
+
+
+def test_schedule_actually_skips_work():
+    plan, field = scene()
+    schedule = build_schedule(plan, field.bbox_min, field.bbox_max)
+    assert schedule.windowed_samples < schedule.full_lattice_samples * 0.8
+    # rays that miss the tight bbox entirely are not rendered at all
+    assert schedule.skipped_rays > 0
+
+
+def test_windowed_rejects_clamp_fields():
+    plan, field = scene()
+    clamped = DenseGridField(
+        sigma=field.sigma, color=field.color, bbox_min=field.bbox_min,
+        bbox_max=field.bbox_max, interp=field.interp, oob=OobPolicy.CLAMP)
+    with pytest.raises(DvrenError):
+        render_windowed(plan, clamped)
+
+
+def test_windowed_gradients_match_full():
+    plan, field = scene()
+    target = jnp.zeros((plan.height, plan.width, 3))
+    schedule = build_schedule(plan, field.bbox_min, field.bbox_max)
+
+    def loss_full(params):
+        f = field.with_params(*params)
+        return jnp.mean((render(plan, f).planes.image - target) ** 2)
+
+    def loss_win(params):
+        f = field.with_params(*params)
+        img = render_windowed(plan, f, schedule=schedule).image
+        return jnp.mean((img - target) ** 2)
+
+    params = (field.sigma, field.color)
+    g_full = jax.grad(loss_full)(params)
+    g_win = jax.grad(loss_win)(params)
+    np.testing.assert_allclose(np.asarray(g_win[0]), np.asarray(g_full[0]),
+                               rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_win[1]), np.asarray(g_full[1]),
+                               rtol=1e-4, atol=1e-8)
