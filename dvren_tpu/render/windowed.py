@@ -113,21 +113,28 @@ def _windows(plan: Plan, bbox_min, bbox_max):
 
 @dataclass(frozen=True)
 class WindowedSchedule:
-    """Host-built acceleration structure for one (plan, camera)."""
+    """Host-built, device-resident acceleration structure for one
+    (plan, camera): per group (step budget, ray ids, first step, jitter
+    rows). Build once, render many - the capture-specialization model."""
 
-    groups: tuple  # ((k_budget, ray_ids int32 (M,), k_enter int32 (M,)), ...)
+    groups: tuple  # ((budget, ids dev (M,), k_enter dev (M,), jit dev), ...)
     total_rays: int
     skipped_rays: int
     full_lattice_samples: int
     windowed_samples: int
 
 
-def build_schedule(plan: Plan, bbox_min, bbox_max,
-                   block: int = 32768) -> WindowedSchedule:
+def build_schedule(plan: Plan, bbox_min, bbox_max, block: int = 32768,
+                   jitter: np.ndarray | None = None) -> WindowedSchedule:
+    """``jitter``: the full (N, K) host table (plan_jitter_table) when the
+    plan samples stratified; its window rows are gathered here and shipped
+    to the device once."""
     k_enter, k_count = _windows(plan, bbox_min, bbox_max)
     n = plan.ray_count
     live = np.nonzero(k_count > 0)[0]
     order = live[np.argsort(-k_count[live], kind="stable")]
+    if jitter is not None:
+        jitter = np.asarray(jitter, np.float32)
 
     groups = []
     windowed = 0
@@ -143,7 +150,16 @@ def build_schedule(plan: Plan, bbox_min, bbox_max,
             pad_base += group_size - ids.size
             ids = np.concatenate([ids, pad])
         ke = np.where(ids < n, k_enter[np.minimum(ids, n - 1)], 0)
-        groups.append((budget, ids.astype(np.int32), ke.astype(np.int32)))
+        jit_rows = None
+        if jitter is not None:
+            rows = np.minimum(ids, n - 1)
+            cols = np.minimum(ke[:, None] + np.arange(budget)[None, :],
+                              jitter.shape[1] - 1)
+            jit_rows = jax.device_put(jitter[rows[:, None], cols])
+        groups.append((budget,
+                       jax.device_put(ids.astype(np.int32)),
+                       jax.device_put(ke.astype(np.int32)),
+                       jit_rows))
         windowed += ids.size * budget
 
     return WindowedSchedule(
@@ -163,29 +179,20 @@ def render_windowed(
 ) -> ImagePlanes:
     """Window-clipped forward render (OOB_ZERO fields, generated rays).
 
-    ``jitter`` is the full (N, K) host table from plan_jitter_table (or
-    None for FIXED sampling). Differentiable w.r.t. the field.
+    ``jitter`` (the full host table) is only consulted when building a
+    schedule on the fly; pass a prebuilt schedule for replay (its jitter
+    rows are already device-resident). Differentiable w.r.t. the field.
     """
     check(getattr(field, "oob", OobPolicy.ZERO) == OobPolicy.ZERO,
           "window clipping requires an OOB_ZERO field (outside samples "
           "must be exactly zero)")
     if schedule is None:
-        schedule = build_schedule(plan, field.bbox_min, field.bbox_max)
+        schedule = build_schedule(plan, field.bbox_min, field.bbox_max,
+                                  jitter=jitter)
 
-    dt = plan.sampling.dt
     pid_parts, rad_parts, tr_parts, op_parts, dep_parts = [], [], [], [], []
-
-    for budget, ids_np, ke_np in schedule.groups:
-        block_jitter = None
-        if jitter is not None:
-            jit_np = np.asarray(jitter)
-            rows = np.minimum(ids_np, plan.ray_count - 1)
-            cols = ke_np[:, None] + np.arange(budget)[None, :]
-            cols = np.minimum(cols, jit_np.shape[1] - 1)
-            block_jitter = jnp.asarray(
-                jit_np[rows[:, None], cols].astype(np.float32))
-        out = _render_group(plan, budget, field, jnp.asarray(ids_np),
-                            jnp.asarray(ke_np), block_jitter)
+    for budget, ids_dev, ke_dev, jit_rows in schedule.groups:
+        out = _render_group(plan, budget, field, ids_dev, ke_dev, jit_rows)
         pid_parts.append(out[0])
         rad_parts.append(out[1])
         tr_parts.append(out[2])

@@ -60,6 +60,18 @@ def test_windowed_matches_full_stratified():
     assert_planes_equal(win, full)
 
 
+def test_windowed_stratified_prebuilt_schedule_replay():
+    # The capture model: jitter rows are gathered into the schedule once
+    # and replayed without consulting the host table again.
+    plan, field = scene(mode=SamplingMode.STRATIFIED)
+    jitter = plan_jitter_table(plan)
+    schedule = build_schedule(plan, field.bbox_min, field.bbox_max,
+                              jitter=jitter)
+    full = render(plan, field, jitter=jnp.asarray(jitter)).planes
+    win = render_windowed(plan, field, schedule=schedule)
+    assert_planes_equal(win, full)
+
+
 def test_windowed_small_blocks_and_padding():
     plan, field = scene()
     schedule = build_schedule(plan, field.bbox_min, field.bbox_max, block=50)
