@@ -84,6 +84,8 @@ def main():
 
     import jax.numpy as jnp
     from dvren_tpu.render.pipeline import plan_jitter_table, render_streamed
+    from dvren_tpu.render.windowed import (
+        build_schedule, render_windowed_traced)
 
     def log(msg):
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
@@ -93,7 +95,8 @@ def main():
     plan, field = _scene(width, height, 64, max_steps)
     n_rays = plan.ray_count
     log(f"device={jax.devices()[0]} rays={n_rays} steps={max_steps}")
-    jitter = jax.device_put(plan_jitter_table(plan))
+    jitter_np = plan_jitter_table(plan)
+    jitter = jax.device_put(jitter_np)
 
     @jax.jit
     def forward(field, jitter):
@@ -149,19 +152,76 @@ def main():
     log(f"fwd+bwd bf16 table {fb16_s * 1e3:.2f} ms -> "
         f"{n_rays / fb16_s / 1e6:.1f} Mrays/s")
 
+    # Windowed replay: host-built bbox schedule (the capture-specialization
+    # analogue of CUDA Graph), bit-exact vs the full lattice for OOB_ZERO
+    # fields (tests/test_windowed.py). Build once, render many.
+    t0 = time.perf_counter()
+    sched = build_schedule(plan, field.bbox_min, field.bbox_max,
+                           jitter=jitter_np)
+    log(f"schedule build {time.perf_counter() - t0:.2f}s: "
+        f"{sched.windowed_samples / 1e6:.1f}M of "
+        f"{sched.full_lattice_samples / 1e6:.1f}M samples, "
+        f"{sched.skipped_rays} rays skipped")
+
+    win_fwd = jax.jit(
+        lambda f: render_windowed_traced(plan, f, sched).image
+    ).lower(field).compile()
+    win_s = _time_compiled(win_fwd, [(field,), (field_b,)], iters=10)
+    win_mrays = n_rays / win_s / 1e6
+    log(f"fwd windowed {win_s * 1e3:.2f} ms -> {win_mrays:.1f} Mrays/s")
+
+    def loss_win(params):
+        f = field.with_params(*params)
+        img = render_windowed_traced(plan, f, sched).image
+        return jnp.mean((img - target) ** 2)
+
+    win_fb = jax.jit(jax.value_and_grad(loss_win)).lower(params).compile()
+    win_fb_s = _time_compiled(win_fb, [(params,), (params_b,)], iters=5)
+    win_fb_mrays = n_rays / win_fb_s / 1e6
+    log(f"fwd+bwd windowed {win_fb_s * 1e3:.2f} ms -> "
+        f"{win_fb_mrays:.1f} Mrays/s")
+
+    def loss_win16(params):
+        f = field16.with_params(*params)
+        img = render_windowed_traced(plan, f, sched).image
+        return jnp.mean((img - target) ** 2)
+
+    win16_fwd = jax.jit(
+        lambda f: render_windowed_traced(plan, f, sched).image
+    ).lower(field16).compile()
+    win16_s = _time_compiled(win16_fwd, [(field16,), (field16_b,)], iters=10)
+    log(f"fwd windowed bf16 {win16_s * 1e3:.2f} ms -> "
+        f"{n_rays / win16_s / 1e6:.1f} Mrays/s")
+    win16_fb = jax.jit(jax.value_and_grad(loss_win16)).lower(
+        params).compile()
+    win16_fb_s = _time_compiled(win16_fb, [(params,), (params_b,)], iters=5)
+    log(f"fwd+bwd windowed bf16 {win16_fb_s * 1e3:.2f} ms -> "
+        f"{n_rays / win16_fb_s / 1e6:.1f} Mrays/s")
+
     samples = n_rays * max_steps
     result = {
         "metric": "fwd_Mrays_per_s_512",
-        "value": round(fwd_mrays, 2),
+        "value": round(win_mrays, 2),
         "unit": "Mrays/s",
-        "vs_baseline": round(fwd_mrays / 1000.0, 4),
+        "vs_baseline": round(win_mrays / 1000.0, 4),
         "extra": {
-            "fwdbwd_Mrays_per_s": round(fb_mrays, 2),
+            "fwd_path": "windowed replay (exact, f32)",
+            "fwdbwd_Mrays_per_s": round(win_fb_mrays, 2),
+            "fwd_windowed_ms": round(win_s * 1e3, 3),
+            "fwdbwd_windowed_ms": round(win_fb_s * 1e3, 3),
+            "fwd_windowed_bf16_Mrays_per_s": round(
+                n_rays / win16_s / 1e6, 2),
+            "fwdbwd_windowed_bf16_Mrays_per_s": round(
+                n_rays / win16_fb_s / 1e6, 2),
+            "fwd_full_lattice_Mrays_per_s": round(fwd_mrays, 2),
+            "fwdbwd_full_lattice_Mrays_per_s": round(fb_mrays, 2),
             "fwd_bf16_table_Mrays_per_s": round(n_rays / fwd16_s / 1e6, 2),
             "fwdbwd_bf16_table_Mrays_per_s": round(n_rays / fb16_s / 1e6, 2),
-            "fwd_Msamples_per_s": round(samples / fwd_s / 1e6, 1),
+            "fwd_full_Msamples_per_s": round(samples / fwd_s / 1e6, 1),
             "fwd_ms": round(fwd_s * 1e3, 3),
             "fwdbwd_ms": round(fb_s * 1e3, 3),
+            "windowed_sample_fraction": round(
+                sched.windowed_samples / sched.full_lattice_samples, 3),
             "config": "512x512, 64^3 grid, 128 steps, stratified",
             "device": str(jax.devices()[0]),
         },

@@ -49,6 +49,12 @@ from dvren_tpu.render.renderer import (
     RenderStats,
     WorkspaceInfo,
 )
+from dvren_tpu.render.windowed import (
+    WindowedSchedule,
+    build_schedule,
+    render_windowed,
+    render_windowed_traced,
+)
 
 __all__ = [
     "__version__",
@@ -77,4 +83,8 @@ __all__ = [
     "ForwardResult",
     "BackwardResult",
     "WorkspaceInfo",
+    "WindowedSchedule",
+    "build_schedule",
+    "render_windowed",
+    "render_windowed_traced",
 ]

@@ -51,6 +51,11 @@ class RenderOptions:
     path (None = automatic for plans whose lattice exceeds
     ``streaming_budget`` samples); streaming trades the per-sample parity
     views (aux, packed grads) for bounded memory at production sizes.
+    ``use_window`` enables the host-built bbox window schedule
+    (render/windowed.py) for forward renders of OOB_ZERO grid fields:
+    provably-zero lattice steps outside the field bbox are skipped, with
+    bit-exact output; the schedule is built once per (plan, field bbox) and
+    replayed. Like streaming, it forgoes the per-sample parity views.
     """
 
     use_fused_path: bool = True
@@ -58,6 +63,7 @@ class RenderOptions:
     capture_stats: bool = True
     streaming: bool | None = None
     streaming_budget: int = 1 << 22
+    use_window: bool = False
 
 
 @dataclass
@@ -144,6 +150,10 @@ class Renderer:
             lambda field, jitter: pipeline_mod.render_streamed(
                 self._plan, field, jitter=jitter))
         self._stream_bwd_jit = None
+        self._window_schedule = None
+        self._window_bbox = None
+        self._window_jit = None
+        self._window_aot = None
 
     # ------------------------------------------------------------------ fwd
 
@@ -203,7 +213,13 @@ class Renderer:
         stats = RenderStats()
         t0 = time.perf_counter()
 
-        if self._streaming:
+        if self._options.use_window:
+            planes = self._forward_windowed(field, stats)
+            jax.block_until_ready(planes)
+            stats.total_ms = (time.perf_counter() - t0) * 1e3
+            sample_count = self._analytic_sample_count()
+            outputs = None
+        elif self._streaming:
             planes = self._forward_streamed(field, stats)
             jax.block_until_ready(planes)
             stats.total_ms = (time.perf_counter() - t0) * 1e3
@@ -256,6 +272,47 @@ class Renderer:
         else:
             planes = self._stream_jit(field, jitter)
         stats.notes.append("streaming_path")
+        return planes
+
+    def _forward_windowed(self, field, stats: RenderStats):
+        from dvren_tpu.render import windowed as windowed_mod
+
+        check(hasattr(field, "bbox_min") and hasattr(field, "bbox_max"),
+              "use_window requires a bounded grid field "
+              "(bbox_min/bbox_max); unbounded fields (hash-MLP) cannot be "
+              "window-clipped")
+        bbox = (tuple(np.asarray(field.bbox_min, np.float64).tolist()),
+                tuple(np.asarray(field.bbox_max, np.float64).tolist()))
+        if self._window_schedule is None or self._window_bbox != bbox:
+            t0 = time.perf_counter()
+            self._window_schedule = windowed_mod.build_schedule(
+                self._plan, field.bbox_min, field.bbox_max,
+                jitter=self._jitter_host)
+            self._window_bbox = bbox
+            self._window_jit = jax.jit(
+                lambda f: windowed_mod.render_windowed_traced(
+                    self._plan, f, self._window_schedule))
+            self._window_aot = None
+            sched = self._window_schedule
+            stats.notes.append(
+                f"window_schedule_build_ms="
+                f"{(time.perf_counter() - t0) * 1e3:.3f}")
+            stats.notes.append(
+                f"window_samples={sched.windowed_samples}"
+                f"/{sched.full_lattice_samples}"
+                f" skipped_rays={sched.skipped_rays}")
+        if self._options.enable_graph:
+            if self._window_aot is None:
+                t0 = time.perf_counter()
+                self._window_aot = self._window_jit.lower(field).compile()
+                stats.notes.append(
+                    f"graph_captured_aot_compile_ms="
+                    f"{(time.perf_counter() - t0) * 1e3:.3f}")
+            planes = self._window_aot(field)
+            stats.notes.append("graph_executed")
+        else:
+            planes = self._window_jit(field)
+        stats.notes.append("windowed_path")
         return planes
 
     def _forward_fused(self, field, stats: RenderStats) -> RenderOutputs:
@@ -326,7 +383,7 @@ class Renderer:
             raise DvrenError.invalid_argument(
                 "Backward requires a prior Forward")
         if not hasattr(field, "accumulate_sample_gradients") \
-                and not self._streaming:
+                and not (self._streaming or self._options.use_window):
             raise DvrenError.unsupported(
                 "Renderer.backward targets dense voxel grids (the reference "
                 "hp_diff contract); train other field families through "
@@ -335,7 +392,10 @@ class Renderer:
         dl = np.asarray(dl_di, np.float32).reshape(-1)
         check(dl.size == n * 3,
               f"dL/dI must have {n * 3} elements, got {dl.size}")
-        if self._streaming:
+        if self._streaming or self._options.use_window:
+            # Windowed forwards never materialize the lattice either; the
+            # streamed backward computes identical gradients (same math,
+            # full lattice with remat) plus camera grads.
             return self._backward_streamed(field, dl.reshape(n, 3), out)
         outputs = self._last_outputs
         sample_count = int(outputs.lattice.sample_count())
@@ -403,10 +463,10 @@ class Renderer:
     def per_sample_gradients(self, dl_di) -> tuple[np.ndarray, np.ndarray]:
         """Packed per-sample (dsigma (M,), dcolor (M,3)) - ``hp_diff`` parity
         view over live samples in ray-major order."""
-        if self._streaming:
+        if self._streaming or self._options.use_window:
             raise DvrenError.unsupported(
-                "per-sample gradient views are unavailable in streaming "
-                "mode (the lattice is never materialized); use a "
+                "per-sample gradient views are unavailable in streaming/"
+                "windowed mode (the lattice is never materialized); use a "
                 "non-streaming Renderer for parity inspection")
         if self._last_outputs is None:
             raise DvrenError.invalid_argument(
@@ -426,9 +486,10 @@ class Renderer:
         hp.h:132-138): positions (M,3), dt (M,), sigma (M,), color (M,3),
         ray_offset (N+1,) over live samples in ray-major order. Uses the
         native C packing when available."""
-        if self._streaming:
+        if self._streaming or self._options.use_window:
             raise DvrenError.unsupported(
-                "packed sample views are unavailable in streaming mode")
+                "packed sample views are unavailable in streaming/windowed "
+                "mode")
         if self._last_outputs is None:
             raise DvrenError.invalid_argument(
                 "packed_samples requires a prior Forward")

@@ -205,8 +205,7 @@ def render_windowed(
         jnp.concatenate(dep_parts))
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _render_group(plan, budget, field, ids, k_enter, block_jitter):
+def _group_outputs(plan, budget, field, ids, k_enter, block_jitter):
     rays = generate_rays(plan, ids=ids)
     lattice = generate_samples(plan, rays, jitter=block_jitter,
                                step_offset=k_enter, num_steps=budget)
@@ -219,8 +218,34 @@ def _render_group(plan, budget, field, ids, k_enter, block_jitter):
             intl.opacity, intl.depth)
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def _compose_groups(plan, pids, rad, tr, op, dep):
+_render_group = functools.partial(jax.jit, static_argnums=(0, 1))(
+    _group_outputs)
+
+
+def render_windowed_traced(plan: Plan, field, schedule: WindowedSchedule,
+                           remat: bool = True) -> ImagePlanes:
+    """Pure (traceable) windowed render: the whole frame is ONE executable.
+
+    Use inside a caller ``jax.jit``/``jax.grad`` for steady-state replay -
+    one device dispatch per frame instead of one per budget group (the
+    host-loop :func:`render_windowed` pays a tunnel round trip per group).
+    The schedule's group arrays become traced inputs, so one compiled
+    program serves any field of the same shape. ``remat`` rematerializes
+    each group's lattice in the backward pass (fwd+bwd peak memory is one
+    group, matching render_streamed's policy).
+    """
+    check(getattr(field, "oob", OobPolicy.ZERO) == OobPolicy.ZERO,
+          "window clipping requires an OOB_ZERO field (outside samples "
+          "must be exactly zero)")
+    group_fn = jax.checkpoint(_group_outputs, static_argnums=(0, 1)) \
+        if remat else _group_outputs
+    parts = [group_fn(plan, budget, field, ids, ke, jit_rows)
+             for budget, ids, ke, jit_rows in schedule.groups]
+    return _compose_planes(
+        plan, *(jnp.concatenate([p[i] for p in parts]) for i in range(5)))
+
+
+def _compose_planes(plan, pids, rad, tr, op, dep):
     planes = compose(pids, rad, tr, op, dep, plan.width, plan.height,
                      plan.t_far, unique_pixels=True)
     # Rays that miss the bbox entirely are never rendered; their pixels keep
@@ -239,3 +264,7 @@ def _compose_groups(plan, pids, rad, tr, op, dep):
         depth=planes.depth,
         hitmask=in_roi.astype(jnp.int32),
     )
+
+
+_compose_groups = functools.partial(jax.jit, static_argnums=0)(
+    _compose_planes)

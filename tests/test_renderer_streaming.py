@@ -81,3 +81,56 @@ def test_streaming_graph_replay():
     b = r.forward(field)
     assert a.image.tobytes() == b.image.tobytes()
     assert "graph_executed" in b.stats.notes
+
+
+def windowed_scene(mode=SamplingMode.STRATIFIED):
+    plan, _ = scene(mode)
+    rng = np.random.default_rng(11)
+    n = 6
+    sub = DenseGridField.create(DenseGridConfig(
+        resolution=(n, n, n),
+        sigma=rng.uniform(0.5, 6.0, n ** 3),
+        color=rng.uniform(0, 1, 3 * n ** 3),
+        bbox_min=(0.25, 0.3, 0.2), bbox_max=(0.8, 0.85, 0.7)))
+    return plan, sub
+
+
+def test_windowed_renderer_matches_fused():
+    plan, field = windowed_scene()
+    ctx = Context.create()
+    a = Renderer(ctx, plan, RenderOptions(use_window=True)).forward(field)
+    b = Renderer(ctx, plan, RenderOptions()).forward(field)
+    np.testing.assert_allclose(a.image, b.image, atol=2e-6)
+    np.testing.assert_allclose(a.depth, b.depth, atol=1e-5)
+    np.testing.assert_array_equal(a.hitmask, b.hitmask)
+    assert "windowed_path" in a.stats.notes
+
+
+def test_windowed_renderer_backward_and_replay():
+    plan, field = windowed_scene()
+    ctx = Context.create()
+    dl = np.random.default_rng(7).uniform(
+        -1, 1, (plan.ray_count, 3)).astype(np.float32)
+
+    rw = Renderer(ctx, plan,
+                  RenderOptions(use_window=True, enable_graph=True))
+    a = rw.forward(field)
+    b = rw.forward(field)  # schedule + AOT executable reused
+    assert a.image.tobytes() == b.image.tobytes()
+    assert "graph_executed" in b.stats.notes
+    bw = rw.backward(field, dl)
+
+    rf = Renderer(ctx, plan, RenderOptions())
+    rf.forward(field)
+    bf = rf.backward(field, dl)
+    np.testing.assert_allclose(bw.sigma, bf.sigma, rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(bw.color, bf.color, rtol=1e-4, atol=1e-7)
+
+
+def test_windowed_renderer_rejects_unbounded_fields():
+    plan, _ = windowed_scene()
+    from dvren_tpu import HashMLPConfig, HashMLPField
+    hm = HashMLPField.create(HashMLPConfig())
+    r = Renderer(Context.create(), plan, RenderOptions(use_window=True))
+    with pytest.raises(DvrenError):
+        r.forward(hm)

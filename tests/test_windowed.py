@@ -10,7 +10,8 @@ from dvren_tpu import (
     Plan, PlanConfig, SamplingConfig, SamplingMode,
 )
 from dvren_tpu.render.pipeline import plan_jitter_table, render
-from dvren_tpu.render.windowed import build_schedule, render_windowed
+from dvren_tpu.render.windowed import (
+    build_schedule, render_windowed, render_windowed_traced)
 
 
 def scene(mode=SamplingMode.FIXED, bbox=((0.3, 0.3, 0.2), (0.8, 0.9, 0.7))):
@@ -79,6 +80,44 @@ def test_windowed_small_blocks_and_padding():
     full = render(plan, field).planes
     win = render_windowed(plan, field, schedule=schedule)
     assert_planes_equal(win, full)
+
+
+def test_windowed_traced_single_jit_forward_and_grads():
+    # The one-dispatch replay path: whole frame (all budget groups) under a
+    # single caller jit, stratified, gradients through jax.grad.
+    plan, field = scene(mode=SamplingMode.STRATIFIED)
+    jitter = plan_jitter_table(plan)
+    schedule = build_schedule(plan, field.bbox_min, field.bbox_max,
+                              jitter=jitter, block=50)
+    assert len(schedule.groups) >= 2
+
+    @jax.jit
+    def fwd(f):
+        return render_windowed_traced(plan, f, schedule)
+
+    full = render(plan, field, jitter=jnp.asarray(jitter)).planes
+    assert_planes_equal(fwd(field), full)
+
+    target = jnp.zeros((plan.height, plan.width, 3))
+
+    def loss_full(params):
+        f = field.with_params(*params)
+        img = render(plan, f, jitter=jnp.asarray(jitter)).planes.image
+        return jnp.mean((img - target) ** 2)
+
+    @jax.jit
+    def loss_win(params):
+        f = field.with_params(*params)
+        return jnp.mean(
+            (render_windowed_traced(plan, f, schedule).image - target) ** 2)
+
+    params = (field.sigma, field.color)
+    g_full = jax.grad(loss_full)(params)
+    g_win = jax.grad(loss_win)(params)
+    np.testing.assert_allclose(np.asarray(g_win[0]), np.asarray(g_full[0]),
+                               rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_win[1]), np.asarray(g_full[1]),
+                               rtol=1e-4, atol=1e-8)
 
 
 def test_schedule_actually_skips_work():
