@@ -31,6 +31,7 @@ import numpy as np
 
 from dvren_tpu.core.plan import OobPolicy
 from dvren_tpu.core.status import check
+from dvren_tpu.ops import grid as grid_ops
 from dvren_tpu.ops.grid import _axis_local
 from dvren_tpu.utils.pytree import pytree_dataclass
 
@@ -182,7 +183,11 @@ class SparseGridField:
         local = ((iz % BRICK) * BRICK + (iy % BRICK)) * BRICK + (ix % BRICK)
         row_idx = slot * (BRICK ** 3) + local
         flat = self.bricks.reshape(-1, _CHANNELS)
-        cube = jnp.take(flat, row_idx, axis=0).astype(jnp.float32)
+        if flat.dtype == jnp.float32:
+            # bit-exact u16 hi/lo gather at the 2-byte element rate
+            cube = grid_ops.take_rows_exact(flat, row_idx)
+        else:
+            cube = jnp.take(flat, row_idx, axis=0).astype(jnp.float32)
 
         wx0, wx1 = 1.0 - tx, tx
         wy0, wy1 = 1.0 - ty, ty

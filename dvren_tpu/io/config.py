@@ -6,7 +6,7 @@ Top-level nodes:
           max_steps (required), sampling_mode ("fixed"|"stratified"),
           seed (default 0), roi {x, y, width, height},
           camera {model, K[9], c2w[12], ortho_scale},
-          options {use_fused_path, enable_graph, capture_stats}
+          options {use_fused_path, enable_graph, capture_stats, use_window}
   volume: size [nx, ny, nz], density [n], color [3n] (defaults to grayscale
           density, main.cpp:167-177), bbox_min [3], bbox_max [3],
           interp ("linear"|"nearest"), oob ("zero"|"clamp")
@@ -180,6 +180,7 @@ def parse_config(root: dict) -> RenderConfig:
             use_fused_path=bool(opt.get("use_fused_path", True)),
             enable_graph=bool(opt.get("enable_graph", False)),
             capture_stats=bool(opt.get("capture_stats", True)),
+            use_window=bool(opt.get("use_window", False)),
         )
     config.grid = _parse_volume(root["volume"])
     precision = root["volume"].get("table_precision", "float32")

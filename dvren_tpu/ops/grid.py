@@ -177,6 +177,51 @@ def build_packed_stencil(sigma: jnp.ndarray, color: jnp.ndarray,
     return jnp.concatenate(parts, axis=-1).astype(dtype)
 
 
+def _split_u16(table: jnp.ndarray) -> jnp.ndarray:
+    """f32 (C, W) -> u16 (C, 2W): hi halves then lo halves, row-aligned."""
+    bits = jax.lax.bitcast_convert_type(table, jnp.uint32)
+    return jnp.concatenate([(bits >> 16).astype(jnp.uint16),
+                            (bits & jnp.uint32(0xFFFF)).astype(jnp.uint16)],
+                           axis=1)
+
+
+def _u16_rows_to_f32(rows: jnp.ndarray, w: int) -> jnp.ndarray:
+    hi = rows[:, :w].astype(jnp.uint32) << 16
+    lo = rows[:, w:].astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(hi | lo, jnp.float32)
+
+
+@jax.custom_vjp
+def take_rows_exact(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Bit-exact f32 row gather at the TPU 2-byte-element gather rate.
+
+    XLA:TPU row gathers are paced by the table's ELEMENT TYPE, not row
+    bytes: 2-byte elements gather at ~150 Mstarts/s vs ~69 Mstarts/s for
+    4-byte ones, flat in row width up to 128 elements (measured on v5e;
+    tools/gather_probe.py). Splitting each f32 into hi/lo uint16 halves -
+    laid out [all hi | all lo] per row so reconstruction is two contiguous
+    slices, a shift and an or - fetches the identical 32 bits 2.2x faster.
+    The backward is the standard scatter-add of the row cotangent (what
+    XLA's own gather transpose emits), declared via custom_vjp because
+    integer bit-plumbing has no autodiff path.
+    """
+    return _u16_rows_to_f32(jnp.take(_split_u16(table), idx, axis=0),
+                            table.shape[1])
+
+
+def _take_rows_exact_fwd(table, idx):
+    return take_rows_exact(table, idx), (idx, table.shape)
+
+
+def _take_rows_exact_bwd(res, ct):
+    idx, table_shape = res
+    d_table = jnp.zeros(table_shape, ct.dtype).at[idx].add(ct)
+    return d_table, None
+
+
+take_rows_exact.defvjp(_take_rows_exact_fwd, _take_rows_exact_bwd)
+
+
 def eval_packed_trilinear(
     packed: jnp.ndarray,
     grid_shape_zyx: tuple[int, int, int],
@@ -219,7 +264,10 @@ def eval_packed_trilinear(
 
     flat = packed.reshape(-1, packed.shape[-1])
     v = (iz * (ny - 1) + iy) * (nx - 1) + ix
-    cube = jnp.take(flat, v, axis=0).astype(jnp.float32)   # (S, 32)
+    if flat.dtype == jnp.float32:
+        cube = take_rows_exact(flat, v)                     # (S, 32) @ 2B rate
+    else:
+        cube = jnp.take(flat, v, axis=0).astype(jnp.float32)  # (S, 32)
 
     wx0, wx1 = 1.0 - tx, tx
     wy0, wy1 = 1.0 - ty, ty

@@ -88,3 +88,17 @@ def test_ppm_roundtrip(tmp_path):
 def test_bad_config_raises():
     with pytest.raises(DvrenError):
         parse_config_file("/nonexistent.json")
+
+
+def test_cli_use_window_option_matches_default(tmp_path, capsys):
+    base = json.load(open(os.path.join(REPO, "examples/simple_volume.json")))
+    base.setdefault("render", {}).setdefault("options", {})[
+        "use_window"] = True
+    cfg_path = tmp_path / "win.json"
+    cfg_path.write_text(json.dumps(base))
+    out_win = tmp_path / "win.ppm"
+    assert main([str(cfg_path), str(out_win)]) == 0
+    out_ref = tmp_path / "ref.ppm"
+    assert main([os.path.join(REPO, "examples/simple_volume.json"),
+                 str(out_ref)]) == 0
+    np.testing.assert_array_equal(read_ppm(out_win), read_ppm(out_ref))

@@ -88,3 +88,23 @@ def test_render_pipeline_uses_packed_path():
     f_thin = DenseGridField.create(DenseGridConfig(
         resolution=(1, 4, 4), sigma=np.ones(16), color=np.ones(48)))
     assert not f_thin.supports_packed_eval
+
+
+def test_take_rows_exact_bitwise_and_vjp():
+    """The u16 hi/lo gather (ops/grid.py::take_rows_exact) returns the
+    identical 32 bits as a plain f32 row gather, and its custom VJP is the
+    standard scatter-add (matching jnp.take's transpose exactly)."""
+    from dvren_tpu.ops.grid import take_rows_exact
+
+    rng = np.random.default_rng(9)
+    table = jnp.asarray(np.float32(rng.standard_normal((257, 32)) * 1e3))
+    idx = jnp.asarray(rng.integers(0, 257, size=(1000,)).astype(np.int32))
+
+    fast = take_rows_exact(table, idx)
+    ref = jnp.take(table, idx, axis=0)
+    assert np.asarray(fast).tobytes() == np.asarray(ref).tobytes()
+
+    ct = jnp.asarray(np.float32(rng.standard_normal((1000, 32))))
+    g_fast = jax.grad(lambda t: jnp.vdot(take_rows_exact(t, idx), ct))(table)
+    g_ref = jax.grad(lambda t: jnp.vdot(jnp.take(t, idx, axis=0), ct))(table)
+    np.testing.assert_array_equal(np.asarray(g_fast), np.asarray(g_ref))
