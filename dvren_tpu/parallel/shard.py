@@ -24,7 +24,13 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8 top-level API; the experimental home is deprecated
+    from jax import shard_map
+    _NO_REP_CHECK = {"check_vma": False}
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+    _NO_REP_CHECK = {"check_rep": False}
 
 from dvren_tpu.core.plan import CameraConfig, Plan
 from dvren_tpu.render.pipeline import render
@@ -109,7 +115,7 @@ def make_dp_train_step(plan: Plan, field_template, optimizer,
         step_body, mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis)),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        **_NO_REP_CHECK,
     )
     return jax.jit(sharded)
 

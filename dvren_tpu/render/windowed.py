@@ -222,8 +222,11 @@ _render_group = functools.partial(jax.jit, static_argnums=(0, 1))(
     _group_outputs)
 
 
+_REMAT_RESIDUAL_BUDGET = 4 << 30  # bytes of saved residuals allowed w/o remat
+
+
 def render_windowed_traced(plan: Plan, field, schedule: WindowedSchedule,
-                           remat: bool = True) -> ImagePlanes:
+                           remat: bool | None = None) -> ImagePlanes:
     """Pure (traceable) windowed render: the whole frame is ONE executable.
 
     Use inside a caller ``jax.jit``/``jax.grad`` for steady-state replay -
@@ -232,11 +235,17 @@ def render_windowed_traced(plan: Plan, field, schedule: WindowedSchedule,
     The schedule's group arrays become traced inputs, so one compiled
     program serves any field of the same shape. ``remat`` rematerializes
     each group's lattice in the backward pass (fwd+bwd peak memory is one
-    group, matching render_streamed's policy).
+    group, matching render_streamed's policy); with remat=False XLA saves
+    the lattice residuals instead, skipping the backward's gather
+    recompute (+22% measured on v5e at 512^2). Default (None) picks
+    remat=False when the analytic residual estimate (~200 B/sample) fits
+    a 4 GiB budget.
     """
     check(getattr(field, "oob", OobPolicy.ZERO) == OobPolicy.ZERO,
           "window clipping requires an OOB_ZERO field (outside samples "
           "must be exactly zero)")
+    if remat is None:
+        remat = schedule.windowed_samples * 200 > _REMAT_RESIDUAL_BUDGET
     group_fn = jax.checkpoint(_group_outputs, static_argnums=(0, 1)) \
         if remat else _group_outputs
     parts = [group_fn(plan, budget, field, ids, ke, jit_rows)
