@@ -201,12 +201,14 @@ def take_rows_exact(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     tools/gather_probe.py). Splitting each f32 into hi/lo uint16 halves -
     laid out [all hi | all lo] per row so reconstruction is two contiguous
     slices, a shift and an or - fetches the identical 32 bits 2.2x faster.
-    The backward is the standard scatter-add of the row cotangent (what
-    XLA's own gather transpose emits), declared via custom_vjp because
-    integer bit-plumbing has no autodiff path.
+    The backward is the standard scatter-add of the row cotangent,
+    declared via custom_vjp because integer bit-plumbing has no autodiff
+    path. Out-of-range indices CLAMP to the edge row, forward and
+    backward consistently (callers pre-clip; this pins the contract).
     """
-    return _u16_rows_to_f32(jnp.take(_split_u16(table), idx, axis=0),
-                            table.shape[1])
+    return _u16_rows_to_f32(
+        jnp.take(_split_u16(table), idx, axis=0, mode="clip"),
+        table.shape[1])
 
 
 def _take_rows_exact_fwd(table, idx):
@@ -215,7 +217,9 @@ def _take_rows_exact_fwd(table, idx):
 
 def _take_rows_exact_bwd(res, ct):
     idx, table_shape = res
-    d_table = jnp.zeros(table_shape, ct.dtype).at[idx].add(ct)
+    # mode="clip" matches the forward's jnp.take clamping: an out-of-range
+    # index reads the edge row, so its cotangent must land there too.
+    d_table = jnp.zeros(table_shape, ct.dtype).at[idx].add(ct, mode="clip")
     return d_table, None
 
 

@@ -382,8 +382,15 @@ class Renderer:
         if self._last_field is None:
             raise DvrenError.invalid_argument(
                 "Backward requires a prior Forward")
-        if not hasattr(field, "accumulate_sample_gradients") \
-                and not (self._streaming or self._options.use_window):
+        # The streamed/windowed backward drives field.with_params + the
+        # dense sigma/color params; the in-memory path needs the explicit
+        # scatter hook. Either way, only dense voxel grids are supported.
+        dense_like = (hasattr(field, "accumulate_sample_gradients")
+                      if not (self._streaming or self._options.use_window)
+                      else (hasattr(field, "with_params")
+                            and hasattr(field, "sigma")
+                            and hasattr(field, "color")))
+        if not dense_like:
             raise DvrenError.unsupported(
                 "Renderer.backward targets dense voxel grids (the reference "
                 "hp_diff contract); train other field families through "

@@ -192,6 +192,16 @@ def render_windowed(
 
     pid_parts, rad_parts, tr_parts, op_parts, dep_parts = [], [], [], [], []
     for budget, ids_dev, ke_dev, jit_rows in schedule.groups:
+        if jit_rows is None and jitter is not None:
+            # schedule was built without the table; gather its rows now so
+            # the compiled program stays free of the hash emulation.
+            jit_np = np.asarray(jitter, np.float32)
+            ids_np = np.asarray(ids_dev)
+            rows = np.minimum(ids_np, plan.ray_count - 1)
+            cols = np.minimum(
+                np.asarray(ke_dev)[:, None] + np.arange(budget)[None, :],
+                jit_np.shape[1] - 1)
+            jit_rows = jax.device_put(jit_np[rows[:, None], cols])
         out = _render_group(plan, budget, field, ids_dev, ke_dev, jit_rows)
         pid_parts.append(out[0])
         rad_parts.append(out[1])
@@ -207,7 +217,15 @@ def render_windowed(
 
 def _group_outputs(plan, budget, field, ids, k_enter, block_jitter):
     rays = generate_rays(plan, ids=ids)
-    lattice = generate_samples(plan, rays, jitter=block_jitter,
+    # Without precomputed jitter rows, the in-graph stratified emulation
+    # must be keyed on the GLOBAL ray ids (the group order is a length-
+    # sorted permutation), not the local group index - offset arange(n)
+    # so arange + offset == ids (samp_cpu.cpp:233 keys on global index).
+    ray_offset = 0
+    if block_jitter is None:
+        ray_offset = ids - jnp.arange(ids.shape[0], dtype=jnp.int32)
+    lattice = generate_samples(plan, rays, ray_index_offset=ray_offset,
+                               jitter=block_jitter,
                                step_offset=k_enter, num_steps=budget)
     sigma, color = eval_fields(field, lattice)
     t_origin = plan.t_near + k_enter.astype(jnp.float32) * plan.sampling.dt

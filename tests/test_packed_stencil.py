@@ -108,3 +108,20 @@ def test_take_rows_exact_bitwise_and_vjp():
     g_fast = jax.grad(lambda t: jnp.vdot(take_rows_exact(t, idx), ct))(table)
     g_ref = jax.grad(lambda t: jnp.vdot(jnp.take(t, idx, axis=0), ct))(table)
     np.testing.assert_array_equal(np.asarray(g_fast), np.asarray(g_ref))
+
+
+def test_take_rows_exact_out_of_range_clips_fwd_and_bwd():
+    from dvren_tpu.ops.grid import take_rows_exact
+
+    table = jnp.asarray(np.arange(12, dtype=np.float32).reshape(3, 4))
+    idx = jnp.asarray(np.int32([0, 5]))  # 5 clips to the last row
+    fast = take_rows_exact(table, idx)
+    ref = jnp.take(table, idx, axis=0, mode="clip")
+    assert np.asarray(fast).tobytes() == np.asarray(ref).tobytes()
+
+    ct = jnp.ones((2, 4), jnp.float32)
+    g_fast = jax.grad(lambda t: jnp.vdot(take_rows_exact(t, idx), ct))(table)
+    g_ref = jax.grad(
+        lambda t: jnp.vdot(jnp.take(t, idx, axis=0, mode="clip"), ct))(table)
+    np.testing.assert_array_equal(np.asarray(g_fast), np.asarray(g_ref))
+    assert np.asarray(g_fast)[2].sum() == 4.0  # OOB cotangent landed on edge

@@ -134,3 +134,14 @@ def test_windowed_renderer_rejects_unbounded_fields():
     r = Renderer(Context.create(), plan, RenderOptions(use_window=True))
     with pytest.raises(DvrenError):
         r.forward(hm)
+
+
+def test_windowed_renderer_backward_rejects_sparse_fields():
+    from dvren_tpu import SparseGridField
+    plan, field = windowed_scene()
+    sparse = SparseGridField.from_dense(field)
+    r = Renderer(Context.create(), plan, RenderOptions(use_window=True))
+    r.forward(sparse)  # windowed forward supports sparse bricks
+    dl = np.zeros((plan.ray_count, 3), np.float32)
+    with pytest.raises(DvrenError):
+        r.backward(sparse, dl)

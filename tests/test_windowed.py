@@ -158,3 +158,62 @@ def test_windowed_gradients_match_full():
                                rtol=1e-4, atol=1e-8)
     np.testing.assert_allclose(np.asarray(g_win[1]), np.asarray(g_full[1]),
                                rtol=1e-4, atol=1e-8)
+
+
+def test_windowed_roi_plan_matches_full():
+    from dvren_tpu import Roi
+    rng = np.random.default_rng(5)
+    n = 8
+    plan = Plan.create(PlanConfig(
+        width=24, height=18, t_near=0.1, t_far=3.1, seed=2,
+        roi=Roi(x=5, y=3, width=12, height=9),
+        camera=CameraConfig(
+            k=(30.0, 0, 12.0, 0, 30.0, 9.0, 0, 0, 1),
+            c2w=(1, 0, 0, 0.5, 0, 1, 0, 0.55, 0, 0, 1, -1.1)),
+        sampling=SamplingConfig(dt=0.05, max_steps=60)))
+    field = DenseGridField.create(DenseGridConfig(
+        resolution=(n, n, n),
+        sigma=rng.uniform(0.5, 8.0, n ** 3),
+        color=rng.uniform(0, 1, 3 * n ** 3),
+        bbox_min=(0.3, 0.3, 0.2), bbox_max=(0.8, 0.9, 0.7)))
+    full = render(plan, field).planes
+    win = render_windowed(plan, field)
+    assert_planes_equal(win, full)
+
+
+def test_windowed_orthographic_matches_full():
+    from dvren_tpu import CameraModel
+    rng = np.random.default_rng(6)
+    n = 8
+    plan = Plan.create(PlanConfig(
+        width=20, height=16, t_near=0.1, t_far=2.6, seed=4,
+        camera=CameraConfig(
+            model=CameraModel.ORTHOGRAPHIC, ortho_scale=0.08,
+            k=(1.0, 0, 10.0, 0, 1.0, 8.0, 0, 0, 1),
+            c2w=(1, 0, 0, 0.5, 0, 1, 0, 0.5, 0, 0, 1, -0.8)),
+        sampling=SamplingConfig(dt=0.05, max_steps=52)))
+    field = DenseGridField.create(DenseGridConfig(
+        resolution=(n, n, n),
+        sigma=rng.uniform(0.5, 8.0, n ** 3),
+        color=rng.uniform(0, 1, 3 * n ** 3),
+        bbox_min=(0.2, 0.25, 0.15), bbox_max=(0.85, 0.8, 0.75)))
+    full = render(plan, field).planes
+    win = render_windowed(plan, field)
+    assert_planes_equal(win, full)
+
+
+def test_windowed_stratified_schedule_without_jitter_rows():
+    # Regression: a schedule built WITHOUT the table + jitter passed at
+    # render time must gather the rows (not silently fall back to local-
+    # index keyed emulation); and with no jitter at all the in-graph
+    # emulation must key on global ray ids. Both must match the full render.
+    plan, field = scene(mode=SamplingMode.STRATIFIED)
+    jitter = plan_jitter_table(plan)
+    full = render(plan, field, jitter=jnp.asarray(jitter)).planes
+
+    schedule = build_schedule(plan, field.bbox_min, field.bbox_max)  # no rows
+    win = render_windowed(plan, field, schedule=schedule, jitter=jitter)
+    assert_planes_equal(win, full)
+
+    win_emu = render_windowed(plan, field, schedule=schedule)  # emulation
+    assert_planes_equal(win_emu, full)
