@@ -91,7 +91,11 @@ def save_train_state(path: str | os.PathLike, state, header: dict) -> None:
 
 
 def load_train_state(path: str | os.PathLike, like):
-    """Restore a pytree checkpoint into the structure of ``like``."""
+    """Restore a pytree checkpoint into the structure of ``like``.
+
+    The saved treedef and per-leaf shapes/dtypes are validated against
+    ``like`` before unflattening: a same-leaf-count pytree with a different
+    structure would otherwise silently misassign optimizer state."""
     with np.load(path, allow_pickle=False) as data:
         meta = json.loads(str(data["header"]))
         if meta.get("kind") != "train_state":
@@ -99,5 +103,20 @@ def load_train_state(path: str | os.PathLike, like):
         leaves = [data[f"leaf_{i}"]
                   for i in range(len(data.files) - 1)]
         treedef = jax.tree.structure(like)
+        if str(treedef) != meta.get("treedef"):
+            raise DvrenError.invalid_argument(
+                "train_state structure mismatch: checkpoint was saved from "
+                f"{meta.get('treedef')}, restore target is {treedef}")
+        like_leaves = jax.tree.leaves(like)
+        if len(like_leaves) != len(leaves):
+            raise DvrenError.invalid_argument(
+                f"train_state leaf count mismatch: {len(leaves)} saved vs "
+                f"{len(like_leaves)} in restore target")
+        for i, (saved, ref) in enumerate(zip(leaves, like_leaves)):
+            ref_shape = tuple(getattr(ref, "shape", ()))
+            if tuple(saved.shape) != ref_shape:
+                raise DvrenError.invalid_argument(
+                    f"train_state leaf {i} shape mismatch: "
+                    f"{tuple(saved.shape)} saved vs {ref_shape} expected")
         return jax.tree.unflatten(
             treedef, [jax.numpy.asarray(x) for x in leaves]), meta["header"]

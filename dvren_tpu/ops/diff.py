@@ -62,15 +62,22 @@ def camera_grads(
     plan: Plan,
     field,
     dl_dradiance: jnp.ndarray,
+    jitter: jnp.ndarray | None = None,
 ) -> dict:
     """dL/d(camera) through the full raygen->sample->field->integrate chain.
 
     Returns {"c2w": (3,4), "k": (3,3), "ortho_scale": ()} float32.
+
+    ``jitter``: the forward's precomputed (N, K) stratified table
+    (pipeline.plan_jitter_table). Threading it through keeps the compiled
+    gradient program free of the in-graph uint32 hash emulation AND
+    differentiates the exact sample set the forward rendered (the table is
+    bit-exact splitmix64; the emulation can differ by 1 ulp).
     """
 
     def f(k, c2w, ortho_scale):
         rays = generate_rays(plan, k=k, c2w=c2w, ortho_scale=ortho_scale)
-        lattice = generate_samples(plan, rays)
+        lattice = generate_samples(plan, rays, jitter=jitter)
         px, py, pz = lattice.position_planes
         sig = field.sigma_at_planes(px, py, pz)
         col = field.color_at_planes(px, py, pz)

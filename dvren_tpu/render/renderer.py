@@ -136,7 +136,8 @@ class Renderer:
         self._fused_jit = jax.jit(
             lambda field, jitter: render(self._plan, field, jitter=jitter))
         self._stage_jits = None
-        self._backward_jit = jax.jit(self._backward_impl)
+        self._backward_jit = jax.jit(self._backward_impl,
+                                     static_argnums=(4,))
         # Stratified jitter is a pure function of (seed, ray, step) -
         # precomputed host-side, device-resident across calls.
         self._jitter_host = pipeline_mod.plan_jitter_table(plan)
@@ -150,10 +151,17 @@ class Renderer:
             lambda field, jitter: pipeline_mod.render_streamed(
                 self._plan, field, jitter=jitter))
         self._stream_bwd_jit = None
+        self._stream_bwd_key = None
         self._window_schedule = None
         self._window_bbox = None
         self._window_jit = None
         self._window_aot = None
+        self._window_bwd_jit = None
+        self._window_bwd_key = None
+        self._last_mode = None
+        self._last_ray_count = plan.ray_count
+        self._override_jit = None
+        self._override_jitter = {}  # bundle size -> host jitter table
 
     # ------------------------------------------------------------------ fwd
 
@@ -208,23 +216,41 @@ class Renderer:
         k_live = int(math.ceil(span / plan.sampling.dt - 1e-9))
         return plan.ray_count * min(plan.sampling.max_steps, max(k_live, 0))
 
-    def forward(self, field, out: ForwardResult | None = None) -> ForwardResult:
-        """Render one frame; analogue of Renderer::Forward (renderer.cpp:232)."""
+    def forward(self, field, out: ForwardResult | None = None,
+                rays=None) -> ForwardResult:
+        """Render one frame; analogue of Renderer::Forward (renderer.cpp:232).
+
+        ``rays``: optional override bundle (the hp_ray override path,
+        ray_cpu.cpp:148-150) - a :class:`dvren_tpu.ops.raygen.Rays` with up
+        to plan.max_rays entries. Override bundles may collide on pixels;
+        the compose then accumulates (image +=, T *=, depth = min) exactly
+        like img_cpu.cpp:161-185. Overrides always run the in-memory fused
+        path (streaming/window schedules assume generated rays).
+        """
         stats = RenderStats()
         t0 = time.perf_counter()
 
-        if self._options.use_window:
+        if rays is not None:
+            outputs = self._forward_override(field, rays, stats)
+            jax.block_until_ready(outputs.planes)
+            stats.total_ms = (time.perf_counter() - t0) * 1e3
+            sample_count = int(outputs.lattice.sample_count())
+            planes = outputs.planes
+            self._last_mode = "override"
+        elif self._options.use_window:
             planes = self._forward_windowed(field, stats)
             jax.block_until_ready(planes)
             stats.total_ms = (time.perf_counter() - t0) * 1e3
             sample_count = self._analytic_sample_count()
             outputs = None
+            self._last_mode = "windowed"
         elif self._streaming:
             planes = self._forward_streamed(field, stats)
             jax.block_until_ready(planes)
             stats.total_ms = (time.perf_counter() - t0) * 1e3
             sample_count = self._analytic_sample_count()
             outputs = None
+            self._last_mode = "streamed"
         else:
             if self._options.use_fused_path:
                 outputs = self._forward_fused(field, stats)
@@ -234,12 +260,15 @@ class Renderer:
             stats.total_ms = (time.perf_counter() - t0) * 1e3
             sample_count = int(outputs.lattice.sample_count())
             planes = outputs.planes
+            self._last_mode = "fused"
         check(sample_count <= self._plan.max_samples,
               f"sample capacity exceeded: {sample_count} > "
               f"{self._plan.max_samples}")
 
         self._last_outputs = outputs
         self._last_field = field
+        self._last_ray_count = (rays.origins.shape[0] if rays is not None
+                                else self._plan.ray_count)
         result = out or ForwardResult(
             image=np.empty(0), transmittance=np.empty(0),
             opacity=np.empty(0), depth=np.empty(0), hitmask=np.empty(0))
@@ -249,7 +278,7 @@ class Renderer:
         result.opacity = np.asarray(planes.opacity, np.float32).reshape(-1)
         result.depth = np.asarray(planes.depth, np.float32).reshape(-1)
         result.hitmask = np.asarray(planes.hitmask, np.uint32).reshape(-1)
-        result.ray_count = self._plan.ray_count
+        result.ray_count = self._last_ray_count
         result.sample_count = sample_count
         result.stats = stats
         return result
@@ -274,6 +303,30 @@ class Renderer:
         stats.notes.append("streaming_path")
         return planes
 
+    def _forward_override(self, field, rays, stats: RenderStats):
+        """Override-bundle forward (hp_ray override, ray_cpu.cpp:14-43).
+
+        Stratified jitter is keyed on the BUNDLE index (the reference hashes
+        (seed, ray_idx, step) where ray_idx is the bundle position,
+        samp_cpu.cpp:233), so the host table is built per bundle size."""
+        from dvren_tpu.ops.raygen import validate_override
+
+        rays = validate_override(self._plan, rays)
+        n = rays.origins.shape[0]
+        jitter = None
+        if self._jitter_host is not None:  # stratified plan
+            if n not in self._override_jitter:
+                from dvren_tpu.ops import rng
+                self._override_jitter[n] = jax.device_put(rng.jitter_table(
+                    self._plan.seed, n, self._plan.sampling.max_steps))
+            jitter = self._override_jitter[n]
+        if self._override_jit is None:
+            self._override_jit = jax.jit(
+                lambda f, r, j: render(self._plan, f, rays=r, jitter=j))
+        outputs = self._override_jit(field, rays, jitter)
+        stats.notes.append("override_path")
+        return outputs
+
     def _forward_windowed(self, field, stats: RenderStats):
         from dvren_tpu.render import windowed as windowed_mod
 
@@ -293,6 +346,8 @@ class Renderer:
                 lambda f: windowed_mod.render_windowed_traced(
                     self._plan, f, self._window_schedule))
             self._window_aot = None
+            self._window_bwd_jit = None
+            self._window_bwd_key = None
             sched = self._window_schedule
             stats.notes.append(
                 f"window_schedule_build_ms="
@@ -363,13 +418,22 @@ class Renderer:
     # ------------------------------------------------------------------ bwd
 
     def _backward_impl(self, field, outputs: RenderOutputs,
-                       dl_dradiance: jnp.ndarray):
+                       dl_dradiance: jnp.ndarray, jitter,
+                       with_camera: bool = True):
         d_sigma_s, d_color_s = diff_ops.per_sample_grads(
             dl_dradiance, outputs.sigma, outputs.color,
             outputs.lattice.dt, outputs.lattice.mask)
         sigma_g, color_g = field.accumulate_sample_gradients(
             outputs.lattice.positions, d_sigma_s, d_color_s)
-        cam = diff_ops.camera_grads(self._plan, field, dl_dradiance)
+        if with_camera:
+            cam = diff_ops.camera_grads(self._plan, field, dl_dradiance,
+                                        jitter=jitter)
+        else:
+            # Override bundles have no generating camera; the reference's
+            # dCam is a zero stub always (diff_cpu.cpp:41-47,74).
+            cam = {"c2w": jnp.zeros((3, 4), jnp.float32),
+                   "k": jnp.zeros((3, 3), jnp.float32),
+                   "ortho_scale": jnp.zeros((), jnp.float32)}
         return d_sigma_s, d_color_s, sigma_g, color_g, cam
 
     def backward(self, field: DenseGridField, dl_di,
@@ -379,14 +443,15 @@ class Renderer:
         ``dl_di`` is flat (ray_count*3,) or (ray_count, 3): the loss gradient
         w.r.t. per-ray radiance.
         """
-        if self._last_field is None:
+        if self._last_field is None or self._last_mode is None:
             raise DvrenError.invalid_argument(
                 "Backward requires a prior Forward")
+        mode = self._last_mode
         # The streamed/windowed backward drives field.with_params + the
         # dense sigma/color params; the in-memory path needs the explicit
         # scatter hook. Either way, only dense voxel grids are supported.
         dense_like = (hasattr(field, "accumulate_sample_gradients")
-                      if not (self._streaming or self._options.use_window)
+                      if mode in ("fused", "override")
                       else (hasattr(field, "with_params")
                             and hasattr(field, "sigma")
                             and hasattr(field, "color")))
@@ -395,12 +460,18 @@ class Renderer:
                 "Renderer.backward targets dense voxel grids (the reference "
                 "hp_diff contract); train other field families through "
                 "jax.grad over dvren_tpu.render.pipeline.render")
-        n = self._plan.ray_count
+        n = self._last_ray_count
         dl = np.asarray(dl_di, np.float32).reshape(-1)
         check(dl.size == n * 3,
               f"dL/dI must have {n * 3} elements, got {dl.size}")
-        if self._streaming or self._options.use_window:
-            # Windowed forwards never materialize the lattice either; the
+        if mode == "windowed" and self._window_schedule is not None:
+            # Differentiate the windowed replay itself: the schedule's
+            # zero-contribution clipping is gradient-exact for OOB_ZERO
+            # fields (skipped samples have sigma == 0 in an open
+            # neighborhood, so their adjoint is identically zero).
+            return self._backward_windowed(field, dl.reshape(n, 3), out)
+        if mode in ("streamed", "windowed"):
+            # Streaming forwards never materialize the lattice; the
             # streamed backward computes identical gradients (same math,
             # full lattice with remat) plus camera grads.
             return self._backward_streamed(field, dl.reshape(n, 3), out)
@@ -410,7 +481,8 @@ class Renderer:
 
         dl_dev = jnp.asarray(dl.reshape(n, 3))
         _, _, sigma_g, color_g, cam = self._backward_jit(
-            field, outputs, dl_dev)
+            field, outputs, dl_dev, self._device_jitter(),
+            mode != "override")
 
         result = out or BackwardResult(
             sigma=np.empty(0), color=np.empty(0),
@@ -424,39 +496,28 @@ class Renderer:
 
     Backward = backward
 
-    def _backward_streamed(self, field: DenseGridField, dl: np.ndarray,
-                           out: BackwardResult | None) -> BackwardResult:
-        """Streaming-mode backward: per-ray dL/dI is scattered to the image
-        plane (generated rays own their pixels) and the gradient streams the
-        same ray tiles as the forward with per-tile rematerialization -
-        no aux persisted, matching the in-kernel-recompute design
-        (BASELINE.json north star) rather than the reference's stored aux."""
+    def _dl_image(self, dl: np.ndarray) -> jnp.ndarray:
+        """Scatter per-ray dL/dI (N, 3) into the (H, W, 3) image plane
+        (generated rays own their pixels)."""
         plan = self._plan
         roi = plan.roi
         dl_img = np.zeros((plan.height, plan.width, 3), np.float32)
         ys = roi.y + np.arange(plan.ray_count) // roi.width
         xs = roi.x + np.arange(plan.ray_count) % roi.width
         dl_img[ys, xs] = dl
-        dl_dev = jnp.asarray(dl_img)
-        jitter = self._device_jitter()
+        return jnp.asarray(dl_img)
 
-        if self._stream_bwd_jit is None:
-            plan_ref = self._plan
+    @staticmethod
+    def _field_meta_key(field) -> tuple:
+        """Static facts a cached backward executable was traced against;
+        a later call with different field *metadata* (same array shapes)
+        must rebuild, or gradients silently use the stale configuration."""
+        return (tuple(field.bbox_min), tuple(field.bbox_max),
+                getattr(field, "interp", None), getattr(field, "oob", None),
+                getattr(field, "packed_dtype", None))
 
-            def loss(params, c2w, k_mat, dl_img_dev, jitter):
-                f = field.with_params(*params)
-                planes = pipeline_mod.render_streamed(
-                    plan_ref, f, k=k_mat, c2w=c2w, jitter=jitter)
-                return jnp.sum(planes.image * dl_img_dev)
-
-            self._stream_bwd_jit = jax.jit(
-                jax.grad(loss, argnums=(0, 1, 2)))
-
-        k0 = jnp.asarray(plan.camera.k, jnp.float32).reshape(3, 3)
-        c2w0 = jnp.asarray(plan.camera.c2w, jnp.float32).reshape(3, 4)
-        (sigma_g, color_g), dc2w, dk = self._stream_bwd_jit(
-            (field.sigma, field.color), c2w0, k0, dl_dev, jitter)
-
+    def _finish_backward(self, grads, out: BackwardResult | None):
+        (sigma_g, color_g), dc2w, dk = grads
         result = out or BackwardResult(
             sigma=np.empty(0), color=np.empty(0),
             camera=np.zeros((3, 4), np.float32))
@@ -467,10 +528,75 @@ class Renderer:
         result.sample_count = self._analytic_sample_count()
         return result
 
+    def _backward_streamed(self, field: DenseGridField, dl: np.ndarray,
+                           out: BackwardResult | None) -> BackwardResult:
+        """Streaming-mode backward: per-ray dL/dI is scattered to the image
+        plane (generated rays own their pixels) and the gradient streams the
+        same ray tiles as the forward with per-tile rematerialization -
+        no aux persisted, matching the in-kernel-recompute design
+        (BASELINE.json north star) rather than the reference's stored aux."""
+        plan = self._plan
+        dl_dev = self._dl_image(dl)
+        jitter = self._device_jitter()
+
+        meta_key = self._field_meta_key(field)
+        if self._stream_bwd_jit is None or self._stream_bwd_key != meta_key:
+            plan_ref = self._plan
+            field_ref = field  # static metadata only; params are traced
+
+            def loss(params, c2w, k_mat, dl_img_dev, jitter):
+                f = field_ref.with_params(*params)
+                planes = pipeline_mod.render_streamed(
+                    plan_ref, f, k=k_mat, c2w=c2w, jitter=jitter)
+                return jnp.sum(planes.image * dl_img_dev)
+
+            self._stream_bwd_jit = jax.jit(
+                jax.grad(loss, argnums=(0, 1, 2)))
+            self._stream_bwd_key = meta_key
+
+        k0 = jnp.asarray(plan.camera.k, jnp.float32).reshape(3, 3)
+        c2w0 = jnp.asarray(plan.camera.c2w, jnp.float32).reshape(3, 4)
+        grads = self._stream_bwd_jit(
+            (field.sigma, field.color), c2w0, k0, dl_dev, jitter)
+        return self._finish_backward(grads, out)
+
+    def _backward_windowed(self, field: DenseGridField, dl: np.ndarray,
+                           out: BackwardResult | None) -> BackwardResult:
+        """Windowed-mode backward: differentiates the same windowed replay
+        the forward executed (schedule reuse), instead of falling back to
+        the full-lattice streamed gradient. Camera gradients flow through
+        the windowed ray generation at the schedule's camera."""
+        from dvren_tpu.render import windowed as windowed_mod
+
+        plan = self._plan
+        dl_dev = self._dl_image(dl)
+        schedule = self._window_schedule
+
+        meta_key = self._field_meta_key(field)
+        if self._window_bwd_jit is None or self._window_bwd_key != meta_key:
+            plan_ref = self._plan
+            field_ref = field
+
+            def loss(params, c2w, k_mat, dl_img_dev):
+                f = field_ref.with_params(*params)
+                planes = windowed_mod.render_windowed_traced(
+                    plan_ref, f, schedule, k=k_mat, c2w=c2w)
+                return jnp.sum(planes.image * dl_img_dev)
+
+            self._window_bwd_jit = jax.jit(
+                jax.grad(loss, argnums=(0, 1, 2)))
+            self._window_bwd_key = meta_key
+
+        k0 = jnp.asarray(plan.camera.k, jnp.float32).reshape(3, 3)
+        c2w0 = jnp.asarray(plan.camera.c2w, jnp.float32).reshape(3, 4)
+        grads = self._window_bwd_jit(
+            (field.sigma, field.color), c2w0, k0, dl_dev)
+        return self._finish_backward(grads, out)
+
     def per_sample_gradients(self, dl_di) -> tuple[np.ndarray, np.ndarray]:
         """Packed per-sample (dsigma (M,), dcolor (M,3)) - ``hp_diff`` parity
         view over live samples in ray-major order."""
-        if self._streaming or self._options.use_window:
+        if self._last_mode in ("streamed", "windowed"):
             raise DvrenError.unsupported(
                 "per-sample gradient views are unavailable in streaming/"
                 "windowed mode (the lattice is never materialized); use a "
@@ -479,7 +605,7 @@ class Renderer:
             raise DvrenError.invalid_argument(
                 "per_sample_gradients requires a prior Forward")
         outputs = self._last_outputs
-        n = self._plan.ray_count
+        n = self._last_ray_count
         dl_dev = jnp.asarray(
             np.asarray(dl_di, np.float32).reshape(n, 3))
         d_sigma, d_color = diff_ops.per_sample_grads(
@@ -493,7 +619,7 @@ class Renderer:
         hp.h:132-138): positions (M,3), dt (M,), sigma (M,), color (M,3),
         ray_offset (N+1,) over live samples in ray-major order. Uses the
         native C packing when available."""
-        if self._streaming or self._options.use_window:
+        if self._last_mode in ("streamed", "windowed"):
             raise DvrenError.unsupported(
                 "packed sample views are unavailable in streaming/windowed "
                 "mode")
@@ -563,4 +689,15 @@ class Renderer:
                     getattr(mem, "temp_size_in_bytes", 0))
             except Exception:  # pragma: no cover - backend-dependent
                 info.workspace_buffer_bytes = 0
+        if not info.workspace_buffer_bytes:
+            # Analytic scratch estimate when no AOT executable exists (the
+            # reference reports real scratch always, renderer.cpp:572-610):
+            # the dominant XLA temporaries are the gathered packed-stencil
+            # rows (32 f32/sample) plus ~8 live sample planes, over one
+            # streaming tile (streamed/windowed) or the full lattice.
+            if self._streaming or self._options.use_window:
+                live = min(nk, pipeline_mod.default_ray_tile(plan) * k)
+            else:
+                live = nk
+            info.workspace_buffer_bytes = live * (32 + 8) * f32
         return info

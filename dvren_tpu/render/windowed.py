@@ -81,12 +81,15 @@ def _windows(plan: Plan, bbox_min, bbox_max):
     lo = np.asarray(bbox_min, np.float64)
     hi = np.asarray(bbox_max, np.float64)
 
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t0 = (lo - o) / d
-        t1 = (hi - o) / d
-    near = np.where(np.isnan(t0), -np.inf, np.minimum(t0, t1)).max(axis=1)
-    far = np.where(np.isnan(t1), np.inf, np.maximum(t0, t1)).min(axis=1)
-    # rays parallel to an axis outside the slab never enter
+    # d == 0 axes are handled explicitly (a ray on a bbox face with d == 0
+    # is inside that slab for all t: local == 0 or 1 is in [0, 1]); relying
+    # on NaN propagation from 0/0 silently dropped face-coplanar rays.
+    with np.errstate(divide="ignore"):
+        t0 = np.where(d == 0, -np.inf, (lo - o) / d)
+        t1 = np.where(d == 0, np.inf, (hi - o) / d)
+    near = np.minimum(t0, t1).max(axis=1)
+    far = np.maximum(t0, t1).min(axis=1)
+    # rays parallel to an axis strictly outside the slab never enter
     parallel_out = ((d == 0) & ((o < lo) | (o > hi))).any(axis=1)
     hit = (far >= near) & (far >= 0) & ~parallel_out
 
@@ -96,6 +99,9 @@ def _windows(plan: Plan, bbox_min, bbox_max):
     enter_t = np.maximum(near, t_near)
     exit_t = np.minimum(far, t_far)
     hit &= exit_t > enter_t
+    # sanitize before the int casts below: missed rays may carry +/-inf
+    enter_t = np.where(hit, enter_t, t_near)
+    exit_t = np.where(hit, exit_t, t_near)
 
     k_enter = np.floor((enter_t - t_near) / dt).astype(np.int64) - 1
     k_exit = np.ceil((exit_t - t_near) / dt).astype(np.int64) + 1
@@ -209,14 +215,18 @@ def render_windowed(
         op_parts.append(out[3])
         dep_parts.append(out[4])
 
+    if not schedule.groups:  # bbox misses every ray: background frame
+        return _compose_groups(plan, *_empty_parts())
     return _compose_groups(
         plan, jnp.concatenate(pid_parts), jnp.concatenate(rad_parts),
         jnp.concatenate(tr_parts), jnp.concatenate(op_parts),
         jnp.concatenate(dep_parts))
 
 
-def _group_outputs(plan, budget, field, ids, k_enter, block_jitter):
-    rays = generate_rays(plan, ids=ids)
+def _group_outputs(plan, budget, field, ids, k_enter, block_jitter,
+                   k=None, c2w=None, ortho_scale=None):
+    rays = generate_rays(plan, ids=ids, k=k, c2w=c2w,
+                         ortho_scale=ortho_scale)
     # Without precomputed jitter rows, the in-graph stratified emulation
     # must be keyed on the GLOBAL ray ids (the group order is a length-
     # sorted permutation), not the local group index - offset arange(n)
@@ -244,7 +254,9 @@ _REMAT_RESIDUAL_BUDGET = 4 << 30  # bytes of saved residuals allowed w/o remat
 
 
 def render_windowed_traced(plan: Plan, field, schedule: WindowedSchedule,
-                           remat: bool | None = None) -> ImagePlanes:
+                           remat: bool | None = None,
+                           k=None, c2w=None,
+                           ortho_scale=None) -> ImagePlanes:
     """Pure (traceable) windowed render: the whole frame is ONE executable.
 
     Use inside a caller ``jax.jit``/``jax.grad`` for steady-state replay -
@@ -258,6 +270,11 @@ def render_windowed_traced(plan: Plan, field, schedule: WindowedSchedule,
     recompute (+22% measured on v5e at 512^2). Default (None) picks
     remat=False when the analytic residual estimate (~200 B/sample) fits
     a 4 GiB budget.
+
+    ``k``/``c2w``/``ortho_scale`` may be traced camera arrays for pose /
+    intrinsics gradients AT the schedule's camera (the window was built for
+    the plan camera; evaluating at a materially different camera would use
+    a stale window - rebuild the schedule instead).
     """
     check(getattr(field, "oob", OobPolicy.ZERO) == OobPolicy.ZERO,
           "window clipping requires an OOB_ZERO field (outside samples "
@@ -266,10 +283,20 @@ def render_windowed_traced(plan: Plan, field, schedule: WindowedSchedule,
         remat = schedule.windowed_samples * 200 > _REMAT_RESIDUAL_BUDGET
     group_fn = jax.checkpoint(_group_outputs, static_argnums=(0, 1)) \
         if remat else _group_outputs
-    parts = [group_fn(plan, budget, field, ids, ke, jit_rows)
+    if not schedule.groups:  # bbox misses every ray: background frame
+        return _compose_planes(plan, *_empty_parts())
+    parts = [group_fn(plan, budget, field, ids, ke, jit_rows,
+                      k, c2w, ortho_scale)
              for budget, ids, ke, jit_rows in schedule.groups]
     return _compose_planes(
         plan, *(jnp.concatenate([p[i] for p in parts]) for i in range(5)))
+
+
+def _empty_parts():
+    """Zero-ray plane parts: composing them yields the background frame."""
+    z = jnp.zeros((0,), jnp.float32)
+    return (jnp.zeros((0,), jnp.int32), jnp.zeros((0, 3), jnp.float32),
+            z, z, z)
 
 
 def _compose_planes(plan, pids, rad, tr, op, dep):
