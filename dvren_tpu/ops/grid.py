@@ -177,6 +177,33 @@ def build_packed_stencil(sigma: jnp.ndarray, color: jnp.ndarray,
     return jnp.concatenate(parts, axis=-1).astype(dtype)
 
 
+def build_packed_stencil_chmajor(sigma: jnp.ndarray, color: jnp.ndarray,
+                                 dtype=jnp.float32) -> jnp.ndarray:
+    """Channel-major packed trilinear stencil: (Z-1, Y-1, X-1, 32) where
+    column [ch * 8 + corner] holds channel ch (sigma, r, g, b) of corner
+    (dz, dy, dx) with corner = dz*4 + dy*2 + dx.
+
+    The tiled fused kernel wants this ordering so that the per-channel
+    corner sum is a contiguous 8-row reduction (ops/fused_tiles.py); the
+    classic interleaved layout is :func:`build_packed_stencil`.
+    Differentiable like its sibling (shifted-slice concat vjp).
+    """
+    z, y, x = sigma.shape
+    zm, ym, xm = z - 1, y - 1, x - 1
+    parts = []
+    for ch in range(4):
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    if ch == 0:
+                        parts.append(sigma[dz:dz + zm, dy:dy + ym,
+                                           dx:dx + xm, None])
+                    else:
+                        parts.append(color[dz:dz + zm, dy:dy + ym,
+                                           dx:dx + xm, ch - 1:ch])
+    return jnp.concatenate(parts, axis=-1).astype(dtype)
+
+
 def _split_u16(table: jnp.ndarray) -> jnp.ndarray:
     """f32 (C, W) -> u16 (C, 2W): hi halves then lo halves, row-aligned."""
     bits = jax.lax.bitcast_convert_type(table, jnp.uint32)

@@ -1,0 +1,416 @@
+"""Tile-table render scheduling: the host side of the fused Pallas path.
+
+The TPU-native successor to the bbox window schedule (render/windowed.py):
+instead of only clipping each ray's lattice window, the host *fully
+resolves the memory access pattern* of the render at schedule-build time -
+the capture-specialization model taken to its conclusion. For a fixed
+(plan, camera, field bbox) every sample's cell and trilinear weights are
+static; only the field VALUES change between calls. The schedule:
+
+1. tiles the ROI into 16x16-pixel blocks (256 rays), each with a shared
+   step window [k_enter, k_enter + budget) split into 8-step chunks;
+2. per (tile, chunk), collects the <= 128 distinct grid cells its 2048
+   samples touch (spatially coherent rays guarantee small cell sets) and
+   assigns each sample a local slot id in that table;
+3. per sample, precomputes the trilinear fractions and the inside-bbox
+   mask, mirroring the device float32 math.
+
+At render time the device gathers each (tile, chunk) cell table from the
+packed-stencil table with ONE row-gather per slot (~16x fewer gather
+starts than one per sample - the measured XLA bottleneck), and the fused
+Pallas kernel (ops/fused_tiles.py) turns table rows into per-sample values
+with exact one-hot matmuls on the MXU: no per-sample gather ever runs.
+
+Tiles whose cell set overflows 128 slots anywhere (extreme grid/frustum
+ratios) fall back to the windowed path; correctness never depends on the
+tile geometry. Sample layout per (tile, chunk): block row r in [0,16),
+lane = (ray_in_tile %% 16) * 8 + step, ray_in_tile = r * 16 + lane // 8.
+
+Reference role model: hp_samp_int_fused + CUDA Graph steady state
+(/root/reference/hotpath/src/cpu/samp_int_fused.cpp:11-76,
+/root/reference/hotpath/src/cuda/graph_cuda.cu:120-205).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvren_tpu.core.plan import OobPolicy, Plan
+from dvren_tpu.core.status import check
+from dvren_tpu.ops import grid as grid_ops
+from dvren_tpu.ops.compose import ImagePlanes
+from dvren_tpu.ops.integrate import integrate
+from dvren_tpu.render import windowed as windowed_mod
+
+TILE_W = 16
+TILE_H = 16
+RAYS_PER_TILE = TILE_W * TILE_H
+CHUNK = 8
+MAX_CELLS = 128
+_SENTINEL = np.int64(1) << 62
+
+_FLT_MIN = np.float32(1.1754943508222875e-38)
+
+
+@dataclass(frozen=True)
+class TileGroup:
+    """All tiles sharing one chunk count (static kernel shape)."""
+
+    n_chunks: int
+    n_tiles: int
+    hostmap: jnp.ndarray     # (T*nc*128,) int32 packed-table row per slot
+    lidx: jnp.ndarray        # (T, nc, 16, 128) int32 slot per sample
+    fracs: jnp.ndarray       # (T, nc, 4, 16, 128) f32: tx, ty, tz, m
+    k_enter: jnp.ndarray     # (T,) int32 tile window start
+    pixel_ids: jnp.ndarray   # (T*256,) int32 compose targets
+    samples: int             # live sample count (stats)
+
+
+@dataclass(frozen=True)
+class TiledSchedule:
+    groups: tuple            # of TileGroup
+    fallback: object         # windowed.WindowedSchedule | None (overflow rays)
+    total_rays: int
+    tiled_samples: int
+    full_lattice_samples: int
+    fallback_rays: int
+    grid_shape: tuple        # (nz, ny, nx) the schedule's cell ids index
+    bbox: tuple              # ((min), (max)) the windows/cells assume
+
+
+def _tile_rays(plan: Plan):
+    """Global ray ids per tile, (n_tiles, 256) with -1 padding."""
+    roi = plan.roi
+    tx_n = -(-roi.width // TILE_W)
+    ty_n = -(-roi.height // TILE_H)
+    tiles = []
+    for ty in range(ty_n):
+        for tx in range(tx_n):
+            ly = ty * TILE_H + np.arange(TILE_H)
+            lx = tx * TILE_W + np.arange(TILE_W)
+            yy, xx = np.meshgrid(ly, lx, indexing="ij")
+            ids = np.where((yy < roi.height) & (xx < roi.width),
+                           yy * roi.width + xx, -1)
+            tiles.append(ids.reshape(-1))
+    return np.stack(tiles)  # (n_tiles, 256) ray ids in row-major tile order
+
+
+def build_tiled_schedule(plan: Plan, field,
+                         jitter: np.ndarray | None = None) -> TiledSchedule:
+    """Build the tile-table schedule for (plan, field bbox + resolution).
+
+    ``jitter``: the (N, K) host table for stratified plans
+    (pipeline.plan_jitter_table); required when the plan is stratified.
+    Valid for any field sharing the same bbox AND grid resolution
+    (cell ids depend on both); the driver checks.
+    """
+    check(getattr(field, "oob", OobPolicy.ZERO) == OobPolicy.ZERO,
+          "tiled rendering requires an OOB_ZERO field")
+    bbox_min = tuple(float(v) for v in field.bbox_min)
+    bbox_max = tuple(float(v) for v in field.bbox_max)
+    nz, ny, nx = (int(v) for v in np.asarray(field.sigma.shape[:3]))
+    check(min(nx, ny, nz) >= 2, "tiled rendering requires grid dims >= 2")
+
+    n = plan.ray_count
+    dt = np.float32(plan.sampling.dt)
+    t_near = np.float32(plan.t_near)
+    t_far = np.float32(plan.t_far)
+    k_max = plan.sampling.max_steps
+
+    o, d = windowed_mod._host_rays(plan)
+    k_enter_ray, k_count_ray = windowed_mod._windows(plan, bbox_min, bbox_max)
+
+    tiles = _tile_rays(plan)                  # (n_tiles, 256)
+    n_tiles_all = tiles.shape[0]
+    safe_ids = np.maximum(tiles, 0)
+    ray_live = (tiles >= 0) & (k_count_ray[safe_ids] > 0)
+
+    ke = np.where(ray_live, k_enter_ray[safe_ids], np.iinfo(np.int32).max)
+    kx = np.where(ray_live, k_enter_ray[safe_ids] + k_count_ray[safe_ids], 0)
+    tile_live = ray_live.any(axis=1)
+    tile_ke = np.where(tile_live, ke.min(axis=1), 0).astype(np.int64)
+    tile_kx = kx.max(axis=1)
+    budget = np.maximum(tile_kx - tile_ke, 0)
+    budget = np.minimum(-(-budget // CHUNK) * CHUNK, -(-k_max // CHUNK) * CHUNK)
+    n_chunks_tile = (budget // CHUNK).astype(np.int64)
+
+    from dvren_tpu.core.plan import SamplingMode
+    if jitter is None and plan.sampling.mode == SamplingMode.STRATIFIED:
+        from dvren_tpu.render.pipeline import plan_jitter_table
+        jitter = plan_jitter_table(plan)
+    if jitter is not None:
+        jitter = np.asarray(jitter, np.float32)
+
+    roi = plan.roi
+    full_samples = n * k_max
+    groups = []
+    fallback_rays: list[np.ndarray] = []
+    tiled_samples = 0
+    pad_pid_base = plan.width * plan.height
+
+    inv_ext = [np.float32(1.0 / (bbox_max[i] - bbox_min[i]))
+               if bbox_max[i] != bbox_min[i] else np.float32(0.0)
+               for i in range(3)]
+
+    for nc in sorted(set(n_chunks_tile[tile_live & (n_chunks_tile > 0)])):
+        sel = np.nonzero(tile_live & (n_chunks_tile == nc))[0]
+        nc = int(nc)
+        t_cnt = sel.size
+        k_steps = nc * CHUNK
+
+        ids = tiles[sel]                              # (T, 256)
+        live_r = ray_live[sel]
+        safe = np.maximum(ids, 0)
+        ot = o[safe].astype(np.float32)               # (T, 256, 3)
+        dtn = d[safe].astype(np.float32)
+        ke_t = tile_ke[sel].astype(np.int64)          # (T,)
+
+        k = (ke_t[:, None, None]
+             + np.arange(k_steps, dtype=np.int64)[None, None, :])  # (T,1,K)
+        k = np.broadcast_to(k, (t_cnt, RAYS_PER_TILE, k_steps))
+        base_t = t_near + k.astype(np.float32) * dt
+        live = (base_t < t_far) & (k < k_max) & live_r[:, :, None]
+
+        if jitter is not None:
+            rows = np.minimum(safe, n - 1)
+            cols = np.minimum(k, jitter.shape[1] - 1)
+            jit = jitter[rows[:, :, None], cols]
+        else:
+            jit = np.float32(0.5)
+        sample_t = (base_t + jit * dt).astype(np.float32)
+        nudge = np.nextafter(t_far, t_near, dtype=np.float32)
+        sample_t = np.where(sample_t >= t_far, nudge, sample_t)
+
+        px = ot[:, :, 0:1] + dtn[:, :, 0:1] * sample_t
+        py = ot[:, :, 1:2] + dtn[:, :, 1:2] * sample_t
+        pz = ot[:, :, 2:3] + dtn[:, :, 2:3] * sample_t
+
+        def _axis(p, lo, inv, npts):
+            local = ((p - np.float32(lo)) * inv).astype(np.float32)
+            inside = (local >= 0.0) & (local <= 1.0)
+            f = (local * np.float32(npts - 1)).astype(np.float32)
+            i = np.clip(np.floor(f), 0, npts - 2).astype(np.int64)
+            return inside, i, (f - i).astype(np.float32)
+
+        in_x, ix, tx = _axis(px, bbox_min[0], inv_ext[0], nx)
+        in_y, iy, ty = _axis(py, bbox_min[1], inv_ext[1], ny)
+        in_z, iz, tz = _axis(pz, bbox_min[2], inv_ext[2], nz)
+        m = (in_x & in_y & in_z & live)
+        cell = (iz * (ny - 1) + iy) * (nx - 1) + ix   # packed-table row
+
+        # -> (tile, chunk, block row, lane) sample layout
+        def to_lanes(a):
+            # (T, 256, K) -> (T, nc, 16, 128): ray r=(row*16+rl), step j
+            a = a.reshape(t_cnt, 16, 16, nc, CHUNK)       # (T,row,rl,c,j)
+            a = a.transpose(0, 3, 1, 2, 4)                # (T,c,row,rl,j)
+            return a.reshape(t_cnt, nc, 16, 128)
+
+        cell_l = to_lanes(np.where(m, cell, _SENTINEL))
+        tx_l, ty_l, tz_l = to_lanes(tx), to_lanes(ty), to_lanes(tz)
+        m_l = to_lanes(m.astype(np.float32))
+
+        # unique cells + local slots per (tile, chunk)
+        flat = cell_l.reshape(t_cnt * nc, 16 * 128)
+        order = np.argsort(flat, axis=1, kind="stable")
+        sc = np.take_along_axis(flat, order, 1)
+        new = np.ones(flat.shape, bool)
+        new[:, 1:] = sc[:, 1:] != sc[:, :-1]
+        rank = np.cumsum(new, axis=1) - 1
+        nuniq = rank[:, -1] + 1
+        lidx = np.empty(flat.shape, np.int32)
+        np.put_along_axis(lidx, order, rank.astype(np.int32), 1)
+
+        overflow = (nuniq > MAX_CELLS).reshape(t_cnt, nc).any(axis=1)
+        keep = ~overflow
+        if overflow.any():
+            fallback_rays.append(ids[overflow][live_r[overflow]])
+        if not keep.any():
+            continue
+
+        rowsel = np.repeat(keep, nc)
+        sc_k = sc[rowsel]
+        new_k = new[rowsel]
+        rank_k = rank[rowsel]
+        uniq = np.zeros((sc_k.shape[0], MAX_CELLS), np.int64)
+        rws, cls = np.nonzero(new_k)
+        uniq[rws, rank_k[rws, cls]] = sc_k[rws, cls]
+        uniq[uniq == _SENTINEL] = 0
+
+        lidx_k = np.minimum(lidx.reshape(t_cnt, nc, 16, 128)[keep],
+                            MAX_CELLS - 1)
+        t_kept = int(keep.sum())
+
+        fr = np.stack([tx_l[keep], ty_l[keep], tz_l[keep], m_l[keep]],
+                      axis=2)  # (T, nc, 4, 16, 128)
+
+        ids_k = ids[keep]
+        live_k = live_r[keep]
+        lx = np.where(ids_k >= 0, ids_k % roi.width, 0)
+        ly = np.where(ids_k >= 0, ids_k // roi.width, 0)
+        pids = (roi.y + ly) * plan.width + (roi.x + lx)
+        n_bad = int((~live_k).sum())
+        pids = np.where(live_k, pids,
+                        pad_pid_base + np.cumsum(~live_k.reshape(-1)).reshape(
+                            live_k.shape) - 1)
+        pad_pid_base += n_bad
+
+        tiled_samples += int(m_l[keep].sum())
+        groups.append(TileGroup(
+            n_chunks=nc,
+            n_tiles=t_kept,
+            hostmap=jax.device_put(
+                uniq.astype(np.int32).reshape(-1)),
+            lidx=jax.device_put(lidx_k),
+            fracs=jax.device_put(fr.astype(np.float32)),
+            k_enter=jax.device_put(ke_t[keep].astype(np.int32)),
+            pixel_ids=jax.device_put(pids.reshape(-1).astype(np.int32)),
+            samples=int(m_l[keep].sum()),
+        ))
+
+    fb = None
+    fb_count = 0
+    if fallback_rays:
+        fb_ids = np.concatenate(fallback_rays)
+        fb_count = int(fb_ids.size)
+        fb = windowed_mod.build_schedule(
+            plan, bbox_min, bbox_max, jitter=jitter, ray_subset=fb_ids)
+
+    return TiledSchedule(
+        groups=tuple(groups),
+        fallback=fb,
+        total_rays=n,
+        tiled_samples=tiled_samples,
+        full_lattice_samples=full_samples,
+        fallback_rays=fb_count,
+        grid_shape=(nz, ny, nx),
+        bbox=(bbox_min, bbox_max),
+    )
+
+
+# ----------------------------------------------------------------- consume
+
+def _group_tables(packed_flat: jnp.ndarray, group: TileGroup) -> jnp.ndarray:
+    """Gather + transpose the group's cell tables: (T, nc, 32, 128).
+
+    One row-gather per table SLOT (~16x fewer starts than per-sample)
+    through the bit-exact u16 path."""
+    if packed_flat.dtype == jnp.float32:
+        rows = grid_ops.take_rows_exact(packed_flat, group.hostmap)
+    else:
+        rows = jnp.take(packed_flat, group.hostmap,
+                        axis=0).astype(jnp.float32)
+    tabs = rows.reshape(group.n_tiles, group.n_chunks, MAX_CELLS, 32)
+    return jnp.swapaxes(tabs, 2, 3)
+
+
+def _group_reference_planes(plan: Plan, tabs, group: TileGroup):
+    """Pure-jnp consumer of a tile group (the kernel's reference oracle and
+    the non-TPU fallback): per-sample sigma/color planes in (N, K) layout
+    plus dt/mask, ready for ops.integrate."""
+    t_cnt, nc = group.n_tiles, group.n_chunks
+    # cube[t, c, cc, r, l] = tabs[t, c, cc, lidx[t, c, r, l]]
+    cube = jnp.take_along_axis(
+        tabs[:, :, :, None, :], group.lidx[:, :, None, :, :], axis=-1)
+
+    tx = group.fracs[:, :, 0]
+    ty = group.fracs[:, :, 1]
+    tz = group.fracs[:, :, 2]
+    m = group.fracs[:, :, 3]
+    wx = [1.0 - tx, tx]
+    wy = [1.0 - ty, ty]
+    wz = [m * (1.0 - tz), m * tz]
+    planes = []
+    for ch in range(4):
+        acc = jnp.zeros_like(tx)
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    corner = dz * 4 + dy * 2 + dx
+                    acc = acc + (wz[dz] * wy[dy] * wx[dx]
+                                 * cube[:, :, ch * 8 + corner])
+                    # channel-major packed layout: col = ch * 8 + corner
+        planes.append(acc)
+    return tuple(planes)  # sigma, r, g, b as (T, nc, 16, 128)
+
+
+def _lanes_to_rays(a):
+    """(T, nc, 16, 128) sample layout -> (T*256 rays, nc*8 steps)."""
+    t_cnt, nc = a.shape[0], a.shape[1]
+    a = a.reshape(t_cnt, nc, 16, 16, CHUNK)       # (T,c,row,rl,j)
+    a = a.transpose(0, 2, 3, 1, 4)                # (T,row,rl,c,j)
+    return a.reshape(t_cnt * RAYS_PER_TILE, nc * CHUNK)
+
+
+def _group_outputs_reference(plan: Plan, packed_flat, group: TileGroup):
+    """Per-ray integration outputs for one group (pure jnp)."""
+    tabs = _group_tables(packed_flat, group)
+    sig, cr, cg, cb = (_lanes_to_rays(p) for p in
+                       _group_reference_planes(plan, tabs, group))
+
+    nc = group.n_chunks
+    k_steps = nc * CHUNK
+    dt = jnp.float32(plan.sampling.dt)
+    k = (group.k_enter.astype(jnp.int32)[:, None]
+         + jnp.arange(k_steps, dtype=jnp.int32)[None, :])  # (T, K)
+    k = jnp.repeat(k, RAYS_PER_TILE, axis=0)
+    base_t = jnp.float32(plan.t_near) + k.astype(jnp.float32) * dt
+    live = (base_t < plan.t_far) & (k < plan.sampling.max_steps)
+    dt_act = jnp.where(
+        live, jnp.minimum(base_t + dt, plan.t_far) - base_t, 0.0)
+
+    t_origin = (jnp.float32(plan.t_near)
+                + jnp.repeat(group.k_enter.astype(jnp.float32),
+                             RAYS_PER_TILE) * dt)
+    intl = integrate(sig, (cr, cg, cb), dt_act, live, plan.t_near,
+                     plan.t_far, with_aux=False, t_cursor_origin=t_origin)
+    return (group.pixel_ids, intl.radiance, intl.transmittance,
+            intl.opacity, intl.depth)
+
+
+def render_tiled(plan: Plan, field, schedule: TiledSchedule,
+                 use_kernel: bool = True) -> ImagePlanes:
+    """Tile-table forward render (traceable; jit/grad over the field).
+
+    ``use_kernel=False`` runs the pure-jnp reference consumer (any
+    backend); True runs the fused Pallas kernel (TPU).
+    """
+    check(tuple(int(v) for v in np.asarray(field.sigma.shape[:3]))
+          == tuple(schedule.grid_shape),
+          "schedule was built for a different grid resolution")
+    check(getattr(field, "oob", OobPolicy.ZERO) == OobPolicy.ZERO,
+          "tiled rendering requires an OOB_ZERO field")
+
+    table_dtype = (jnp.bfloat16
+                   if getattr(field, "packed_dtype", "float32") == "bfloat16"
+                   else jnp.float32)
+    packed = grid_ops.build_packed_stencil_chmajor(
+        field.sigma, field.color, dtype=table_dtype)
+    packed_flat = packed.reshape(-1, 32)
+
+    parts = []
+    for group in schedule.groups:
+        if use_kernel:
+            from dvren_tpu.ops import fused_tiles
+            tabs = _group_tables(packed_flat, group)
+            out = fused_tiles.render_tile_group(
+                plan, tabs, group.lidx, group.fracs, group.k_enter,
+                group.n_chunks)
+            parts.append((group.pixel_ids,) + out)
+        else:
+            parts.append(_group_outputs_reference(plan, packed_flat, group))
+
+    if schedule.fallback is not None:
+        for (budget, ids_dev, ke_dev, jit_rows) in schedule.fallback.groups:
+            out = windowed_mod._group_outputs(
+                plan, budget, field, ids_dev, ke_dev, jit_rows)
+            parts.append(out)
+
+    if not parts:
+        return windowed_mod._compose_planes(
+            plan, *windowed_mod._empty_parts())
+    return windowed_mod._compose_planes(
+        plan, *(jnp.concatenate([p[i] for p in parts]) for i in range(5)))

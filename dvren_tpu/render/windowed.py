@@ -64,9 +64,13 @@ def _host_rays(plan: Plan):
         v = (py - k[1, 2]) / k[1, 1] * scale
         d = np.broadcast_to(rot[:, 2], (n, 3)).astype(np.float32)
         o = (trans + np.stack([u, v], -1) @ rot[:, :2].T).astype(np.float32)
-    norm = np.sqrt(np.maximum((d * d).sum(-1, keepdims=True),
-                              np.finfo(np.float32).tiny))
-    return o, (d / norm).astype(np.float32)
+    # mirror device rounding exactly: inv = 1/sqrt(max(len_sq, FLT_MIN)),
+    # then multiply (ops/raygen.py:135-137); dividing by sqrt rounds
+    # differently by 1 ulp.
+    len_sq = np.maximum((d * d).sum(-1, keepdims=True).astype(np.float32),
+                        np.float32(1.1754943508222875e-38))
+    inv = np.float32(1.0) / np.sqrt(len_sq)
+    return o, (d * inv).astype(np.float32)
 
 
 def _windows(plan: Plan, bbox_min, bbox_max):
@@ -84,13 +88,23 @@ def _windows(plan: Plan, bbox_min, bbox_max):
     # d == 0 axes are handled explicitly (a ray on a bbox face with d == 0
     # is inside that slab for all t: local == 0 or 1 is in [0, 1]); relying
     # on NaN propagation from 0/0 silently dropped face-coplanar rays.
-    with np.errstate(divide="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore"):
         t0 = np.where(d == 0, -np.inf, (lo - o) / d)
         t1 = np.where(d == 0, np.inf, (hi - o) / d)
     near = np.minimum(t0, t1).max(axis=1)
     far = np.maximum(t0, t1).min(axis=1)
-    # rays parallel to an axis strictly outside the slab never enter
-    parallel_out = ((d == 0) & ((o < lo) | (o > hi))).any(axis=1)
+    # Rays parallel to an axis outside the slab never enter. "Outside" must
+    # mirror the DEVICE's float32 local-coordinate test (ops/grid.py
+    # _axis_local), not an f64 comparison: an origin 1 ulp past the face in
+    # f64 can still round to local == 1.0 in f32 (inside; the device
+    # renders it), so the f64 test would wrongly drop the ray.
+    o32 = o.astype(np.float32)
+    ext = (hi - lo).astype(np.float64)
+    inv32 = np.where(ext != 0.0, 1.0 / np.where(ext == 0.0, 1.0, ext),
+                     0.0).astype(np.float32)
+    local32 = ((o32 - lo.astype(np.float32)) * inv32).astype(np.float32)
+    slab_out32 = (local32 < 0.0) | (local32 > 1.0)
+    parallel_out = ((d == 0) & slab_out32).any(axis=1)
     hit = (far >= near) & (far >= 0) & ~parallel_out
 
     dt = plan.sampling.dt
@@ -131,12 +145,18 @@ class WindowedSchedule:
 
 
 def build_schedule(plan: Plan, bbox_min, bbox_max, block: int = 32768,
-                   jitter: np.ndarray | None = None) -> WindowedSchedule:
+                   jitter: np.ndarray | None = None,
+                   ray_subset: np.ndarray | None = None) -> WindowedSchedule:
     """``jitter``: the full (N, K) host table (plan_jitter_table) when the
     plan samples stratified; its window rows are gathered here and shipped
-    to the device once."""
+    to the device once. ``ray_subset``: restrict the schedule to these
+    global ray ids (the tiled path's overflow fallback)."""
     k_enter, k_count = _windows(plan, bbox_min, bbox_max)
     n = plan.ray_count
+    if ray_subset is not None:
+        subset_mask = np.zeros(n, bool)
+        subset_mask[np.asarray(ray_subset, np.int64)] = True
+        k_count = np.where(subset_mask, k_count, 0)
     live = np.nonzero(k_count > 0)[0]
     order = live[np.argsort(-k_count[live], kind="stable")]
     if jitter is not None:

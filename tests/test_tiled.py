@@ -1,0 +1,132 @@
+"""Tile-table schedule + fused-tile render == full render (OOB_ZERO)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dvren_tpu import (
+    CameraConfig, CameraModel, DenseGridConfig, DenseGridField, Plan,
+    PlanConfig, Roi, SamplingConfig, SamplingMode,
+)
+from dvren_tpu.render.pipeline import plan_jitter_table, render
+from dvren_tpu.render.tiled import build_tiled_schedule, render_tiled
+
+
+def scene(mode=SamplingMode.FIXED, width=48, height=32, n=8,
+          bbox=((0.3, 0.3, 0.2), (0.8, 0.9, 0.7)), seed=3, **plan_kw):
+    rng = np.random.default_rng(seed)
+    plan = Plan.create(PlanConfig(
+        width=width, height=height, t_near=0.1, t_far=3.1, seed=17,
+        camera=CameraConfig(
+            k=(width * 1.25, 0, width / 2, 0, width * 1.25, height / 2,
+               0, 0, 1),
+            c2w=(1, 0, 0, 0.5, 0, 1, 0, 0.55, 0, 0, 1, -1.1)),
+        sampling=SamplingConfig(dt=0.05, max_steps=60, mode=mode),
+        **plan_kw))
+    field = DenseGridField.create(DenseGridConfig(
+        resolution=(n, n, n),
+        sigma=rng.uniform(0.5, 8.0, n ** 3),
+        color=rng.uniform(0, 1, 3 * n ** 3),
+        bbox_min=bbox[0], bbox_max=bbox[1]))
+    return plan, field
+
+
+def assert_planes_close(a, b, tol=1e-5):
+    np.testing.assert_allclose(np.asarray(a.image), np.asarray(b.image),
+                               atol=tol)
+    np.testing.assert_allclose(np.asarray(a.transmittance),
+                               np.asarray(b.transmittance), atol=tol)
+    np.testing.assert_allclose(np.asarray(a.opacity),
+                               np.asarray(b.opacity), atol=tol)
+    np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth),
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(a.hitmask),
+                                  np.asarray(b.hitmask))
+
+
+def test_tiled_reference_matches_full_fixed():
+    plan, field = scene()
+    schedule = build_tiled_schedule(plan, field)
+    assert schedule.tiled_samples < schedule.full_lattice_samples
+    full = render(plan, field).planes
+    out = render_tiled(plan, field, schedule, use_kernel=False)
+    assert_planes_close(out, full)
+
+
+def test_tiled_reference_matches_full_stratified():
+    plan, field = scene(mode=SamplingMode.STRATIFIED)
+    jitter = plan_jitter_table(plan)
+    schedule = build_tiled_schedule(plan, field, jitter=jitter)
+    full = render(plan, field, jitter=jnp.asarray(jitter)).planes
+    out = render_tiled(plan, field, schedule, use_kernel=False)
+    assert_planes_close(out, full)
+
+
+def test_tiled_roi_and_nonmultiple_dims():
+    # 50x38 image with an offset ROI: tiles pad past the ROI edge
+    plan, field = scene(width=50, height=38,
+                        roi=Roi(x=3, y=5, width=41, height=27))
+    schedule = build_tiled_schedule(plan, field)
+    full = render(plan, field).planes
+    out = render_tiled(plan, field, schedule, use_kernel=False)
+    assert_planes_close(out, full)
+
+
+def test_tiled_orthographic():
+    rng = np.random.default_rng(6)
+    n = 8
+    plan = Plan.create(PlanConfig(
+        width=40, height=24, t_near=0.1, t_far=2.6, seed=4,
+        camera=CameraConfig(
+            model=CameraModel.ORTHOGRAPHIC, ortho_scale=0.05,
+            k=(1.0, 0, 20.0, 0, 1.0, 12.0, 0, 0, 1),
+            c2w=(1, 0, 0, 0.5, 0, 1, 0, 0.5, 0, 0, 1, -0.8)),
+        sampling=SamplingConfig(dt=0.05, max_steps=52)))
+    field = DenseGridField.create(DenseGridConfig(
+        resolution=(n, n, n),
+        sigma=rng.uniform(0.5, 8.0, n ** 3),
+        color=rng.uniform(0, 1, 3 * n ** 3),
+        bbox_min=(0.2, 0.25, 0.15), bbox_max=(0.85, 0.8, 0.75)))
+    schedule = build_tiled_schedule(plan, field)
+    full = render(plan, field).planes
+    out = render_tiled(plan, field, schedule, use_kernel=False)
+    assert_planes_close(out, full)
+
+
+def test_tiled_gradients_match_full():
+    plan, field = scene(mode=SamplingMode.STRATIFIED)
+    jitter = plan_jitter_table(plan)
+    schedule = build_tiled_schedule(plan, field, jitter=jitter)
+    target = jnp.zeros((plan.height, plan.width, 3))
+
+    def loss_full(params):
+        f = field.with_params(*params)
+        img = render(plan, f, jitter=jnp.asarray(jitter)).planes.image
+        return jnp.mean((img - target) ** 2)
+
+    def loss_tiled(params):
+        f = field.with_params(*params)
+        img = render_tiled(plan, f, schedule, use_kernel=False).image
+        return jnp.mean((img - target) ** 2)
+
+    params = (field.sigma, field.color)
+    g_full = jax.grad(loss_full)(params)
+    g_tiled = jax.grad(loss_tiled)(params)
+    np.testing.assert_allclose(np.asarray(g_tiled[0]), np.asarray(g_full[0]),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g_tiled[1]), np.asarray(g_full[1]),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_tiled_all_miss_background():
+    plan, field = scene()
+    shifted = DenseGridField(
+        sigma=field.sigma, color=field.color,
+        bbox_min=(10.0, 10.0, 10.0), bbox_max=(11.0, 11.0, 11.0),
+        interp=field.interp, oob=field.oob)
+    schedule = build_tiled_schedule(plan, shifted)
+    assert len(schedule.groups) == 0
+    full = render(plan, shifted).planes
+    out = render_tiled(plan, shifted, schedule, use_kernel=False)
+    assert_planes_close(out, full)
