@@ -54,8 +54,9 @@ class DenseGridField:
     """sigma: (Z, Y, X) float32; color: (Z, Y, X, 3) float32.
 
     ``packed_dtype``: element type of the packed-stencil gather table
-    ("float32" parity default; "bfloat16" halves gather bandwidth -
-    measured ~1.9x faster field evaluation - at reduced field precision).
+    ("float32" parity default; "bfloat16" / "float16" halve gather
+    bandwidth - measured ~1.9x faster field evaluation - at reduced field
+    precision; f16 mirrors the reference's HP_DTYPE_F16, hp.h:44-50).
     """
 
     sigma: jnp.ndarray
@@ -139,10 +140,9 @@ class DenseGridField:
         ~18x faster on TPU. The packing is rebuilt in-graph from the
         current parameters (cheap shifted-slice concat), so gradients flow
         back into sigma/color exactly."""
-        table_dtype = (jnp.bfloat16 if self.packed_dtype == "bfloat16"
-                       else jnp.float32)
         packed = grid_ops.build_packed_stencil(
-            self.sigma, self.color, dtype=table_dtype)
+            self.sigma, self.color,
+            dtype=grid_ops.table_dtype(self.packed_dtype))
         return grid_ops.eval_packed_trilinear(
             packed, self.sigma.shape, px, py, pz,
             self.bbox_min, self.bbox_max, self.oob)

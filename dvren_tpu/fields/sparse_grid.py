@@ -118,8 +118,8 @@ class SparseGridField:
                 brick_rows.extend(
                     tiles[occ_y, occ_x].astype(np.float32))
 
-        table_dtype = jnp.bfloat16 if str(dtype) == "bfloat16" \
-            else jnp.float32
+        from dvren_tpu.ops.grid import table_dtype as _table_dtype
+        table_dtype = _table_dtype(str(dtype))
         bricks = np.stack(brick_rows)
         return SparseGridField(
             bricks=jnp.asarray(bricks).astype(table_dtype),

@@ -147,6 +147,24 @@ def eval_grid(
     return out
 
 
+def table_dtype(packed_dtype: str):
+    """Map a field's ``packed_dtype`` string to the gather-table jnp dtype.
+
+    "float32" (parity default), "bfloat16" and "float16" (hp_dtype F16
+    parity, hotpath/include/hotpath/hp.h:44-50). Both 16-bit types gather
+    at the 2-byte element rate (~2x the f32 rate; see README perf notes);
+    f16 keeps ~3 decimal digits with a narrower exponent than bf16.
+    """
+    try:
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                "float16": jnp.float16}[packed_dtype]
+    except KeyError:
+        from dvren_tpu.core.status import DvrenError
+        raise DvrenError.invalid_argument(
+            f"unknown packed_dtype {packed_dtype!r}; expected float32, "
+            "bfloat16 or float16") from None
+
+
 def build_packed_stencil(sigma: jnp.ndarray, color: jnp.ndarray,
                          dtype=jnp.float32) -> jnp.ndarray:
     """Pack the (2,2,2)x(sigma,r,g,b) trilinear stencil per base voxel.

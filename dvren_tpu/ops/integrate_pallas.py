@@ -225,10 +225,12 @@ def integrate_pallas(sigma, color, dt, mask, t_near, t_far,
                      tile_n=DEFAULT_TILE_N, interpret=False):
     """Fused integration: (radiance (N,3), trans, opacity, depth (N,)).
 
-    Differentiable w.r.t. sigma and color through the radiance head (the
-    ``hp_diff`` contract - transmittance/opacity/depth carry no adjoint,
-    matching diff_cpu.cpp which consumes only dL/dI). ``mask``/``dt`` are
-    non-differentiable inputs.
+    Fully differentiable w.r.t. sigma and color: the radiance head (the
+    ``hp_diff`` contract) runs the in-kernel recompute backward; the
+    transmittance/opacity/depth heads are pulled back through the jnp
+    reference math (``ops.integrate``), so a loss over ANY output head
+    gets exact gradients (a silent radiance-only restriction previously
+    zeroed them). ``mask``/``dt`` are non-differentiable inputs.
     """
     return _fwd_call(sigma, color, dt, mask, t_near, t_far, tile_n, interpret)
 
@@ -240,13 +242,33 @@ def _vjp_fwd(sigma, color, dt, mask, t_near, t_far, tile_n, interpret):
 
 def _vjp_bwd(t_near, t_far, tile_n, interpret, residuals, cotangents):
     sigma, color, dt, mask = residuals
-    g_rad, _g_t, _g_op, _g_depth = cotangents
+    g_rad, g_t, g_op, g_depth = cotangents
     d_sigma, d_planes = _bwd_call(sigma, color, dt, mask, g_rad,
                                   tile_n, interpret)
     if isinstance(color, (tuple, list)):
         d_color = type(color)(d_planes)
     else:
         d_color = jnp.stack(list(d_planes), axis=-1)
+
+    # Non-radiance heads: pull their cotangents back through the jnp
+    # reference formulation (ops.integrate) - zero-cost when the loss only
+    # touches radiance (XLA drops the dead branch for literal-zero
+    # cotangents is NOT guaranteed, but these heads are elementwise +
+    # cumsum: no gathers, a small fraction of the kernel's work).
+    from dvren_tpu.ops.integrate import integrate as _integrate_ref
+
+    def heads(sig, col):
+        out = _integrate_ref(sig, col, dt, mask, t_near, t_far,
+                             with_aux=False)
+        return out.transmittance, out.opacity, out.depth
+
+    _, pull = jax.vjp(heads, sigma, color)
+    ds2, dc2 = pull((g_t, g_op, g_depth))
+    d_sigma = d_sigma + ds2
+    if isinstance(color, (tuple, list)):
+        d_color = type(color)(a + b for a, b in zip(d_color, dc2))
+    else:
+        d_color = d_color + dc2
     return d_sigma, d_color, None, None
 
 

@@ -62,6 +62,84 @@ def render_views(plan: Plan, field, cameras: Sequence[CameraConfig]):
     return jax.vmap(one)(c2ws)
 
 
+def view_plans(plan: Plan, cameras: Sequence[CameraConfig]):
+    """Per-view plans: the plan's camera with each view's pose."""
+    from dataclasses import replace as _replace
+    return [plan.with_camera(_replace(plan.camera, c2w=tuple(c.c2w)))
+            for c in cameras]
+
+
+def make_train_step_scheduled(plan: Plan, cameras: Sequence[CameraConfig],
+                              field, optimizer, mode: str = "tiled"):
+    """Fast-path training step: per-view host-built schedules (built once,
+    replayed every step - the capture-specialization model), one compiled
+    executable for the whole multi-view step.
+
+    ``mode``: "tiled" (fused Pallas tile path, ops/fused_tiles.py) or
+    "windowed" (bbox window replay). Both require a dense OOB_ZERO grid;
+    tiled additionally requires trilinear interpolation. Schedules depend
+    on the field's bbox + resolution only, so they stay valid across
+    parameter updates.
+    """
+    from dvren_tpu.render.pipeline import plan_jitter_table
+
+    plans = view_plans(plan, cameras)
+    jitter = plan_jitter_table(plan)
+    if mode == "tiled":
+        from dvren_tpu.render.tiled import build_tiled_schedule, render_tiled
+        scheds = [build_tiled_schedule(p, field, jitter=jitter)
+                  for p in plans]
+
+        def render_view(v, f):
+            return render_tiled(plans[v], f, scheds[v]).image
+    elif mode == "windowed":
+        from dvren_tpu.render.windowed import (build_schedule,
+                                               render_windowed_traced)
+        scheds = [build_schedule(p, field.bbox_min, field.bbox_max,
+                                 jitter=jitter) for p in plans]
+
+        def render_view(v, f):
+            return render_windowed_traced(plans[v], f, scheds[v]).image
+    else:
+        raise ValueError(f"unknown scheduled mode: {mode}")
+
+    def loss_fn(params, field, targets):
+        f = field.with_params(*params) if isinstance(params, tuple) \
+            else field.with_params(params)
+        per_view = [mse(render_view(v, f), targets[v])
+                    for v in range(len(plans))]
+        return jnp.mean(jnp.stack(per_view))
+
+    @jax.jit
+    def step(params, field, opt_state, targets):
+        loss, grads = jax.value_and_grad(loss_fn)(params, field, targets)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def scheduled_mode_for(field) -> str | None:
+    """Pick the fastest applicable schedule mode for a field (None when
+    only the plain dense-lattice path applies)."""
+    from dvren_tpu.core.plan import InterpMode, OobPolicy
+    if not (hasattr(field, "bbox_min") and hasattr(field, "bbox_max")
+            and hasattr(field, "with_params") and hasattr(field, "sigma")):
+        return None
+    if getattr(field, "oob", None) != OobPolicy.ZERO:
+        return None
+    try:
+        shape = tuple(int(v) for v in np.asarray(field.sigma.shape[:3]))
+    except Exception:
+        return None
+    if getattr(field.sigma, "ndim", 0) != 3 or min(shape) < 2:
+        return None
+    if getattr(field, "interp", None) == InterpMode.LINEAR:
+        return "tiled"
+    return "windowed"
+
+
 def make_train_step(plan: Plan, cameras: Sequence[CameraConfig],
                     optimizer, param_labels=("sigma", "color")):
     """Build a jitted (field, opt_state, targets) -> (field, opt_state, loss)
@@ -93,16 +171,26 @@ def make_train_step(plan: Plan, cameras: Sequence[CameraConfig],
 
 def fit_dense_grid(plan: Plan, field, cameras: Sequence[CameraConfig],
                    targets: np.ndarray, config: FitConfig | None = None,
-                   checkpoint_cb: Callable | None = None) -> FitResult:
+                   checkpoint_cb: Callable | None = None,
+                   mode: str | None = None) -> FitResult:
     """Fit a DenseGridField's sigma+color to target views with Adam.
 
     targets: (V, H, W, 3) float32 ground-truth images.
+    ``mode``: None (auto: fastest applicable schedule path - tiled for
+    trilinear OOB_ZERO grids, windowed otherwise, plain dense lattice as
+    the fallback), or an explicit "tiled" / "windowed" / "plain".
     """
     config = config or FitConfig()
     optimizer = optax.adam(config.learning_rate)
     params = (field.sigma, field.color)
     opt_state = optimizer.init(params)
-    step = make_train_step(plan, cameras, optimizer)
+    if mode is None:
+        mode = scheduled_mode_for(field) or "plain"
+    if mode == "plain":
+        step = make_train_step(plan, cameras, optimizer)
+    else:
+        step = make_train_step_scheduled(plan, cameras, field, optimizer,
+                                         mode=mode)
     targets = jnp.asarray(targets, jnp.float32)
 
     result = FitResult(field=field)

@@ -56,6 +56,16 @@ class RenderOptions:
     provably-zero lattice steps outside the field bbox are skipped, with
     bit-exact output; the schedule is built once per (plan, field bbox) and
     replayed. Like streaming, it forgoes the per-sample parity views.
+
+    ``use_tiles`` enables the fused tile-table path (render/tiled.py +
+    ops/fused_tiles.py): the host fully resolves the access pattern per
+    (16x16-pixel tile, 8-step chunk) and a single Pallas kernel per tile
+    group does gather + trilinear + integration on-chip. None (default)
+    auto-enables it on TPU for eligible fields (dense OOB_ZERO grids with
+    generated rays); output parity vs the exact paths is ~1 ulp (float
+    reassociation), within the reference's own staged/fused 1e-4 budget.
+    Camera gradients are NOT available through this path (the schedule
+    bakes the camera); Renderer.backward returns zero dCam in tiled mode.
     """
 
     use_fused_path: bool = True
@@ -64,6 +74,7 @@ class RenderOptions:
     streaming: bool | None = None
     streaming_budget: int = 1 << 22
     use_window: bool = False
+    use_tiles: bool | None = None
 
 
 @dataclass
@@ -158,10 +169,17 @@ class Renderer:
         self._window_aot = None
         self._window_bwd_jit = None
         self._window_bwd_key = None
+        self._tiled_schedule = None
+        self._tiled_key = None
+        self._tiled_jit = None
+        self._tiled_aot = None
+        self._tiled_bwd_jit = None
+        self._tiled_bwd_key = None
         self._last_mode = None
         self._last_ray_count = plan.ray_count
         self._override_jit = None
         self._override_jitter = {}  # bundle size -> host jitter table
+        self._bwd_aot = {}  # mode -> (AOT executable, field meta key)
 
     # ------------------------------------------------------------------ fwd
 
@@ -237,6 +255,13 @@ class Renderer:
             sample_count = int(outputs.lattice.sample_count())
             planes = outputs.planes
             self._last_mode = "override"
+        elif self._use_tiles(field):
+            planes = self._forward_tiled(field, stats)
+            jax.block_until_ready(planes)
+            stats.total_ms = (time.perf_counter() - t0) * 1e3
+            sample_count = self._analytic_sample_count()
+            outputs = None
+            self._last_mode = "tiled"
         elif self._options.use_window:
             planes = self._forward_windowed(field, stats)
             jax.block_until_ready(planes)
@@ -289,14 +314,17 @@ class Renderer:
     def _forward_streamed(self, field, stats: RenderStats):
         jitter = self._device_jitter()
         if self._options.enable_graph:
-            if self._compiled_fused is None:
+            meta = self._field_meta_key(field)
+            if (self._compiled_fused is None
+                    or self._compiled_fused[1] != meta):
                 t0 = time.perf_counter()
-                self._compiled_fused = self._stream_jit.lower(
-                    field, jitter).compile()
+                self._compiled_fused = (self._stream_jit.lower(
+                    field, jitter).compile(), meta)
                 stats.notes.append(
                     f"graph_captured_aot_compile_ms="
                     f"{(time.perf_counter() - t0) * 1e3:.3f}")
-            planes = self._compiled_fused(field, jitter)
+                self._graph_capture_backward("streamed", field, stats)
+            planes = self._compiled_fused[0](field, jitter)
             stats.notes.append("graph_executed")
         else:
             planes = self._stream_jit(field, jitter)
@@ -327,6 +355,107 @@ class Renderer:
         stats.notes.append("override_path")
         return outputs
 
+    def _tile_eligible(self, field) -> bool:
+        """The tile-table path handles dense OOB_ZERO trilinear grids with
+        generated rays (the schedule precomputes cells + fractions)."""
+        from dvren_tpu.core.plan import InterpMode, OobPolicy
+        try:
+            shape = tuple(int(v) for v in np.asarray(field.sigma.shape[:3]))
+        except Exception:
+            return False
+        return (hasattr(field, "bbox_min") and hasattr(field, "bbox_max")
+                and hasattr(field, "color")
+                and getattr(field, "oob", None) == OobPolicy.ZERO
+                and getattr(field, "interp", None) == InterpMode.LINEAR
+                and getattr(field.sigma, "ndim", 0) == 3
+                and len(shape) == 3 and min(shape) >= 2)
+
+    def _use_tiles(self, field) -> bool:
+        opt = self._options.use_tiles
+        if opt is False:
+            return False
+        if opt is True:
+            check(self._tile_eligible(field),
+                  "use_tiles requires a dense OOB_ZERO trilinear grid field")
+            return True
+        # Auto: the default TPU hot path for eligible fields.
+        return (jax.default_backend() == "tpu"
+                and self._tile_eligible(field))
+
+    def _tiled_schedule_key(self, field) -> tuple:
+        return (tuple(np.asarray(field.bbox_min, np.float64).tolist()),
+                tuple(np.asarray(field.bbox_max, np.float64).tolist()),
+                tuple(int(v) for v in np.asarray(field.sigma.shape[:3])))
+
+
+    def _graph_capture_backward(self, mode, field, stats: RenderStats):
+        """AOT-compile the backward with the forward under ``enable_graph``
+        - the reference's graph capture includes hp_diff when dL/dI is
+        bound (graph_cuda.cu:151-168); here "capture" = jit AOT, so the
+        training-step replay never hits a cold compile."""
+        try:
+            params = (field.sigma, field.color)
+            dl0 = jnp.zeros((self._plan.height, self._plan.width, 3),
+                            jnp.float32)
+            k0 = jnp.asarray(self._plan.camera.k, jnp.float32).reshape(3, 3)
+            c2w0 = jnp.asarray(
+                self._plan.camera.c2w, jnp.float32).reshape(3, 4)
+            t0 = time.perf_counter()
+            if mode == "tiled":
+                aot = self._get_tiled_bwd(field).lower(params, dl0).compile()
+            elif mode == "windowed":
+                aot = self._get_window_bwd(field).lower(
+                    params, c2w0, k0, dl0).compile()
+            else:  # streamed
+                aot = self._get_stream_bwd(field).lower(
+                    params, c2w0, k0, dl0, self._device_jitter()).compile()
+            self._bwd_aot[mode] = (aot, self._field_meta_key(field))
+            stats.notes.append(
+                f"graph_captured_bwd_compile_ms="
+                f"{(time.perf_counter() - t0) * 1e3:.3f}")
+        except Exception as exc:  # degrade gracefully (renderer.cpp:515-533)
+            stats.notes.append(f"graph_capture_bwd_failed:{exc}")
+
+    def _forward_tiled(self, field, stats: RenderStats):
+        from dvren_tpu.render import tiled as tiled_mod
+
+        key = self._tiled_schedule_key(field)
+        if self._tiled_schedule is None or self._tiled_key != key:
+            t0 = time.perf_counter()
+            self._tiled_schedule = tiled_mod.build_tiled_schedule(
+                self._plan, field, jitter=self._jitter_host)
+            self._tiled_key = key
+            schedule = self._tiled_schedule
+            self._tiled_jit = jax.jit(
+                lambda f: tiled_mod.render_tiled(self._plan, f, schedule))
+            self._tiled_aot = None
+            self._tiled_bwd_jit = None
+            self._tiled_bwd_key = None
+            self._bwd_aot.pop("tiled", None)
+            stats.notes.append(
+                f"tiled_schedule_build_ms="
+                f"{(time.perf_counter() - t0) * 1e3:.3f}")
+            stats.notes.append(
+                f"tiled_samples={schedule.tiled_samples}"
+                f"/{schedule.full_lattice_samples}"
+                f" fallback_rays={schedule.fallback_rays}")
+        if self._options.enable_graph:
+            meta = self._field_meta_key(field)
+            if self._tiled_aot is None or self._tiled_aot[1] != meta:
+                t0 = time.perf_counter()
+                self._tiled_aot = (self._tiled_jit.lower(field).compile(),
+                                   meta)
+                stats.notes.append(
+                    f"graph_captured_aot_compile_ms="
+                    f"{(time.perf_counter() - t0) * 1e3:.3f}")
+                self._graph_capture_backward("tiled", field, stats)
+            planes = self._tiled_aot[0](field)
+            stats.notes.append("graph_executed")
+        else:
+            planes = self._tiled_jit(field)
+        stats.notes.append("tiled_path")
+        return planes
+
     def _forward_windowed(self, field, stats: RenderStats):
         from dvren_tpu.render import windowed as windowed_mod
 
@@ -348,6 +477,7 @@ class Renderer:
             self._window_aot = None
             self._window_bwd_jit = None
             self._window_bwd_key = None
+            self._bwd_aot.pop("windowed", None)
             sched = self._window_schedule
             stats.notes.append(
                 f"window_schedule_build_ms="
@@ -357,13 +487,16 @@ class Renderer:
                 f"/{sched.full_lattice_samples}"
                 f" skipped_rays={sched.skipped_rays}")
         if self._options.enable_graph:
-            if self._window_aot is None:
+            meta = self._field_meta_key(field)
+            if self._window_aot is None or self._window_aot[1] != meta:
                 t0 = time.perf_counter()
-                self._window_aot = self._window_jit.lower(field).compile()
+                self._window_aot = (self._window_jit.lower(field).compile(),
+                                    meta)
                 stats.notes.append(
                     f"graph_captured_aot_compile_ms="
                     f"{(time.perf_counter() - t0) * 1e3:.3f}")
-            planes = self._window_aot(field)
+                self._graph_capture_backward("windowed", field, stats)
+            planes = self._window_aot[0](field)
             stats.notes.append("graph_executed")
         else:
             planes = self._window_jit(field)
@@ -373,14 +506,16 @@ class Renderer:
     def _forward_fused(self, field, stats: RenderStats) -> RenderOutputs:
         jitter = self._device_jitter()
         if self._options.enable_graph:
-            if self._compiled_fused is None:
+            meta = self._field_meta_key(field)
+            if (self._compiled_fused is None
+                    or self._compiled_fused[1] != meta):
                 t0 = time.perf_counter()
                 lowered = self._fused_jit.lower(field, jitter)
-                self._compiled_fused = lowered.compile()
+                self._compiled_fused = (lowered.compile(), meta)
                 stats.notes.append(
                     f"graph_captured_aot_compile_ms="
                     f"{(time.perf_counter() - t0) * 1e3:.3f}")
-            outputs = self._compiled_fused(field, jitter)
+            outputs = self._compiled_fused[0](field, jitter)
             stats.notes.append("graph_executed")
         else:
             outputs = self._fused_jit(field, jitter)
@@ -464,6 +599,11 @@ class Renderer:
         dl = np.asarray(dl_di, np.float32).reshape(-1)
         check(dl.size == n * 3,
               f"dL/dI must have {n * 3} elements, got {dl.size}")
+        if mode == "tiled" and self._tiled_schedule is not None:
+            # Differentiate the fused tile replay itself (the custom-VJP
+            # Pallas backward). Camera gradients are zeros in this mode:
+            # the schedule bakes the camera into the precomputed fractions.
+            return self._backward_tiled(field, dl.reshape(n, 3), out)
         if mode == "windowed" and self._window_schedule is not None:
             # Differentiate the windowed replay itself: the schedule's
             # zero-contribution clipping is gradient-exact for OOB_ZERO
@@ -528,17 +668,7 @@ class Renderer:
         result.sample_count = self._analytic_sample_count()
         return result
 
-    def _backward_streamed(self, field: DenseGridField, dl: np.ndarray,
-                           out: BackwardResult | None) -> BackwardResult:
-        """Streaming-mode backward: per-ray dL/dI is scattered to the image
-        plane (generated rays own their pixels) and the gradient streams the
-        same ray tiles as the forward with per-tile rematerialization -
-        no aux persisted, matching the in-kernel-recompute design
-        (BASELINE.json north star) rather than the reference's stored aux."""
-        plan = self._plan
-        dl_dev = self._dl_image(dl)
-        jitter = self._device_jitter()
-
+    def _get_stream_bwd(self, field):
         meta_key = self._field_meta_key(field)
         if self._stream_bwd_jit is None or self._stream_bwd_key != meta_key:
             plan_ref = self._plan
@@ -553,12 +683,87 @@ class Renderer:
             self._stream_bwd_jit = jax.jit(
                 jax.grad(loss, argnums=(0, 1, 2)))
             self._stream_bwd_key = meta_key
+        return self._stream_bwd_jit
 
+    def _backward_streamed(self, field: DenseGridField, dl: np.ndarray,
+                           out: BackwardResult | None) -> BackwardResult:
+        """Streaming-mode backward: per-ray dL/dI is scattered to the image
+        plane (generated rays own their pixels) and the gradient streams the
+        same ray tiles as the forward with per-tile rematerialization -
+        no aux persisted, matching the in-kernel-recompute design
+        (BASELINE.json north star) rather than the reference's stored aux."""
+        plan = self._plan
+        dl_dev = self._dl_image(dl)
+        jitter = self._device_jitter()
         k0 = jnp.asarray(plan.camera.k, jnp.float32).reshape(3, 3)
         c2w0 = jnp.asarray(plan.camera.c2w, jnp.float32).reshape(3, 4)
-        grads = self._stream_bwd_jit(
-            (field.sigma, field.color), c2w0, k0, dl_dev, jitter)
+        aot = self._bwd_aot.get("streamed")
+        if aot is not None and aot[1] == self._field_meta_key(field):
+            grads = aot[0]((field.sigma, field.color), c2w0, k0, dl_dev,
+                           jitter)
+        else:
+            grads = self._get_stream_bwd(field)(
+                (field.sigma, field.color), c2w0, k0, dl_dev, jitter)
         return self._finish_backward(grads, out)
+
+    def _get_tiled_bwd(self, field):
+        from dvren_tpu.render import tiled as tiled_mod
+
+        meta_key = self._field_meta_key(field)
+        if self._tiled_bwd_jit is None or self._tiled_bwd_key != meta_key:
+            plan_ref = self._plan
+            field_ref = field
+            schedule = self._tiled_schedule
+
+            def loss(params, dl_img_dev):
+                f = field_ref.with_params(*params)
+                planes = tiled_mod.render_tiled(plan_ref, f, schedule)
+                return jnp.sum(planes.image * dl_img_dev)
+
+            self._tiled_bwd_jit = jax.jit(jax.grad(loss, argnums=0))
+            self._tiled_bwd_key = meta_key
+        return self._tiled_bwd_jit
+
+    def _backward_tiled(self, field: DenseGridField, dl: np.ndarray,
+                        out: BackwardResult | None) -> BackwardResult:
+        """Tiled-mode backward: differentiates the fused tile replay (the
+        Pallas custom VJP recomputes in-kernel; table grads scatter through
+        the packed-stencil VJP). dCam is zeros - the schedule bakes the
+        camera; use use_window for camera/intrinsics optimization."""
+        from dvren_tpu.render import tiled as tiled_mod
+
+        dl_dev = self._dl_image(dl)
+        schedule = self._tiled_schedule
+
+        aot = self._bwd_aot.get("tiled")
+        if aot is not None and aot[1] == self._field_meta_key(field):
+            grads = aot[0]((field.sigma, field.color), dl_dev)
+        else:
+            grads = self._get_tiled_bwd(field)(
+                (field.sigma, field.color), dl_dev)
+        return self._finish_backward(
+            (grads, jnp.zeros((3, 4), jnp.float32),
+             jnp.zeros((3, 3), jnp.float32)), out)
+
+    def _get_window_bwd(self, field):
+        from dvren_tpu.render import windowed as windowed_mod
+
+        meta_key = self._field_meta_key(field)
+        if self._window_bwd_jit is None or self._window_bwd_key != meta_key:
+            plan_ref = self._plan
+            field_ref = field
+            schedule = self._window_schedule
+
+            def loss(params, c2w, k_mat, dl_img_dev):
+                f = field_ref.with_params(*params)
+                planes = windowed_mod.render_windowed_traced(
+                    plan_ref, f, schedule, k=k_mat, c2w=c2w)
+                return jnp.sum(planes.image * dl_img_dev)
+
+            self._window_bwd_jit = jax.jit(
+                jax.grad(loss, argnums=(0, 1, 2)))
+            self._window_bwd_key = meta_key
+        return self._window_bwd_jit
 
     def _backward_windowed(self, field: DenseGridField, dl: np.ndarray,
                            out: BackwardResult | None) -> BackwardResult:
@@ -572,34 +777,23 @@ class Renderer:
         dl_dev = self._dl_image(dl)
         schedule = self._window_schedule
 
-        meta_key = self._field_meta_key(field)
-        if self._window_bwd_jit is None or self._window_bwd_key != meta_key:
-            plan_ref = self._plan
-            field_ref = field
-
-            def loss(params, c2w, k_mat, dl_img_dev):
-                f = field_ref.with_params(*params)
-                planes = windowed_mod.render_windowed_traced(
-                    plan_ref, f, schedule, k=k_mat, c2w=c2w)
-                return jnp.sum(planes.image * dl_img_dev)
-
-            self._window_bwd_jit = jax.jit(
-                jax.grad(loss, argnums=(0, 1, 2)))
-            self._window_bwd_key = meta_key
-
         k0 = jnp.asarray(plan.camera.k, jnp.float32).reshape(3, 3)
         c2w0 = jnp.asarray(plan.camera.c2w, jnp.float32).reshape(3, 4)
-        grads = self._window_bwd_jit(
-            (field.sigma, field.color), c2w0, k0, dl_dev)
+        aot = self._bwd_aot.get("windowed")
+        if aot is not None and aot[1] == self._field_meta_key(field):
+            grads = aot[0]((field.sigma, field.color), c2w0, k0, dl_dev)
+        else:
+            grads = self._get_window_bwd(field)(
+                (field.sigma, field.color), c2w0, k0, dl_dev)
         return self._finish_backward(grads, out)
 
     def per_sample_gradients(self, dl_di) -> tuple[np.ndarray, np.ndarray]:
         """Packed per-sample (dsigma (M,), dcolor (M,3)) - ``hp_diff`` parity
         view over live samples in ray-major order."""
-        if self._last_mode in ("streamed", "windowed"):
+        if self._last_mode in ("streamed", "windowed", "tiled"):
             raise DvrenError.unsupported(
                 "per-sample gradient views are unavailable in streaming/"
-                "windowed mode (the lattice is never materialized); use a "
+                "windowed/tiled mode (the lattice is never materialized); use a "
                 "non-streaming Renderer for parity inspection")
         if self._last_outputs is None:
             raise DvrenError.invalid_argument(
@@ -619,10 +813,10 @@ class Renderer:
         hp.h:132-138): positions (M,3), dt (M,), sigma (M,), color (M,3),
         ray_offset (N+1,) over live samples in ray-major order. Uses the
         native C packing when available."""
-        if self._last_mode in ("streamed", "windowed"):
+        if self._last_mode in ("streamed", "windowed", "tiled"):
             raise DvrenError.unsupported(
-                "packed sample views are unavailable in streaming/windowed "
-                "mode")
+                "packed sample views are unavailable in streaming/windowed/"
+                "tiled mode")
         if self._last_outputs is None:
             raise DvrenError.invalid_argument(
                 "packed_samples requires a prior Forward")
@@ -684,7 +878,7 @@ class Renderer:
         info.gradient_buffer_bytes = nk * f32 + nk * 3 * f32 + 12 * f32
         if self._compiled_fused is not None:
             try:
-                mem = self._compiled_fused.memory_analysis()
+                mem = self._compiled_fused[0].memory_analysis()
                 info.workspace_buffer_bytes = int(
                     getattr(mem, "temp_size_in_bytes", 0))
             except Exception:  # pragma: no cover - backend-dependent
@@ -695,7 +889,8 @@ class Renderer:
             # the dominant XLA temporaries are the gathered packed-stencil
             # rows (32 f32/sample) plus ~8 live sample planes, over one
             # streaming tile (streamed/windowed) or the full lattice.
-            if self._streaming or self._options.use_window:
+            if (self._streaming or self._options.use_window
+                    or self._options.use_tiles):
                 live = min(nk, pipeline_mod.default_ray_tile(plan) * k)
             else:
                 live = nk

@@ -62,7 +62,8 @@ class TileGroup:
 
     n_chunks: int
     n_tiles: int
-    hostmap: jnp.ndarray     # (T*nc*128,) int32 packed-table row per slot
+    banks: int               # table banks per chunk (slots = banks*128)
+    hostmap: jnp.ndarray     # (T*nc*banks*128,) int32 packed row per slot
     lidx: jnp.ndarray        # (T, nc, 16, 128) int32 slot per sample
     fracs: jnp.ndarray       # (T, nc, 4, 16, 128) f32: tx, ty, tz, m
     k_enter: jnp.ndarray     # (T,) int32 tile window start
@@ -110,6 +111,11 @@ def build_tiled_schedule(plan: Plan, field,
     """
     check(getattr(field, "oob", OobPolicy.ZERO) == OobPolicy.ZERO,
           "tiled rendering requires an OOB_ZERO field")
+    from dvren_tpu.core.plan import InterpMode
+    check(getattr(field, "interp", InterpMode.LINEAR)
+          == InterpMode.LINEAR,
+          "tiled rendering precomputes trilinear fractions; NEAREST fields "
+          "must use the windowed/full paths")
     bbox_min = tuple(float(v) for v in field.bbox_min)
     bbox_max = tuple(float(v) for v in field.bbox_max)
     nz, ny, nx = (int(v) for v in np.asarray(field.sigma.shape[:3]))
@@ -220,56 +226,69 @@ def build_tiled_schedule(plan: Plan, field,
         new = np.ones(flat.shape, bool)
         new[:, 1:] = sc[:, 1:] != sc[:, :-1]
         rank = np.cumsum(new, axis=1) - 1
-        nuniq = rank[:, -1] + 1
+        # The sentinel (masked samples) sorts last; it does NOT need a table
+        # slot - masked samples may point anywhere (their weight is 0).
+        has_sent = sc[:, -1] == _SENTINEL
+        nuniq = rank[:, -1] + 1 - has_sent
         lidx = np.empty(flat.shape, np.int32)
         np.put_along_axis(lidx, order, rank.astype(np.int32), 1)
 
-        overflow = (nuniq > MAX_CELLS).reshape(t_cnt, nc).any(axis=1)
-        keep = ~overflow
+        # Tiles whose worst chunk needs <= 128 cells use one table bank;
+        # <= 256 cells two banks (the kernel selects the bank from the slot
+        # id); beyond that the tile falls back to the windowed path.
+        worst = nuniq.reshape(t_cnt, nc).max(axis=1)
+        banks_t = np.where(worst > MAX_CELLS, 2, 1)
+        overflow = worst > 2 * MAX_CELLS
         if overflow.any():
             fallback_rays.append(ids[overflow][live_r[overflow]])
-        if not keep.any():
-            continue
 
-        rowsel = np.repeat(keep, nc)
-        sc_k = sc[rowsel]
-        new_k = new[rowsel]
-        rank_k = rank[rowsel]
-        uniq = np.zeros((sc_k.shape[0], MAX_CELLS), np.int64)
-        rws, cls = np.nonzero(new_k)
-        uniq[rws, rank_k[rws, cls]] = sc_k[rws, cls]
-        uniq[uniq == _SENTINEL] = 0
+        for banks in (1, 2):
+            keep = (~overflow) & (banks_t == banks)
+            if not keep.any():
+                continue
+            cap = banks * MAX_CELLS
+            rowsel = np.repeat(keep, nc)
+            sc_k = sc[rowsel]
+            new_k = new[rowsel]
+            rank_k = rank[rowsel]
+            uniq = np.zeros((sc_k.shape[0], cap), np.int64)
+            rws, cls = np.nonzero(new_k & (rank_k < cap)
+                                  & (sc_k != _SENTINEL))
+            uniq[rws, rank_k[rws, cls]] = sc_k[rws, cls]
 
-        lidx_k = np.minimum(lidx.reshape(t_cnt, nc, 16, 128)[keep],
-                            MAX_CELLS - 1)
-        t_kept = int(keep.sum())
+            lidx_k = np.minimum(lidx.reshape(t_cnt, nc, 16, 128)[keep],
+                                cap - 1)
+            t_kept = int(keep.sum())
 
-        fr = np.stack([tx_l[keep], ty_l[keep], tz_l[keep], m_l[keep]],
-                      axis=2)  # (T, nc, 4, 16, 128)
+            fr = np.stack([tx_l[keep], ty_l[keep], tz_l[keep], m_l[keep]],
+                          axis=2)  # (T, nc, 4, 16, 128)
 
-        ids_k = ids[keep]
-        live_k = live_r[keep]
-        lx = np.where(ids_k >= 0, ids_k % roi.width, 0)
-        ly = np.where(ids_k >= 0, ids_k // roi.width, 0)
-        pids = (roi.y + ly) * plan.width + (roi.x + lx)
-        n_bad = int((~live_k).sum())
-        pids = np.where(live_k, pids,
-                        pad_pid_base + np.cumsum(~live_k.reshape(-1)).reshape(
-                            live_k.shape) - 1)
-        pad_pid_base += n_bad
+            ids_k = ids[keep]
+            live_k = live_r[keep]
+            lx = np.where(ids_k >= 0, ids_k % roi.width, 0)
+            ly = np.where(ids_k >= 0, ids_k // roi.width, 0)
+            pids = (roi.y + ly) * plan.width + (roi.x + lx)
+            n_bad = int((~live_k).sum())
+            pids = np.where(
+                live_k,
+                pids,
+                pad_pid_base + np.cumsum(~live_k.reshape(-1)).reshape(
+                    live_k.shape) - 1)
+            pad_pid_base += n_bad
 
-        tiled_samples += int(m_l[keep].sum())
-        groups.append(TileGroup(
-            n_chunks=nc,
-            n_tiles=t_kept,
-            hostmap=jax.device_put(
-                uniq.astype(np.int32).reshape(-1)),
-            lidx=jax.device_put(lidx_k),
-            fracs=jax.device_put(fr.astype(np.float32)),
-            k_enter=jax.device_put(ke_t[keep].astype(np.int32)),
-            pixel_ids=jax.device_put(pids.reshape(-1).astype(np.int32)),
-            samples=int(m_l[keep].sum()),
-        ))
+            tiled_samples += int(m_l[keep].sum())
+            groups.append(TileGroup(
+                n_chunks=nc,
+                n_tiles=t_kept,
+                banks=banks,
+                hostmap=jax.device_put(
+                    uniq.astype(np.int32).reshape(-1)),
+                lidx=jax.device_put(lidx_k),
+                fracs=jax.device_put(fr.astype(np.float32)),
+                k_enter=jax.device_put(ke_t[keep].astype(np.int32)),
+                pixel_ids=jax.device_put(pids.reshape(-1).astype(np.int32)),
+                samples=int(m_l[keep].sum()),
+            ))
 
     fb = None
     fb_count = 0
@@ -294,7 +313,8 @@ def build_tiled_schedule(plan: Plan, field,
 # ----------------------------------------------------------------- consume
 
 def _group_tables(packed_flat: jnp.ndarray, group: TileGroup) -> jnp.ndarray:
-    """Gather + transpose the group's cell tables: (T, nc, 32, 128).
+    """Gather + transpose the group's cell tables:
+    (T, nc, 32, banks*128).
 
     One row-gather per table SLOT (~16x fewer starts than per-sample)
     through the bit-exact u16 path."""
@@ -303,7 +323,8 @@ def _group_tables(packed_flat: jnp.ndarray, group: TileGroup) -> jnp.ndarray:
     else:
         rows = jnp.take(packed_flat, group.hostmap,
                         axis=0).astype(jnp.float32)
-    tabs = rows.reshape(group.n_tiles, group.n_chunks, MAX_CELLS, 32)
+    tabs = rows.reshape(group.n_tiles, group.n_chunks,
+                        group.banks * MAX_CELLS, 32)
     return jnp.swapaxes(tabs, 2, 3)
 
 
@@ -372,7 +393,7 @@ def _group_outputs_reference(plan: Plan, packed_flat, group: TileGroup):
 
 
 def render_tiled(plan: Plan, field, schedule: TiledSchedule,
-                 use_kernel: bool = True) -> ImagePlanes:
+                 use_kernel: bool = True, gather: str = "dg") -> ImagePlanes:
     """Tile-table forward render (traceable; jit/grad over the field).
 
     ``use_kernel=False`` runs the pure-jnp reference consumer (any
@@ -384,11 +405,10 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
     check(getattr(field, "oob", OobPolicy.ZERO) == OobPolicy.ZERO,
           "tiled rendering requires an OOB_ZERO field")
 
-    table_dtype = (jnp.bfloat16
-                   if getattr(field, "packed_dtype", "float32") == "bfloat16"
-                   else jnp.float32)
     packed = grid_ops.build_packed_stencil_chmajor(
-        field.sigma, field.color, dtype=table_dtype)
+        field.sigma, field.color,
+        dtype=grid_ops.table_dtype(
+            getattr(field, "packed_dtype", "float32")))
     packed_flat = packed.reshape(-1, 32)
 
     parts = []
@@ -398,7 +418,7 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
             tabs = _group_tables(packed_flat, group)
             out = fused_tiles.render_tile_group(
                 plan, tabs, group.lidx, group.fracs, group.k_enter,
-                group.n_chunks)
+                group.n_chunks, gather=gather)
             parts.append((group.pixel_ids,) + out)
         else:
             parts.append(_group_outputs_reference(plan, packed_flat, group))

@@ -1,0 +1,138 @@
+"""Fused tile Pallas kernel == pure-jnp tile consumer (interpret mode on CPU).
+
+The jnp consumer (render/tiled.py::_group_outputs_reference) is itself gated
+against the full render (test_tiled.py); these tests pin the kernel to it,
+including the custom-VJP backward through every output head, and the
+Renderer integration (use_tiles mode incl. backward routing).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dvren_tpu import (
+    CameraConfig, CameraModel, Context, DenseGridConfig, DenseGridField,
+    Plan, PlanConfig, Renderer, RenderOptions, Roi, SamplingConfig,
+    SamplingMode,
+)
+from dvren_tpu.core.status import DvrenError
+from dvren_tpu.render.pipeline import plan_jitter_table, render
+from dvren_tpu.render.tiled import build_tiled_schedule, render_tiled
+from tests.test_tiled import assert_planes_close, scene
+
+
+def kernel_vs_reference(plan, field, schedule, tol=5e-6):
+    ref = render_tiled(plan, field, schedule, use_kernel=False)
+    out = render_tiled(plan, field, schedule, use_kernel=True)
+    assert_planes_close(out, ref, tol=tol)
+
+
+def test_kernel_matches_reference_fixed():
+    plan, field = scene()
+    kernel_vs_reference(plan, field, build_tiled_schedule(plan, field))
+
+
+def test_kernel_matches_reference_stratified():
+    plan, field = scene(mode=SamplingMode.STRATIFIED)
+    jitter = plan_jitter_table(plan)
+    kernel_vs_reference(plan, field,
+                        build_tiled_schedule(plan, field, jitter=jitter))
+
+
+def test_kernel_matches_reference_roi():
+    plan, field = scene(width=50, height=38,
+                        roi=Roi(x=3, y=5, width=41, height=27))
+    kernel_vs_reference(plan, field, build_tiled_schedule(plan, field))
+
+
+def test_kernel_matches_full_render():
+    """Transitively: kernel == full dense-lattice render."""
+    plan, field = scene()
+    schedule = build_tiled_schedule(plan, field)
+    full = render(plan, field).planes
+    out = render_tiled(plan, field, schedule, use_kernel=True)
+    assert_planes_close(out, full, tol=5e-6)
+
+
+def test_kernel_gradients_all_heads():
+    """Custom VJP == jax.grad of the jnp consumer, with cotangents flowing
+    through radiance, transmittance, opacity AND depth."""
+    plan, field = scene(mode=SamplingMode.STRATIFIED)
+    jitter = plan_jitter_table(plan)
+    schedule = build_tiled_schedule(plan, field, jitter=jitter)
+    target = jnp.zeros((plan.height, plan.width, 3))
+
+    def loss(params, use_kernel):
+        f = field.with_params(*params)
+        pls = render_tiled(plan, f, schedule, use_kernel=use_kernel)
+        return (jnp.mean((pls.image - target) ** 2)
+                + 0.1 * jnp.mean(pls.opacity)
+                + 0.01 * jnp.mean(pls.depth)
+                + 0.01 * jnp.mean(pls.transmittance))
+
+    params = (field.sigma, field.color)
+    g_ref = jax.grad(lambda p: loss(p, False))(params)
+    g_ker = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(g_ker, g_ref):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-12)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-6 * scale)
+
+
+def test_kernel_early_termination_thick():
+    """Optically thick scene exercises the processed-prefix early-out."""
+    plan, field = scene()
+    thick = field.with_params(field.sigma * 400.0, field.color)
+    schedule = build_tiled_schedule(plan, thick)
+    full = render(plan, thick).planes
+    out = render_tiled(plan, thick, schedule, use_kernel=True)
+    assert_planes_close(out, full, tol=5e-6)
+
+
+def test_renderer_use_tiles_forward_backward():
+    plan, field = scene(mode=SamplingMode.STRATIFIED)
+    ctx = Context.create()
+    r_tiles = Renderer(ctx, plan, RenderOptions(use_tiles=True))
+    r_full = Renderer(ctx, plan, RenderOptions())
+    a = r_tiles.forward(field)
+    b = r_full.forward(field)
+    assert "tiled_path" in " ".join(a.stats.notes)
+    np.testing.assert_allclose(a.image, b.image, atol=5e-6)
+    np.testing.assert_allclose(a.depth, b.depth, atol=1e-4)
+
+    dl = np.full((plan.ray_count, 3), 0.5, np.float32)
+    ga = r_tiles.backward(field, dl)
+    gb = r_full.backward(field, dl)
+    scale = max(float(np.abs(gb.sigma).max()), 1e-12)
+    np.testing.assert_allclose(ga.sigma, gb.sigma, atol=2e-6 * scale)
+    scale = max(float(np.abs(gb.color).max()), 1e-12)
+    np.testing.assert_allclose(ga.color, gb.color, atol=2e-6 * scale)
+    # tiled mode bakes the camera: dCam is documented zeros
+    assert not ga.camera.any()
+
+    with pytest.raises(DvrenError):
+        r_tiles.per_sample_gradients(dl)
+
+
+def test_renderer_use_tiles_rejects_nearest():
+    from dvren_tpu.core.plan import InterpMode
+    plan, field = scene()
+    nearest = DenseGridField(
+        sigma=field.sigma, color=field.color, bbox_min=field.bbox_min,
+        bbox_max=field.bbox_max, interp=InterpMode.NEAREST, oob=field.oob)
+    ctx = Context.create()
+    r = Renderer(ctx, plan, RenderOptions(use_tiles=True))
+    with pytest.raises(DvrenError):
+        r.forward(nearest)
+
+
+def test_renderer_use_tiles_graph_replay_deterministic():
+    plan, field = scene()
+    ctx = Context.create()
+    r = Renderer(ctx, plan,
+                 RenderOptions(use_tiles=True, enable_graph=True))
+    a = r.forward(field)
+    b = r.forward(field)
+    assert "graph_executed" in " ".join(b.stats.notes)
+    np.testing.assert_array_equal(a.image, b.image)
