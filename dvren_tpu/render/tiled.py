@@ -45,6 +45,7 @@ from dvren_tpu.ops import grid as grid_ops
 from dvren_tpu.ops.compose import ImagePlanes
 from dvren_tpu.ops.integrate import integrate
 from dvren_tpu.render import windowed as windowed_mod
+from dvren_tpu.utils.pytree import pytree_dataclass
 
 TILE_W = 16
 TILE_H = 16
@@ -56,9 +57,15 @@ _SENTINEL = np.int64(1) << 62
 _FLT_MIN = np.float32(1.1754943508222875e-38)
 
 
+@pytree_dataclass(meta_fields=("n_chunks", "n_tiles", "banks", "samples"))
 @dataclass(frozen=True)
 class TileGroup:
-    """All tiles sharing one chunk count (static kernel shape)."""
+    """All tiles sharing one chunk count (static kernel shape).
+
+    A registered pytree so schedules flow through jit as ARGUMENTS
+    (closing over the group arrays embeds them as HLO constants; at 512^2
+    that is >100 MB of literals and overflows the remote-compile upload).
+    """
 
     n_chunks: int
     n_tiles: int
@@ -71,6 +78,9 @@ class TileGroup:
     samples: int             # live sample count (stats)
 
 
+@pytree_dataclass(meta_fields=("total_rays", "tiled_samples",
+                               "full_lattice_samples", "fallback_rays",
+                               "grid_shape", "bbox"))
 @dataclass(frozen=True)
 class TiledSchedule:
     groups: tuple            # of TileGroup
@@ -100,14 +110,95 @@ def _tile_rays(plan: Plan):
     return np.stack(tiles)  # (n_tiles, 256) ray ids in row-major tile order
 
 
+def _empty_cells(sigma: np.ndarray) -> np.ndarray:
+    """Flat bool per grid cell: True iff ALL 8 corner sigmas are exactly 0
+    (trilinear interpolation inside such a cell is identically 0, so
+    skipping its samples is exact - the TPU-native superset of the
+    reference's only acceleration, early termination, int_cpu.cpp:171)."""
+    s = np.asarray(sigma) != 0.0
+    occ = (s[:-1, :-1, :-1] | s[:-1, :-1, 1:] | s[:-1, 1:, :-1]
+           | s[:-1, 1:, 1:] | s[1:, :-1, :-1] | s[1:, :-1, 1:]
+           | s[1:, 1:, :-1] | s[1:, 1:, 1:])
+    return (~occ).reshape(-1)
+
+
+def _tighten_windows_by_occupancy(plan, o, d, k_enter_ray, k_count_ray,
+                                  jitter, bbox_min, bbox_max, grid_shape,
+                                  cell_empty, block=65536):
+    """Shrink each ray's [k_enter, k_enter+k_count) window to its first..last
+    lattice step whose (jittered, f32-exact) sample lands in a NON-empty
+    cell. Trimmed steps contribute exactly zero (empty cell => sigma == 0),
+    so outputs are unchanged - host-side empty-space skipping on top of the
+    bbox window."""
+    nz, ny, nx = grid_shape
+    dt = np.float32(plan.sampling.dt)
+    t_near = np.float32(plan.t_near)
+    t_far = np.float32(plan.t_far)
+    k_max = plan.sampling.max_steps
+    n = plan.ray_count
+    inv_ext = np.where(
+        np.asarray(bbox_max) != np.asarray(bbox_min),
+        1.0 / np.maximum(np.asarray(bbox_max) - np.asarray(bbox_min),
+                         1e-30), 0.0).astype(np.float32)
+    lo = np.asarray(bbox_min, np.float32)
+    npts = np.array([nx, ny, nz])
+
+    new_ke = k_enter_ray.copy()
+    new_cnt = k_count_ray.copy()
+    for start in range(0, n, block):
+        idx = np.arange(start, min(start + block, n))
+        cnt = k_count_ray[idx]
+        if not (cnt > 0).any():
+            continue
+        kw = int(cnt.max())
+        k = k_enter_ray[idx, None] + np.arange(kw, dtype=np.int64)[None, :]
+        in_win = np.arange(kw)[None, :] < cnt[:, None]
+        base_t = t_near + k.astype(np.float32) * dt
+        live = (base_t < t_far) & (k < k_max) & in_win
+        if jitter is not None:
+            jit = jitter[idx[:, None], np.minimum(k, jitter.shape[1] - 1)]
+        else:
+            jit = np.float32(0.5)
+        t = (base_t + jit * dt).astype(np.float32)
+        t = np.where(t >= t_far, np.nextafter(t_far, t_near,
+                                              dtype=np.float32), t)
+        occ_live = np.zeros(live.shape, bool)
+        ii = np.zeros(live.shape + (3,), np.int64)
+        inside = np.ones(live.shape, bool)
+        for ax in range(3):
+            p = (o[idx, None, ax] + d[idx, None, ax] * t).astype(np.float32)
+            local = ((p - lo[ax]) * inv_ext[ax]).astype(np.float32)
+            inside &= (local >= 0.0) & (local <= 1.0)
+            f = (local * np.float32(npts[ax] - 1)).astype(np.float32)
+            ii[..., ax] = np.clip(np.floor(f), 0, npts[ax] - 2)
+        cell = ((ii[..., 2] * (ny - 1) + ii[..., 1]) * (nx - 1)
+                + ii[..., 0])
+        occ_live = live & inside & ~cell_empty[cell]
+        any_live = occ_live.any(axis=1)
+        first = np.argmax(occ_live, axis=1)
+        last = kw - 1 - np.argmax(occ_live[:, ::-1], axis=1)
+        ke0 = k_enter_ray[idx]
+        new_ke[idx] = np.where(any_live, ke0 + first, 0)
+        new_cnt[idx] = np.where(any_live, last - first + 1, 0)
+    return new_ke.astype(np.int32), new_cnt.astype(np.int32)
+
+
 def build_tiled_schedule(plan: Plan, field,
-                         jitter: np.ndarray | None = None) -> TiledSchedule:
+                         jitter: np.ndarray | None = None,
+                         occupancy: bool = False) -> TiledSchedule:
     """Build the tile-table schedule for (plan, field bbox + resolution).
 
     ``jitter``: the (N, K) host table for stratified plans
     (pipeline.plan_jitter_table); required when the plan is stratified.
     Valid for any field sharing the same bbox AND grid resolution
     (cell ids depend on both); the driver checks.
+
+    ``occupancy=True`` additionally trims each ray's step window to its
+    first..last sample in a non-empty cell (all-zero-corner cells
+    contribute exactly 0) - bit-exact empty-space skipping for sparse
+    media (SDF shells, sparse scenes). The schedule then also depends on
+    WHERE the field's zeros are: reuse it only while the zero set is
+    unchanged (inference / frozen-topology training).
     """
     check(getattr(field, "oob", OobPolicy.ZERO) == OobPolicy.ZERO,
           "tiled rendering requires an OOB_ZERO field")
@@ -129,6 +220,20 @@ def build_tiled_schedule(plan: Plan, field,
 
     o, d = windowed_mod._host_rays(plan)
     k_enter_ray, k_count_ray = windowed_mod._windows(plan, bbox_min, bbox_max)
+
+    from dvren_tpu.core.plan import SamplingMode as _SM
+    if jitter is None and plan.sampling.mode == _SM.STRATIFIED:
+        from dvren_tpu.render.pipeline import plan_jitter_table
+        jitter = plan_jitter_table(plan)
+    if jitter is not None:
+        jitter = np.asarray(jitter, np.float32)
+
+    if occupancy:
+        cell_empty = _empty_cells(field.sigma)
+        k_enter_ray, k_count_ray = _tighten_windows_by_occupancy(
+            plan, o, d, k_enter_ray.astype(np.int64),
+            k_count_ray.astype(np.int64), jitter, bbox_min, bbox_max,
+            (nz, ny, nx), cell_empty)
 
     tiles = _tile_rays(plan)                  # (n_tiles, 256)
     n_tiles_all = tiles.shape[0]

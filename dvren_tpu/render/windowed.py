@@ -135,13 +135,51 @@ def _windows(plan: Plan, bbox_min, bbox_max):
 class WindowedSchedule:
     """Host-built, device-resident acceleration structure for one
     (plan, camera): per group (step budget, ray ids, first step, jitter
-    rows). Build once, render many - the capture-specialization model."""
+    rows). Build once, render many - the capture-specialization model.
+
+    Registered as a pytree (budgets/counters static, arrays leaves) so
+    schedules can cross jit boundaries as arguments instead of being
+    embedded as HLO constants."""
 
     groups: tuple  # ((budget, ids dev (M,), k_enter dev (M,), jit dev), ...)
     total_rays: int
     skipped_rays: int
     full_lattice_samples: int
     windowed_samples: int
+
+
+def _wsched_flatten(s: "WindowedSchedule"):
+    leaves = []
+    budgets = []
+    jit_present = []
+    for budget, ids, ke, jit_rows in s.groups:
+        budgets.append(int(budget))
+        jit_present.append(jit_rows is not None)
+        leaves.extend([ids, ke])
+        if jit_rows is not None:
+            leaves.append(jit_rows)
+    aux = (tuple(budgets), tuple(jit_present), s.total_rays,
+           s.skipped_rays, s.full_lattice_samples, s.windowed_samples)
+    return leaves, aux
+
+
+def _wsched_unflatten(aux, leaves):
+    budgets, jit_present, total, skipped, full, windowed = aux
+    it = iter(leaves)
+    groups = []
+    for budget, has_jit in zip(budgets, jit_present):
+        ids = next(it)
+        ke = next(it)
+        jit_rows = next(it) if has_jit else None
+        groups.append((budget, ids, ke, jit_rows))
+    return WindowedSchedule(groups=tuple(groups), total_rays=total,
+                            skipped_rays=skipped,
+                            full_lattice_samples=full,
+                            windowed_samples=windowed)
+
+
+jax.tree_util.register_pytree_node(
+    WindowedSchedule, _wsched_flatten, _wsched_unflatten)
 
 
 def build_schedule(plan: Plan, bbox_min, bbox_max, block: int = 32768,

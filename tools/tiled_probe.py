@@ -1,8 +1,11 @@
 """TPU validation + timing of the fused tile path (ops/fused_tiles.py).
 
-1. parity: kernel vs pure-jnp tile consumer on a small scene, on the chip;
-2. headline timing: 512^2, 64^3 grid, 128 stratified steps - tiled fwd and
-   fwd+bwd vs the windowed replay numbers in BENCH_r01.
+Timing methodology: the axon tunnel serializes dispatches at ~36 ms each
+(measured: a trivial jit call costs 35.95 ms; pipelining does not help),
+so per-call timings measure the harness, not the chip. True steady-state
+throughput is measured by scanning K frames (distinct field params) inside
+ONE dispatch and dividing - the jit-replay analogue of CUDA-Graph
+steady state, and how a production renderer batches anyway.
 
 Run alone (one relay-registered JAX process at a time):
     python tools/tiled_probe.py
@@ -34,15 +37,15 @@ def log(msg):
 
 
 def parity_small():
-    # sized so 16x16 tiles fit the 128-cell tables (headline-like ratio)
+    # sized so 16x16 tiles exercise both 1- and 2-bank tables
     plan, field = _scene(256, 192, 48, 64)
     jit_np = plan_jitter_table(plan)
     sched = build_tiled_schedule(plan, field, jitter=jit_np)
-    log(f"small: groups={[(g.n_chunks, g.n_tiles) for g in sched.groups]} "
+    log(f"small: groups={[(g.n_chunks, g.banks, g.n_tiles) for g in sched.groups]} "
         f"fallback={sched.fallback_rays}")
     ref = jax.jit(lambda f: render_tiled(plan, f, sched, use_kernel=False))(
         field)
-    for mode in ("mxu", "dg"):
+    for mode in ("dg", "mxu"):
         out = jax.jit(lambda f: render_tiled(plan, f, sched,
                                              gather=mode))(field)
         for name in ("image", "transmittance", "opacity", "depth"):
@@ -77,43 +80,66 @@ def headline():
 
     t0 = time.perf_counter()
     sched = build_tiled_schedule(plan, field, jitter=jit_np)
-    groups = [(g.n_chunks, g.n_tiles) for g in sched.groups]
+    groups = [(g.n_chunks, g.banks, g.n_tiles) for g in sched.groups]
     log(f"schedule build {time.perf_counter() - t0:.2f}s: "
         f"tiled={sched.tiled_samples / 1e6:.1f}M of "
         f"{sched.full_lattice_samples / 1e6:.1f}M, "
         f"fallback_rays={sched.fallback_rays}, groups={groups}")
 
-    field_b = field.with_params(field.sigma * 1.0001, field.color)
-    fwd_c = None
-    for mode in ("mxu", "dg"):
-        fwd = jax.jit(lambda f: render_tiled(plan, f, sched,
-                                             gather=mode).image)
-        t0 = time.perf_counter()
-        c = fwd.lower(field).compile()
-        log(f"fwd[{mode}] compile {time.perf_counter() - t0:.1f}s")
-        fwd_s = _time_compiled(c, [(field,), (field_b,)], iters=10)
-        log(f"tiled fwd[{mode}] {fwd_s * 1e3:.2f} ms -> "
-            f"{n_rays / fwd_s / 1e6:.1f} Mrays/s")
-        if mode == "mxu":
-            fwd_c = c
+    K = 16
 
+    def frames(sigmas, sched):  # (K,) scales -> per-frame image checksums
+        def body(carry, s):
+            f = field.with_params(field.sigma * s, field.color)
+            img = render_tiled(plan, f, sched).image
+            return carry, img[::64, ::64].sum()
+        _, sums = jax.lax.scan(body, 0.0, sigmas)
+        return sums
+
+    scales = jnp.linspace(1.0, 1.01, K)
+    scales_b = scales * 1.003
+    t0 = time.perf_counter()
+    fwd_c = jax.jit(frames).lower(scales, sched).compile()
+    log(f"fwd scan compile {time.perf_counter() - t0:.1f}s")
+    s = _time_compiled(fwd_c, [(scales, sched), (scales_b, sched)], iters=4)
+    per_frame = s / K
+    log(f"tiled fwd amortized (K={K}): {per_frame * 1e3:.2f} ms/frame -> "
+        f"{n_rays / per_frame / 1e6:.1f} Mrays/s")
+
+    # training steps inside one dispatch
     target = jnp.zeros((height, width, 3), jnp.float32)
+    KB = 8
 
-    def loss(params):
+    def loss(params, sched):
         f = field.with_params(*params)
         img = render_tiled(plan, f, sched).image
         return jnp.mean((img - target) ** 2)
 
+    def steps(params0, sched):
+        def body(params, _):
+            l, g = jax.value_and_grad(loss)(params, sched)
+            return ((params[0] - 1e-3 * g[0], params[1] - 1e-3 * g[1]), l)
+        return jax.lax.scan(body, params0, None, length=KB)
+
     params = (field.sigma, field.color)
     params_b = (params[0] * 1.0001, params[1])
     t0 = time.perf_counter()
-    fb_c = jax.jit(jax.value_and_grad(loss)).lower(params).compile()
-    log(f"fwd+bwd compile {time.perf_counter() - t0:.1f}s")
-    fb_s = _time_compiled(fb_c, [(params,), (params_b,)], iters=5)
-    log(f"tiled fwd+bwd {fb_s * 1e3:.2f} ms -> {n_rays / fb_s / 1e6:.1f} "
-        f"Mrays/s")
+    fb_c = jax.jit(steps).lower(params, sched).compile()
+    log(f"fwd+bwd scan compile {time.perf_counter() - t0:.1f}s")
+    s = _time_compiled(fb_c, [(params, sched), (params_b, sched)], iters=3)
+    per_step = s / KB
+    log(f"tiled fwd+bwd amortized (K={KB}): {per_step * 1e3:.2f} ms/step -> "
+        f"{n_rays / per_step / 1e6:.1f} Mrays/s")
 
-    # parity vs windowed replay at full size (sanity, not timing)
+    # legacy single-dispatch timings for continuity with round-1 numbers
+    fwd1 = jax.jit(lambda f, s: render_tiled(plan, f, s).image)
+    c1 = fwd1.lower(field, sched).compile()
+    field_b = field.with_params(field.sigma * 1.0001, field.color)
+    s1 = _time_compiled(c1, [(field, sched), (field_b, sched)], iters=10)
+    log(f"tiled fwd single-dispatch: {s1 * 1e3:.2f} ms (incl. ~36 ms "
+        f"tunnel) -> {n_rays / s1 / 1e6:.1f} Mrays/s")
+
+    # full-frame parity vs windowed replay
     from dvren_tpu.render.windowed import build_schedule, \
         render_windowed_traced
     wsched = build_schedule(plan, field.bbox_min, field.bbox_max,
@@ -121,7 +147,7 @@ def headline():
     win = jax.jit(
         lambda f: render_windowed_traced(plan, f, wsched).image
     ).lower(field).compile()
-    a = np.asarray(fwd_c(field))
+    a = np.asarray(c1(field, sched))
     b = np.asarray(win(field))
     log(f"headline parity tiled-vs-windowed image maxdiff="
         f"{np.abs(a - b).max():.3e}")
