@@ -6,7 +6,8 @@ Top-level nodes:
           max_steps (required), sampling_mode ("fixed"|"stratified"),
           seed (default 0), roi {x, y, width, height},
           camera {model, K[9], c2w[12], ortho_scale},
-          options {use_fused_path, enable_graph, capture_stats, use_window}
+          options {use_fused_path, enable_graph, capture_stats, use_window,
+                   use_tiles, use_occupancy}
   volume: size [nx, ny, nz], density [n], color [3n] (defaults to grayscale
           density, main.cpp:167-177), bbox_min [3], bbox_max [3],
           interp ("linear"|"nearest"), oob ("zero"|"clamp")
@@ -176,15 +177,18 @@ def parse_config(root: dict) -> RenderConfig:
     config.plan = _parse_plan(render_node)
     if "options" in render_node:
         opt = render_node["options"]
+        use_tiles = opt.get("use_tiles", None)
         config.options = RenderOptions(
             use_fused_path=bool(opt.get("use_fused_path", True)),
             enable_graph=bool(opt.get("enable_graph", False)),
             capture_stats=bool(opt.get("capture_stats", True)),
             use_window=bool(opt.get("use_window", False)),
+            use_tiles=None if use_tiles is None else bool(use_tiles),
+            use_occupancy=bool(opt.get("use_occupancy", False)),
         )
     config.grid = _parse_volume(root["volume"])
     precision = root["volume"].get("table_precision", "float32")
-    check(precision in ("float32", "bfloat16"),
+    check(precision in ("float32", "bfloat16", "float16"),
           f"unsupported table_precision: {precision}")
     config.table_precision = precision
     if "output" in root:
