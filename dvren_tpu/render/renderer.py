@@ -49,13 +49,14 @@ class RenderOptions:
     ``enable_graph`` maps to AOT precompilation (the jit-replay equivalent of
     CUDA Graph capture). ``streaming`` selects the fixed-workspace ray-tile
     path (None = automatic for plans whose lattice exceeds
-    ``streaming_budget`` samples); streaming trades the per-sample parity
-    views (aux, packed grads) for bounded memory at production sizes.
+    ``streaming_budget`` samples); the per-sample parity views (packed
+    samples, aux, per-sample grads) stay available - they recompute the
+    lattice tile-by-tile on demand with the same bounded workspace.
     ``use_window`` enables the host-built bbox window schedule
     (render/windowed.py) for forward renders of OOB_ZERO grid fields:
     provably-zero lattice steps outside the field bbox are skipped, with
     bit-exact output; the schedule is built once per (plan, field bbox) and
-    replayed. Like streaming, it forgoes the per-sample parity views.
+    replayed.
 
     ``use_occupancy`` (tiled mode) additionally trims each ray's step
     window to non-empty cells at schedule build - exact for fields whose
@@ -186,6 +187,7 @@ class Renderer:
         self._last_mode = None
         self._last_ray_count = plan.ray_count
         self._override_jit = None
+        self._parity_jit = None  # (key, fn) parity-view tile executable
         self._override_jitter = {}  # bundle size -> host jitter table
         self._bwd_aot = {}  # mode -> (AOT executable, field meta key)
 
@@ -801,36 +803,140 @@ class Renderer:
                 (field.sigma, field.color), c2w0, k0, dl_dev, schedule)
         return self._finish_backward(grads, out)
 
+    # ------------------------------------------------- parity views (packed)
+
+    def _parity_tile_fn(self, field, with_grads: bool):
+        """One jit executable computing a ray tile's parity quantities.
+
+        The production-size analogue of the reference's always-persisted
+        per-sample state (int_cpu.cpp:201-207): instead of materializing the
+        whole lattice, the view streams fixed-shape ray tiles (bounded device
+        memory) and packs on the host. The tile function is cached per
+        (field metadata, with_grads)."""
+        key = (self._field_meta_key(field), with_grads)
+        cached = getattr(self, "_parity_jit", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        plan = self._plan
+        tile = pipeline_mod.default_ray_tile(plan)
+
+        def tile_fn(field, start, jitter, dl_tile):
+            rays = generate_rays(plan, start=start, count=tile)
+            block_jitter = None
+            if jitter is not None:
+                block_jitter = jax.lax.dynamic_slice(
+                    jitter, (start, 0), (tile, jitter.shape[1]))
+            lattice = generate_samples(plan, rays, ray_index_offset=start,
+                                       jitter=block_jitter)
+            sigma, color = eval_fields(field, lattice)
+            out = dict(mask=lattice.mask, positions=lattice.positions,
+                       dt=lattice.dt, sigma=sigma,
+                       color=jnp.stack(color, axis=-1))
+            if with_grads:
+                d_sigma, d_color = diff_ops.per_sample_grads(
+                    dl_tile, sigma, color, lattice.dt, lattice.mask)
+                out.update(d_sigma=d_sigma, d_color=d_color)
+            else:
+                intl = integrate(sigma, color, lattice.dt, lattice.mask,
+                                 plan.t_near, plan.t_far, with_aux=True)
+                out.update(aux=intl.aux)
+            return out
+
+        fn = jax.jit(tile_fn)
+        self._parity_jit = (key, fn)
+        return fn
+
+    def _stream_parity_views(self, field, keys: tuple,
+                             dl: np.ndarray | None = None) -> dict:
+        """Packed per-sample views for streaming/windowed/tiled modes by
+        recomputing the full lattice tile-by-tile. The window/tile schedules
+        only skip provably-zero contributions, so the reference-parity view
+        IS the full lattice's (same live mask, same values)."""
+        plan = self._plan
+        n = plan.ray_count
+        tile = pipeline_mod.default_ray_tile(plan)
+        n_tiles = -(-n // tile)
+        jitter = self._device_jitter()
+        if jitter is not None and jitter.shape[0] < n_tiles * tile:
+            jitter = jnp.pad(
+                jitter, ((0, n_tiles * tile - jitter.shape[0]), (0, 0)))
+        fn = self._parity_tile_fn(field, dl is not None)
+        packed = {k: [] for k in keys}
+        counts = []
+        for t in range(n_tiles):
+            start = t * tile
+            valid = min(tile, n - start)
+            dl_tile = None
+            if dl is not None:
+                dl_tile = np.zeros((tile, 3), np.float32)
+                dl_tile[:valid] = dl[start:start + valid]
+                dl_tile = jnp.asarray(dl_tile)
+            out = fn(field, jnp.int32(start), jitter, dl_tile)
+            mask = np.asarray(out["mask"])[:valid]
+            counts.append(mask.sum(axis=1))
+            for k in keys:
+                packed[k].append(np.asarray(out[k])[:valid][mask])
+        views = {k: np.concatenate(packed[k]) for k in keys}
+        live = np.concatenate(counts)
+        views["ray_offset"] = np.concatenate(
+            [[0], np.cumsum(live)]).astype(np.uint32)
+        return views
+
     def per_sample_gradients(self, dl_di) -> tuple[np.ndarray, np.ndarray]:
         """Packed per-sample (dsigma (M,), dcolor (M,3)) - ``hp_diff`` parity
-        view over live samples in ray-major order."""
+        view over live samples in ray-major order. In streaming/windowed/
+        tiled modes the lattice is recomputed tile-by-tile (bounded device
+        memory) - the view works at production sizes."""
+        n = self._last_ray_count
+        dl = np.asarray(dl_di, np.float32).reshape(n, 3)
         if self._last_mode in ("streamed", "windowed", "tiled"):
-            raise DvrenError.unsupported(
-                "per-sample gradient views are unavailable in streaming/"
-                "windowed/tiled mode (the lattice is never materialized); use a "
-                "non-streaming Renderer for parity inspection")
+            if self._last_field is None:
+                raise DvrenError.invalid_argument(
+                    "per_sample_gradients requires a prior Forward")
+            views = self._stream_parity_views(
+                self._last_field, ("d_sigma", "d_color"), dl=dl)
+            return views["d_sigma"], views["d_color"]
         if self._last_outputs is None:
             raise DvrenError.invalid_argument(
                 "per_sample_gradients requires a prior Forward")
         outputs = self._last_outputs
-        n = self._last_ray_count
-        dl_dev = jnp.asarray(
-            np.asarray(dl_di, np.float32).reshape(n, 3))
+        dl_dev = jnp.asarray(dl)
         d_sigma, d_color = diff_ops.per_sample_grads(
             dl_dev, outputs.sigma, outputs.color,
             outputs.lattice.dt, outputs.lattice.mask)
         mask = np.asarray(outputs.lattice.mask)
         return (np.asarray(d_sigma)[mask], np.asarray(d_color)[mask])
 
+    def packed_aux(self) -> np.ndarray:
+        """Packed per-sample aux (M, 4) = (alpha, weight, T_before,
+        logT_before) over live samples in ray-major order - the reference's
+        always-persisted integration state (int_cpu.cpp:201-207). Available
+        in every mode; streaming/windowed/tiled recompute it tile-by-tile."""
+        if self._last_field is None:
+            raise DvrenError.invalid_argument(
+                "packed_aux requires a prior Forward")
+        if self._last_mode in ("streamed", "windowed", "tiled"):
+            return self._stream_parity_views(self._last_field, ("aux",))["aux"]
+        out = self._last_outputs
+        if out.intl.aux is None:  # pragma: no cover - render() keeps aux
+            return self._stream_parity_views(self._last_field, ("aux",))["aux"]
+        mask = np.asarray(out.lattice.mask)
+        return np.asarray(out.intl.aux)[mask]
+
     def packed_samples(self) -> dict:
         """Reference-style packed sample stream (``hp_samp_t`` parity view,
         hp.h:132-138): positions (M,3), dt (M,), sigma (M,), color (M,3),
         ray_offset (N+1,) over live samples in ray-major order. Uses the
-        native C packing when available."""
+        native C packing when available. In streaming/windowed/tiled modes
+        the lattice is recomputed tile-by-tile (bounded device memory)."""
         if self._last_mode in ("streamed", "windowed", "tiled"):
-            raise DvrenError.unsupported(
-                "packed sample views are unavailable in streaming/windowed/"
-                "tiled mode")
+            if self._last_field is None:
+                raise DvrenError.invalid_argument(
+                    "packed_samples requires a prior Forward")
+            views = self._stream_parity_views(
+                self._last_field, ("positions", "dt", "sigma", "color"))
+            return {k: views[k] for k in
+                    ("positions", "dt", "sigma", "color", "ray_offset")}
         if self._last_outputs is None:
             raise DvrenError.invalid_argument(
                 "packed_samples requires a prior Forward")

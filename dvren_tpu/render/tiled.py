@@ -68,11 +68,12 @@ class TileGroup:
     """
 
     n_chunks: int
-    n_tiles: int
+    n_tiles: int             # padded to a multiple of 8 (kernel DMA blocks)
     banks: int               # table banks per chunk (slots = banks*128)
     hostmap: jnp.ndarray     # (T*nc*banks*128,) int32 packed row per slot
-    lidx: jnp.ndarray        # (T, nc, 16, 128) int32 slot per sample
-    fracs: jnp.ndarray       # (T, nc, 4, 16, 128) f32: tx, ty, tz, m
+    samp: jnp.ndarray        # (T, nc, 5, 16, 128) f32: tx, ty, tz, m,
+    #                          bitcast(int32 slot id) - ONE array so the
+    #                          kernel's static schedule is a single DMA
     k_enter: jnp.ndarray     # (T,) int32 tile window start
     pixel_ids: jnp.ndarray   # (T*256,) int32 compose targets
     samples: int             # live sample count (stats)
@@ -365,8 +366,14 @@ def build_tiled_schedule(plan: Plan, field,
                                 cap - 1)
             t_kept = int(keep.sum())
 
-            fr = np.stack([tx_l[keep], ty_l[keep], tz_l[keep], m_l[keep]],
-                          axis=2)  # (T, nc, 4, 16, 128)
+            # tx, ty, tz, m and the slot ids BITCAST to f32: one packed
+            # schedule array -> one kernel input DMA (fused_tiles is
+            # DMA-issue-bound, see tools/tile_kernel_probe.py).
+            lidx_f32 = np.ascontiguousarray(
+                lidx_k.astype(np.int32)).view(np.float32)
+            samp = np.stack(
+                [tx_l[keep], ty_l[keep], tz_l[keep], m_l[keep], lidx_f32],
+                axis=2).astype(np.float32)  # (T, nc, 5, 16, 128)
 
             ids_k = ids[keep]
             live_k = live_r[keep]
@@ -381,16 +388,34 @@ def build_tiled_schedule(plan: Plan, field,
                     live_k.shape) - 1)
             pad_pid_base += n_bad
 
+            # Pad the group to a multiple of 8 tiles so the kernel can
+            # block several tiles per grid step. Pad tiles are fully dead:
+            # m == 0 everywhere, slot 0, packed row 0, throwaway pixels.
+            t_pad = -(-t_kept // 8) * 8
+            uniq_r = uniq.astype(np.int32).reshape(t_kept, nc * cap)
+            ke_k = ke_t[keep].astype(np.int32)
+            pids = pids.reshape(t_kept, RAYS_PER_TILE)
+            if t_pad != t_kept:
+                extra = t_pad - t_kept
+                samp = np.concatenate(
+                    [samp, np.zeros((extra,) + samp.shape[1:],
+                                    np.float32)])
+                uniq_r = np.concatenate(
+                    [uniq_r, np.zeros((extra, nc * cap), np.int32)])
+                ke_k = np.concatenate([ke_k, np.zeros(extra, np.int32)])
+                pad_ids = (pad_pid_base + np.arange(
+                    extra * RAYS_PER_TILE)).reshape(extra, RAYS_PER_TILE)
+                pad_pid_base += extra * RAYS_PER_TILE
+                pids = np.concatenate([pids, pad_ids.astype(pids.dtype)])
+
             tiled_samples += int(m_l[keep].sum())
             groups.append(TileGroup(
                 n_chunks=nc,
-                n_tiles=t_kept,
+                n_tiles=t_pad,
                 banks=banks,
-                hostmap=jax.device_put(
-                    uniq.astype(np.int32).reshape(-1)),
-                lidx=jax.device_put(lidx_k),
-                fracs=jax.device_put(fr.astype(np.float32)),
-                k_enter=jax.device_put(ke_t[keep].astype(np.int32)),
+                hostmap=jax.device_put(uniq_r.reshape(-1)),
+                samp=jax.device_put(samp),
+                k_enter=jax.device_put(ke_k),
                 pixel_ids=jax.device_put(pids.reshape(-1).astype(np.int32)),
                 samples=int(m_l[keep].sum()),
             ))
@@ -438,14 +463,15 @@ def _group_reference_planes(plan: Plan, tabs, group: TileGroup):
     the non-TPU fallback): per-sample sigma/color planes in (N, K) layout
     plus dt/mask, ready for ops.integrate."""
     t_cnt, nc = group.n_tiles, group.n_chunks
+    lidx = jax.lax.bitcast_convert_type(group.samp[:, :, 4], jnp.int32)
     # cube[t, c, cc, r, l] = tabs[t, c, cc, lidx[t, c, r, l]]
     cube = jnp.take_along_axis(
-        tabs[:, :, :, None, :], group.lidx[:, :, None, :, :], axis=-1)
+        tabs[:, :, :, None, :], lidx[:, :, None, :, :], axis=-1)
 
-    tx = group.fracs[:, :, 0]
-    ty = group.fracs[:, :, 1]
-    tz = group.fracs[:, :, 2]
-    m = group.fracs[:, :, 3]
+    tx = group.samp[:, :, 0]
+    ty = group.samp[:, :, 1]
+    tz = group.samp[:, :, 2]
+    m = group.samp[:, :, 3]
     wx = [1.0 - tx, tx]
     wy = [1.0 - ty, ty]
     wz = [m * (1.0 - tz), m * tz]
@@ -498,11 +524,14 @@ def _group_outputs_reference(plan: Plan, packed_flat, group: TileGroup):
 
 
 def render_tiled(plan: Plan, field, schedule: TiledSchedule,
-                 use_kernel: bool = True, gather: str = "dg") -> ImagePlanes:
+                 use_kernel: bool = True, gather: str = "dg",
+                 reduce: str = "mxu") -> ImagePlanes:
     """Tile-table forward render (traceable; jit/grad over the field).
 
     ``use_kernel=False`` runs the pure-jnp reference consumer (any
-    backend); True runs the fused Pallas kernel (TPU).
+    backend); True runs the fused Pallas kernel (TPU). ``gather``/
+    ``reduce`` select the kernel's slot-expansion and group-reduction
+    strategies (ops/fused_tiles.py; defaults are the measured-fastest).
     """
     check(tuple(int(v) for v in np.asarray(field.sigma.shape[:3]))
           == tuple(schedule.grid_shape),
@@ -522,8 +551,8 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
             from dvren_tpu.ops import fused_tiles
             tabs = _group_tables(packed_flat, group)
             out = fused_tiles.render_tile_group(
-                plan, tabs, group.lidx, group.fracs, group.k_enter,
-                group.n_chunks, gather=gather)
+                plan, tabs, group.samp, group.k_enter,
+                group.n_chunks, gather=gather, reduce=reduce)
             parts.append((group.pixel_ids,) + out)
         else:
             parts.append(_group_outputs_reference(plan, packed_flat, group))

@@ -46,6 +46,20 @@ def test_kernel_matches_reference_roi():
     kernel_vs_reference(plan, field, build_tiled_schedule(plan, field))
 
 
+@pytest.mark.parametrize("reduce", ["mxu3", "roll"])
+def test_kernel_reduce_variants_match(reduce):
+    """The alternate group-reduction strategies (3-pass bf16-split mask
+    matmuls; VPU roll butterflies) compute the same integration results as
+    the HIGHEST-precision mask matmuls (all are exact-product schemes; only
+    the final f32 reassociation differs)."""
+    plan, field = scene(mode=SamplingMode.STRATIFIED)
+    jitter = plan_jitter_table(plan)
+    schedule = build_tiled_schedule(plan, field, jitter=jitter)
+    ref = render_tiled(plan, field, schedule, use_kernel=True, reduce="mxu")
+    out = render_tiled(plan, field, schedule, use_kernel=True, reduce=reduce)
+    assert_planes_close(out, ref, tol=1e-6)
+
+
 def test_kernel_matches_full_render():
     """Transitively: kernel == full dense-lattice render."""
     plan, field = scene()
@@ -111,8 +125,12 @@ def test_renderer_use_tiles_forward_backward():
     # tiled mode bakes the camera: dCam is documented zeros
     assert not ga.camera.any()
 
-    with pytest.raises(DvrenError):
-        r_tiles.per_sample_gradients(dl)
+    # Parity views stream the full lattice in tiled mode and must match
+    # the in-memory views exactly (same lattice, same math).
+    ds_t, dc_t = r_tiles.per_sample_gradients(dl)
+    ds_f, dc_f = r_full.per_sample_gradients(dl)
+    np.testing.assert_array_equal(ds_t, ds_f)
+    np.testing.assert_array_equal(dc_t, dc_f)
 
 
 def test_renderer_use_tiles_rejects_nearest():

@@ -65,12 +65,48 @@ def test_streaming_auto_selection():
     assert r_forced._streaming
 
 
-def test_streaming_per_sample_views_rejected():
+def test_streaming_per_sample_views_match_fused():
+    """Streaming-mode parity views recompute the lattice tile-by-tile and
+    must match the in-memory views exactly (the reference persists aux
+    always, int_cpu.cpp:201-207; production sizes stream it here)."""
     plan, field = scene()
-    r = Renderer(Context.create(), plan, RenderOptions(streaming=True))
-    r.forward(field)
-    with pytest.raises(DvrenError):
-        r.per_sample_gradients(np.zeros((plan.ray_count, 3), np.float32))
+    ctx = Context.create()
+    dl = np.random.default_rng(9).uniform(
+        -1, 1, (plan.ray_count, 3)).astype(np.float32)
+
+    rf = Renderer(ctx, plan, RenderOptions(streaming=False))
+    rf.forward(field)
+    ref_samples = rf.packed_samples()
+    ref_aux = rf.packed_aux()
+    ref_ds, ref_dc = rf.per_sample_gradients(dl)
+
+    rs = Renderer(ctx, plan, RenderOptions(streaming=True))
+    rs.forward(field)
+    got_samples = rs.packed_samples()
+    got_aux = rs.packed_aux()
+    got_ds, got_dc = rs.per_sample_gradients(dl)
+
+    for key in ("positions", "dt", "sigma", "color", "ray_offset"):
+        np.testing.assert_array_equal(got_samples[key], ref_samples[key])
+    np.testing.assert_array_equal(got_aux, ref_aux)
+    np.testing.assert_array_equal(got_ds, ref_ds)
+    np.testing.assert_array_equal(got_dc, ref_dc)
+
+
+def test_windowed_per_sample_views_match_fused():
+    """Window scheduling only skips provably-zero contributions; the packed
+    parity views are defined on the full lattice and must be identical."""
+    plan, field = windowed_scene()
+    ctx = Context.create()
+    rf = Renderer(ctx, plan, RenderOptions())
+    rf.forward(field)
+    rw = Renderer(ctx, plan, RenderOptions(use_window=True))
+    rw.forward(field)
+    ref = rf.packed_samples()
+    got = rw.packed_samples()
+    for key in ("positions", "dt", "sigma", "color", "ray_offset"):
+        np.testing.assert_array_equal(got[key], ref[key])
+    np.testing.assert_array_equal(rw.packed_aux(), rf.packed_aux())
 
 
 def test_streaming_graph_replay():
