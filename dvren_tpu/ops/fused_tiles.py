@@ -1,31 +1,34 @@
 """Fused tile-group render kernel: the north-star Pallas hot path.
 
 Consumes the host-resolved tile-table schedule (render/tiled.py): for each
-(16x16-pixel tile, 8-step chunk) the host has already collected the <= 128
-distinct grid cells touched and per-sample slot ids + trilinear fractions.
-This kernel does everything after the per-slot table gather IN ONE PASS per
-tile - the TPU-native equivalent of the reference's fused samp+int device
-kernel plus CUDA-Graph steady state (role models:
+(16x16-pixel tile, 8-step chunk) the host has already collected the <= 512
+distinct grid cells touched (1-4 banks of 128 slots) and per-sample slot
+ids. This kernel does everything after the per-slot table gather IN ONE
+PASS per tile - the TPU-native equivalent of the reference's fused
+samp+int device kernel plus CUDA-Graph steady state (role models:
 ``hotpath/src/cpu/samp_int_fused.cpp:11-76``,
 ``hotpath/src/cuda/graph_cuda.cu:120-205``; north star per SURVEY.md 2.3):
 
-1. slot -> value expansion with ``tpu.dynamic_gather``
+1. per-sample trilinear fraction recompute from the SLIM schedule
+   (sample_t + packed slot|mask + per-tile ray planes + per-slot cell
+   bases; see :func:`_sample_geometry` - shipping fractions costs 2.5x the
+   DMA bytes and the kernel is bandwidth-bound);
+2. slot -> value expansion with ``tpu.dynamic_gather``
    (``jnp.take_along_axis(op, idx, axis=1)`` with op/idx both (16, 128)):
-   one vector shuffle per packed channel replaces 2048 XLA gather starts -
-   the measured ~150M starts/s XLA ceiling never applies in-kernel;
-2. trilinear interpolation from the host-precomputed fractions (corner-order
-   sum, matching render/tiled.py::_group_reference_planes bit-for-bit on the
-   gathered values);
+   one vector shuffle per packed channel per bank replaces 2048 XLA gather
+   starts - the measured XLA gather-start ceiling never applies in-kernel;
 3. the transmittance recurrence, reformulated (like ops/integrate.py) as
    prefix sums of optical depth. All per-ray reductions are SUMS because
    ``processed`` is a prefix mask, so they map onto tiny MXU matmuls with
    group-structure masks: out = x @ M with M[l', l] = [same 8-lane ray
    group and l' < l] (exclusive prefix) or [same group] (broadcast sum),
-   at Precision.HIGH - exact for 0/1 masks (see _MASK_PRECISION) at half
-   the passes of HIGHEST. (A VPU butterfly of masked ``pltpu.roll``-adds
-   measured ~25% slower than the mask matmuls on v5e - cross-lane rotates
-   are expensive; it survives as the ``reduce="roll"`` probe ablation.)
-   Early termination is exact: T_final = exp(-sum of processed od).
+   at HIGHEST precision (Mosaic supports only DEFAULT - a single
+   f32-truncating bf16 pass, ~1e-3 error - and HIGHEST in-kernel).
+   Ablations kept behind ``reduce=``: "mxu3" (3-pass bf16-split mask
+   matmuls, exact) and "roll" (VPU butterfly) - both measured at or below
+   parity with HIGHEST on v5e because the kernel is DMA-bound, not
+   MXU-bound. Early termination is exact: T_final = exp(-sum of
+   processed od).
 
 The backward is a custom VJP (no residuals beyond the inputs): pass 1
 re-runs the gather+interpolation storing per-chunk planes and prefix state
@@ -210,54 +213,100 @@ def _reducer(reduce: str):
     return _REDUCERS[reduce]()
 
 
-def _samp_unpack(samp_c):
-    """Split one chunk's packed sample block (5, 16, 128) f32 into
-    (fracs (4, 16, 128), lidx (16, 128) int32).
+def _dg_col(mat, col, lidx_c, bank_of):
+    """Expand table row ``col`` of ``mat`` (C, banks*128) to per-sample
+    values (R, 128) via ``tpu.dynamic_gather`` (one lane shuffle per bank
+    + select). Single-step slicing straight off the loaded block - Mosaic
+    rejects broadcast from a re-sliced intermediate ("Invalid input
+    layout")."""
+    banks = mat.shape[-1] // LANES
+    rows = lidx_c.shape[0]
+    val = None
+    for b in range(banks):
+        row = jnp.broadcast_to(
+            mat[col:col + 1, b * LANES:(b + 1) * LANES], (rows, LANES))
+        idx = jnp.clip(lidx_c - b * LANES, 0, LANES - 1)
+        got = jnp.take_along_axis(row, idx, axis=1)
+        val = got if val is None else jnp.where(bank_of == b, got, val)
+    return val
 
-    Channel 4 carries the slot ids BITCAST to f32 (host-side
-    ``lidx.view(np.float32)``): packing the static schedule into ONE array
-    per group halves the kernel's input DMA count - the measured kernel
-    floor is DMA-issue overhead, not bytes or compute (tile_kernel_probe).
+
+def _sample_geometry(samp_c, base_loader, rayt, bank_of_fn, *, lo, inv,
+                     ns):
+    """Recompute per-sample trilinear weights IN-KERNEL from the slim
+    schedule: sample_t + packed (slot | mask) + per-tile ray planes +
+    per-slot cell bases.
+
+    Shipping fractions cost 32 KB/chunk of DMA (the kernel is
+    bandwidth-bound at this chip's ~100 GB/s effective HBM rate, measured
+    in tools/hbm_probe.py); recomputing them costs ~30 vector ops. The
+    cell assignment stays HOST-authoritative (slot ids + mask bit + the
+    gathered cell base), so the 1-ulp fma difference between host and
+    device positions only perturbs a fraction continuously - it can never
+    flip a sample to a different cell or into/out of the mask.
+
+    samp_c: (2, R, 128) = sample_t f32, bitcast(lidx | m << 15).
+    base_loader: (ax, bank) -> (1, 128) f32 cell base coords per slot
+    (a REF-level slice: Mosaic rejects vector-level lane-offset slices of
+    a loaded 3-row block under broadcast - "Invalid input layout").
+    rayt: (6, R, 128) = ox, oy, oz, dx, dy, dz planes (per-ray values
+    replicated across each 8-lane group).
+    Returns (lidx (R,128) i32, bank_of, weights ((wx0,wx1),(wy..),(wz..))
+    with m folded into wz).
     """
-    lidx = pltpu.bitcast(samp_c[4], jnp.int32)
-    return samp_c[0:4], lidx
+    st = samp_c[0]
+    packed = pltpu.bitcast(samp_c[1], jnp.int32)
+    m = ((packed >> 15) & 1).astype(jnp.float32)
+    lidx_c = packed & 0x7FFF
+    bank_of = bank_of_fn(lidx_c)
+    rows = lidx_c.shape[0]
+    banks, loader = base_loader
 
+    def axis(o_pl, d_pl, ax):
+        p = o_pl + d_pl * st
+        local = (p - jnp.float32(lo[ax])) * jnp.float32(inv[ax])
+        f = local * jnp.float32(ns[ax])
+        val = None
+        for bk in range(banks):
+            rowb = jnp.broadcast_to(loader(ax, bk), (rows, LANES))
+            idx = jnp.clip(lidx_c - bk * LANES, 0, LANES - 1)
+            got = jnp.take_along_axis(rowb, idx, axis=1)
+            val = got if val is None else jnp.where(bank_of == bk, got, val)
+        return f - val
 
-def _gather_planes_dg(tabs_c, lidx_c, fracs_c):
-    """Per-sample (sigma, r, g, b) planes for one chunk, each (16, 128),
-    via ``tpu.dynamic_gather`` (one vector shuffle per packed channel).
-
-    tabs_c: (32, 128) cell table; lidx_c: (16, 128) int32 slots;
-    fracs_c: (4, 16, 128) = tx, ty, tz, m (m folds inside-bbox AND live).
-    """
-    banks = tabs_c.shape[1] // LANES
-    tx, ty, tz, m = (fracs_c[0], fracs_c[1], fracs_c[2], fracs_c[3])
+    tx = axis(rayt[0], rayt[3], 0)
+    ty = axis(rayt[1], rayt[4], 1)
+    tz = axis(rayt[2], rayt[5], 2)
     wx = (1.0 - tx, tx)
     wy = (1.0 - ty, ty)
     wz = (m * (1.0 - tz), m * tz)
-    bank_of = lidx_c // LANES
+    return lidx_c, bank_of, (wx, wy, wz)
+
+
+def _gather_planes_dg(tabs_c, lidx_c, bank_of, weights):
+    """Per-sample (sigma, r, g, b) planes for one chunk, each (R, 128),
+    via ``tpu.dynamic_gather`` (one vector shuffle per packed channel).
+
+    tabs_c: (32, banks*128) cell table; lidx_c: (R, 128) int32 slots;
+    weights: ((wx0, wx1), (wy0, wy1), (wz0, wz1)) with the mask folded
+    into wz (from :func:`_sample_geometry`).
+    """
+    wx, wy, wz = weights
     planes = []
     for ch in range(4):
-        acc = jnp.zeros((ROWS, LANES), jnp.float32)
+        acc = None
         for dz in (0, 1):
             for dy in (0, 1):
                 for dx in (0, 1):
                     col = ch * 8 + dz * 4 + dy * 2 + dx
-                    val = jnp.zeros((ROWS, LANES), jnp.float32)
-                    for b in range(banks):
-                        row = jnp.broadcast_to(
-                            tabs_c[col:col + 1, b * LANES:(b + 1) * LANES],
-                            (ROWS, LANES))
-                        idx = jnp.clip(lidx_c - b * LANES, 0, LANES - 1)
-                        got = jnp.take_along_axis(row, idx, axis=1)
-                        val = got if banks == 1 else jnp.where(
-                            bank_of == b, got, val)
-                    acc = acc + (wz[dz] * wy[dy] * wx[dx]) * val
+                    val = _dg_col(tabs_c, col, lidx_c, bank_of)
+                    term = (wz[dz] * wy[dy] * wx[dx]) * val
+                    acc = term if acc is None else acc + term
         planes.append(acc)
     return planes
 
 
-def _gather_planes_mxu(tabs_c, lidx_c, fracs_c):
+def _gather_planes_mxu(tabs_c, lidx_c, bank_of, weights):
     """Same contract as :func:`_gather_planes_dg`, but the slot expansion
     runs on the MXU: per block row r, cube_r = tabs_c @ OH_r with
     OH_r[s, l] = [lidx[r, l] == s]. One-hot f32 matmuls are EXACT (each
@@ -271,10 +320,11 @@ def _gather_planes_mxu(tabs_c, lidx_c, fracs_c):
     avoiding cross-row relayouts.
     """
     banks = tabs_c.shape[1] // LANES
+    n_rows = lidx_c.shape[0]
     slot = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
-    fr = fracs_c  # (4, 16, 128)
+    wx, wy, wz = weights
     rows = [[] for _ in range(4)]
-    for r in range(ROWS):
+    for r in range(n_rows):
         lrow = jnp.broadcast_to(lidx_c[r:r + 1, :], (LANES, LANES))
         cube_r = jnp.zeros((NCH, LANES), jnp.float32)
         for b in range(banks):
@@ -283,16 +333,9 @@ def _gather_planes_mxu(tabs_c, lidx_c, fracs_c):
                 tabs_c[:, b * LANES:(b + 1) * LANES], oh,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)  # (32, 128)
-        tx = fr[0, r:r + 1, :]
-        ty = fr[1, r:r + 1, :]
-        tz = fr[2, r:r + 1, :]
-        m = fr[3, r:r + 1, :]
-        wx = (1.0 - tx, tx)
-        wy = (1.0 - ty, ty)
-        wz = (m * (1.0 - tz), m * tz)
         # corner weights in packed-corner order (dz*4 + dy*2 + dx)
         wc8 = jnp.concatenate(
-            [wz[dz] * wy[dy] * wx[dx]
+            [(wz[dz] * wy[dy] * wx[dx])[r:r + 1, :]
              for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)],
             axis=0)                                           # (8, 128)
         weighted = cube_r.reshape(4, 8, LANES) * wc8[None]    # (4, 8, 128)
@@ -320,15 +363,21 @@ def _chunk_geometry(ke, c, consts):
     return livef, dta
 
 
-def _fwd_kernel(ke_ref, tabs_ref, samp_ref, out_ref,
+def _fwd_kernel(ke_ref, tabs_ref, samp_ref, base_ref, rayt_ref, out_ref,
                 *, nc, g_tiles, dt, t_near, t_far, k_max, stop, gather,
-                reduce):
+                reduce, lo, inv, ns):
     red = _reducer(reduce)
     consts = (dt, t_near, t_far, k_max)
+    geom = dict(lo=lo, inv=inv, ns=ns)
+    banks = tabs_ref.shape[-1] // LANES
     tile0 = pl.program_id(0) * g_tiles
+
+    def bank_of_fn(lidx):
+        return lidx // LANES
 
     def tile(g, _):
         ke = ke_ref[tile0 + g]
+        rayt = rayt_ref[g]
         t_origin = (jnp.float32(t_near)
                     + ke.astype(jnp.float32) * jnp.float32(dt))
         zeros = jnp.zeros((ROWS, LANES), jnp.float32)
@@ -338,9 +387,12 @@ def _fwd_kernel(ke_ref, tabs_ref, samp_ref, out_ref,
 
         def chunk(c, carry):
             acc_r, acc_g, acc_b, acc_wd, acc_odp, carry_od, carry_t = carry
-            fracs_c, lidx_c = _samp_unpack(samp_ref[g, c])
+            loader = (banks, lambda ax, bk: base_ref[
+                g, c, ax, bk * LANES:(bk + 1) * LANES].reshape(1, LANES))
+            lidx_c, bank_of, weights = _sample_geometry(
+                samp_ref[g, c], loader, rayt, bank_of_fn, **geom)
             sig, cr, cg, cb = _GATHER_IMPLS[gather](
-                tabs_ref[g, c], lidx_c, fracs_c)
+                tabs_ref[g, c], lidx_c, bank_of, weights)
             livef, dta = _chunk_geometry(ke, c, consts)
 
             od = jnp.maximum(sig * dta, 0.0) * livef
@@ -371,16 +423,27 @@ def _fwd_kernel(ke_ref, tabs_ref, samp_ref, out_ref,
     jax.lax.fori_loop(0, g_tiles, tile, 0)
 
 
-def _bwd_kernel(ke_ref, tabs_ref, samp_ref, gs_ref,
+def _bwd_kernel(ke_ref, tabs_ref, samp_ref, base_ref, rayt_ref, gs_ref,
                 dtabs_ref, planes_s, state_s,
                 *, nc, g_tiles, dt, t_near, t_far, k_max, stop, gather,
-                reduce):
+                reduce, lo, inv, ns):
     red = _reducer(reduce)
     consts = (dt, t_near, t_far, k_max)
+    geom = dict(lo=lo, inv=inv, ns=ns)
+    n_banks = tabs_ref.shape[-1] // LANES
     tile0 = pl.program_id(0) * g_tiles
+
+    def bank_of_fn(lidx):
+        return lidx // LANES
 
     def tile(g, _):
         ke = ke_ref[tile0 + g]
+        rayt = rayt_ref[g]
+
+        def loader_for(c):
+            return (n_banks, lambda ax, bk: base_ref[
+                g, c, ax, bk * LANES:(bk + 1) * LANES].reshape(1, LANES))
+
         # Broadcast output cotangents to all lanes of each ray group (the
         # forward emitted per-ray values replicated across the group, so
         # the true accumulator cotangent is the sum over its lanes).
@@ -394,9 +457,10 @@ def _bwd_kernel(ke_ref, tabs_ref, samp_ref, gs_ref,
         # Pass 1 (forward): recompute planes and prefix state per chunk.
         def fwd_chunk(c, carry):
             carry_od, carry_t = carry
-            fracs_c, lidx_c = _samp_unpack(samp_ref[g, c])
+            lidx_c, bank_of, weights = _sample_geometry(
+                samp_ref[g, c], loader_for(c), rayt, bank_of_fn, **geom)
             sig, cr, cg, cb = _GATHER_IMPLS[gather](
-                tabs_ref[g, c], lidx_c, fracs_c)
+                tabs_ref[g, c], lidx_c, bank_of, weights)
             planes_s[c, 0] = sig
             planes_s[c, 1] = cr
             planes_s[c, 2] = cg
@@ -446,11 +510,8 @@ def _bwd_kernel(ke_ref, tabs_ref, samp_ref, gs_ref,
             dsig = dod * livef * tie * dta
             dplanes = (dsig, g_r * w, g_g * w, g_b * w)
 
-            fracs_c, lidx_c = _samp_unpack(samp_ref[g, c])
-            tx, ty, tz, m = (fracs_c[0], fracs_c[1], fracs_c[2], fracs_c[3])
-            wx = (1.0 - tx, tx)
-            wy = (1.0 - ty, ty)
-            wz = (m * (1.0 - tz), m * tz)
+            lidx_c, _, (wx, wy, wz) = _sample_geometry(
+                samp_ref[g, c], loader_for(c), rayt, bank_of_fn, **geom)
 
             slot = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
             banks = dtabs_ref.shape[-1] // LANES
@@ -493,11 +554,14 @@ def _interpret_default() -> bool:
 
 def _pick_g_tiles(t_cnt, nc, banks, bwd_scratch=True,
                   vmem_budget=6 << 20):
-    """Tiles per grid step: amortize DMA-issue overhead (the measured
-    kernel floor) while keeping double-buffered blocks + backward scratch
-    within the VMEM budget. The schedule pads every group to a multiple of
-    8, so any power-of-two choice <= 8 divides t_cnt."""
-    per_tile = nc * (NCH * banks * LANES + 5 * ROWS * LANES) * 4
+    """Tiles per grid step: amortize DMA-issue overhead while keeping
+    double-buffered blocks + backward scratch within the VMEM budget. The
+    schedule pads every group to a multiple of 8, so any power-of-two
+    choice <= 8 divides t_cnt."""
+    per_tile = (nc * (NCH * banks * LANES            # tabs
+                      + 2 * ROWS * LANES             # samp
+                      + 3 * banks * LANES)           # base
+                + 6 * ROWS * LANES) * 4              # rayt
     scratch = nc * 6 * ROWS * LANES * 4 if bwd_scratch else 0
     g = 8
     while g > 1 and (2 * g * per_tile + scratch > vmem_budget
@@ -508,29 +572,39 @@ def _pick_g_tiles(t_cnt, nc, banks, bwd_scratch=True,
 
 @functools.lru_cache(maxsize=None)
 def _tile_op(nc, banks, g_tiles, dt, t_near, t_far, k_max, stop, interpret,
-             gather, reduce):
+             gather, reduce, lo, inv, ns):
     """custom_vjp'd accumulator op for one chunk-count group.
 
-    (tabs (T,nc,32,banks*128), samp (T,nc,5,16,128), ke (T,) int32) ->
+    (tabs (T,nc,32,banks*128), samp (T,nc,2,16,128),
+     base (T,nc,3,banks*128), rayt (T,6,16,128), ke (T,) int32) ->
     out (T,5,16,128): per-ray sums replicated across each 8-lane group:
     radiance r/g/b, weighted mid-segment depth, processed optical depth
-    (T_final = exp(-odp)). Each grid step processes ``g_tiles`` tiles with
-    single fat input/output DMAs (the kernel is DMA-issue-bound).
+    (T_final = exp(-odp)). Each grid step processes ``g_tiles`` tiles;
+    trilinear fractions are recomputed in-kernel from the slim schedule
+    (lo/inv/ns = field bbox min, inverse extent, grid n-1 per axis).
     """
     kw = dict(nc=nc, g_tiles=g_tiles, dt=dt, t_near=t_near, t_far=t_far,
-              k_max=k_max, stop=stop, gather=gather, reduce=reduce)
+              k_max=k_max, stop=stop, gather=gather, reduce=reduce,
+              lo=lo, inv=inv, ns=ns)
 
-    def fwd_call(tabs, samp, ke):
+    def in_specs():
+        return [
+            pl.BlockSpec((g_tiles, nc, NCH, banks * LANES),
+                         lambda i, ke: (i, 0, 0, 0)),
+            pl.BlockSpec((g_tiles, nc, 2, ROWS, LANES),
+                         lambda i, ke: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((g_tiles, nc, 3, banks * LANES),
+                         lambda i, ke: (i, 0, 0, 0)),
+            pl.BlockSpec((g_tiles, 6, ROWS, LANES),
+                         lambda i, ke: (i, 0, 0, 0)),
+        ]
+
+    def fwd_call(tabs, samp, base, rayt, ke):
         t_cnt = tabs.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,   # ke: (T,) int32, whole array in SMEM
             grid=(t_cnt // g_tiles,),
-            in_specs=[
-                pl.BlockSpec((g_tiles, nc, NCH, banks * LANES),
-                             lambda i, ke: (i, 0, 0, 0)),
-                pl.BlockSpec((g_tiles, nc, 5, ROWS, LANES),
-                             lambda i, ke: (i, 0, 0, 0, 0)),
-            ],
+            in_specs=in_specs(),
             out_specs=pl.BlockSpec((g_tiles, 5, ROWS, LANES),
                                    lambda i, ke: (i, 0, 0, 0)),
         )
@@ -539,19 +613,20 @@ def _tile_op(nc, banks, g_tiles, dt, t_near, t_far, k_max, stop, interpret,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(
                 (t_cnt, 5, ROWS, LANES), jnp.float32),
+            # Independent tiles: "parallel" lets Mosaic overlap each grid
+            # step's DMA with the previous step's compute - measured 2x
+            # over the default "arbitrary" semantics (tile_kernel_probe).
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
             interpret=interpret,
-        )(ke, tabs, samp)
+        )(ke, tabs, samp, base, rayt)
 
-    def bwd_call(tabs, samp, ke, gs):
+    def bwd_call(tabs, samp, base, rayt, ke, gs):
         t_cnt = tabs.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(t_cnt // g_tiles,),
-            in_specs=[
-                pl.BlockSpec((g_tiles, nc, NCH, banks * LANES),
-                             lambda i, ke: (i, 0, 0, 0)),
-                pl.BlockSpec((g_tiles, nc, 5, ROWS, LANES),
-                             lambda i, ke: (i, 0, 0, 0, 0)),
+            in_specs=in_specs() + [
                 pl.BlockSpec((g_tiles, 5, ROWS, LANES),
                              lambda i, ke: (i, 0, 0, 0)),
             ],
@@ -567,36 +642,52 @@ def _tile_op(nc, banks, g_tiles, dt, t_near, t_far, k_max, stop, interpret,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(
                 (t_cnt, nc, NCH, banks * LANES), jnp.float32),
+            # Steps are independent (scratch is fully rewritten by pass 1
+            # before pass 2 reads it, within each step).
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
             interpret=interpret,
-        )(ke, tabs, samp, gs)
+        )(ke, tabs, samp, base, rayt, gs)
 
     @jax.custom_vjp
-    def op(tabs, samp, ke):
-        return fwd_call(tabs, samp, ke)
+    def op(tabs, samp, base, rayt, ke):
+        return fwd_call(tabs, samp, base, rayt, ke)
 
-    def op_fwd(tabs, samp, ke):
-        return fwd_call(tabs, samp, ke), (tabs, samp, ke)
+    def op_fwd(tabs, samp, base, rayt, ke):
+        return fwd_call(tabs, samp, base, rayt, ke), (
+            tabs, samp, base, rayt, ke)
 
     def op_bwd(res, g):
-        tabs, samp, ke = res
-        dtabs = bwd_call(tabs, samp, ke, g)
-        return (dtabs, jnp.zeros_like(samp), None)
+        tabs, samp, base, rayt, ke = res
+        dtabs = bwd_call(tabs, samp, base, rayt, ke, g)
+        return (dtabs, jnp.zeros_like(samp), jnp.zeros_like(base),
+                jnp.zeros_like(rayt), None)
 
     op.defvjp(op_fwd, op_bwd)
     return op
 
 
-def render_tile_group(plan, tabs, samp, k_enter, n_chunks,
-                      interpret: bool | None = None,
+def render_tile_group(plan, geom, tabs, samp, base, rayt, k_enter,
+                      n_chunks, interpret: bool | None = None,
                       gather: str = "dg", reduce: str = "mxu"):
     """Fused forward for one tile group: per-ray integration outputs.
 
+    ``geom`` = (bbox_min, bbox_max, grid_shape_zyx) - the field geometry
+    the schedule was built for (fraction recompute constants).
     Returns (radiance (R, 3), transmittance (R,), opacity (R,), depth (R,))
     with R = n_tiles * 256 in tile-local ray order (matches
     TileGroup.pixel_ids). Differentiable w.r.t. ``tabs``.
     """
     if interpret is None:
         interpret = _interpret_default()
+    bbox_min, bbox_max, grid_shape = geom
+    nz, ny, nx = (int(v) for v in grid_shape)
+    lo = tuple(float(v) for v in bbox_min)
+    inv = tuple(
+        float(1.0 / (float(hi) - float(l))) if float(hi) != float(l)
+        else 0.0
+        for l, hi in zip(bbox_min, bbox_max))
+    ns = (float(nx - 1), float(ny - 1), float(nz - 1))
     banks = tabs.shape[-1] // LANES
     t_cnt = int(tabs.shape[0])
     g_tiles = _pick_g_tiles(t_cnt, int(n_chunks), int(banks))
@@ -604,9 +695,9 @@ def render_tile_group(plan, tabs, samp, k_enter, n_chunks,
                   float(plan.sampling.dt),
                   float(plan.t_near), float(plan.t_far),
                   int(plan.sampling.max_steps), float(STOP_THRESHOLD),
-                  bool(interpret), str(gather), str(reduce))
+                  bool(interpret), str(gather), str(reduce), lo, inv, ns)
     ke1 = k_enter.reshape(-1).astype(jnp.int32)
-    out = op(tabs, samp, ke1)
+    out = op(tabs, samp, base, rayt, ke1)
 
     def per_ray(i):  # group-replicated (T,16,128) -> (T*256,) ray order
         return out[:, i, :, ::GROUP].reshape(-1)

@@ -71,9 +71,14 @@ class TileGroup:
     n_tiles: int             # padded to a multiple of 8 (kernel DMA blocks)
     banks: int               # table banks per chunk (slots = banks*128)
     hostmap: jnp.ndarray     # (T*nc*banks*128,) int32 packed row per slot
-    samp: jnp.ndarray        # (T, nc, 5, 16, 128) f32: tx, ty, tz, m,
-    #                          bitcast(int32 slot id) - ONE array so the
-    #                          kernel's static schedule is a single DMA
+    samp: jnp.ndarray        # (T, nc, 2, 16, 128) f32: sample_t,
+    #                          bitcast(slot | mask << 15). The kernel
+    #                          recomputes trilinear fractions from these +
+    #                          base + rayt (shipping fractions costs 2.5x
+    #                          the DMA bytes; the kernel is bound by this
+    #                          chip's ~100 GB/s effective HBM rate)
+    base: jnp.ndarray        # (T, nc, 3, banks*128) f32 cell base coords
+    rayt: jnp.ndarray        # (T, 6, 16, 128) f32 ox/oy/oz/dx/dy/dz planes
     k_enter: jnp.ndarray     # (T,) int32 tile window start
     pixel_ids: jnp.ndarray   # (T*256,) int32 compose targets
     samples: int             # live sample count (stats)
@@ -322,8 +327,18 @@ def build_tiled_schedule(plan: Plan, field,
             return a.reshape(t_cnt, nc, 16, 128)
 
         cell_l = to_lanes(np.where(m, cell, _SENTINEL))
-        tx_l, ty_l, tz_l = to_lanes(tx), to_lanes(ty), to_lanes(tz)
         m_l = to_lanes(m.astype(np.float32))
+        st_l = to_lanes(np.broadcast_to(sample_t,
+                                        (t_cnt, RAYS_PER_TILE, k_steps)))
+
+        def ray_planes(a):  # per-ray (T, 256) -> sample layout (T, 16, 128)
+            return np.repeat(a.reshape(t_cnt, 16, 16), CHUNK,
+                             axis=2).reshape(t_cnt, 16, 128)
+
+        rayt_all = np.stack(
+            [ray_planes(ot[:, :, i]) for i in range(3)]
+            + [ray_planes(dtn[:, :, i]) for i in range(3)],
+            axis=1).astype(np.float32)              # (T, 6, 16, 128)
 
         # unique cells + local slots per (tile, chunk)
         flat = cell_l.reshape(t_cnt * nc, 16 * 128)
@@ -366,14 +381,26 @@ def build_tiled_schedule(plan: Plan, field,
                                 cap - 1)
             t_kept = int(keep.sum())
 
-            # tx, ty, tz, m and the slot ids BITCAST to f32: one packed
-            # schedule array -> one kernel input DMA (fused_tiles is
-            # DMA-issue-bound, see tools/tile_kernel_probe.py).
-            lidx_f32 = np.ascontiguousarray(
-                lidx_k.astype(np.int32)).view(np.float32)
+            # Slim schedule: sample_t + (slot | mask << 15) bitcast to f32.
+            # The kernel recomputes fractions from these + the per-slot
+            # cell bases + the per-tile ray planes (fused_tiles is
+            # bandwidth-bound; fractions would cost 2.5x the bytes).
+            packed_bits = (lidx_k.astype(np.int32)
+                           | ((m_l[keep] > 0).astype(np.int32) << 15))
             samp = np.stack(
-                [tx_l[keep], ty_l[keep], tz_l[keep], m_l[keep], lidx_f32],
-                axis=2).astype(np.float32)  # (T, nc, 5, 16, 128)
+                [st_l[keep],
+                 np.ascontiguousarray(packed_bits).view(np.float32)],
+                axis=2).astype(np.float32)  # (T, nc, 2, 16, 128)
+
+            # Per-slot cell base coordinates (the host's clipped floor
+            # indices, exactly - recovered from the slot's cell id).
+            uniq_i = uniq.astype(np.int64)
+            iz_u = uniq_i // ((ny - 1) * (nx - 1))
+            rem_u = uniq_i % ((ny - 1) * (nx - 1))
+            base = np.stack(
+                [(rem_u % (nx - 1)), (rem_u // (nx - 1)), iz_u],
+                axis=1).astype(np.float32).reshape(t_kept, nc, 3, cap)
+            rayt = rayt_all[keep]
 
             ids_k = ids[keep]
             live_k = live_r[keep]
@@ -400,6 +427,12 @@ def build_tiled_schedule(plan: Plan, field,
                 samp = np.concatenate(
                     [samp, np.zeros((extra,) + samp.shape[1:],
                                     np.float32)])
+                base = np.concatenate(
+                    [base, np.zeros((extra,) + base.shape[1:],
+                                    np.float32)])
+                rayt = np.concatenate(
+                    [rayt, np.zeros((extra,) + rayt.shape[1:],
+                                    np.float32)])
                 uniq_r = np.concatenate(
                     [uniq_r, np.zeros((extra, nc * cap), np.int32)])
                 ke_k = np.concatenate([ke_k, np.zeros(extra, np.int32)])
@@ -415,6 +448,8 @@ def build_tiled_schedule(plan: Plan, field,
                 banks=banks,
                 hostmap=jax.device_put(uniq_r.reshape(-1)),
                 samp=jax.device_put(samp),
+                base=jax.device_put(base),
+                rayt=jax.device_put(rayt),
                 k_enter=jax.device_put(ke_k),
                 pixel_ids=jax.device_put(pids.reshape(-1).astype(np.int32)),
                 samples=int(m_l[keep].sum()),
@@ -458,20 +493,41 @@ def _group_tables(packed_flat: jnp.ndarray, group: TileGroup) -> jnp.ndarray:
     return jnp.swapaxes(tabs, 2, 3)
 
 
-def _group_reference_planes(plan: Plan, tabs, group: TileGroup):
+def _group_reference_planes(plan: Plan, tabs, group: TileGroup, geom):
     """Pure-jnp consumer of a tile group (the kernel's reference oracle and
     the non-TPU fallback): per-sample sigma/color planes in (N, K) layout
-    plus dt/mask, ready for ops.integrate."""
+    plus dt/mask, ready for ops.integrate. Mirrors the kernel's in-graph
+    fraction recompute (ops/fused_tiles.py::_sample_geometry)."""
+    bbox_min, bbox_max, (gnz, gny, gnx) = geom
     t_cnt, nc = group.n_tiles, group.n_chunks
-    lidx = jax.lax.bitcast_convert_type(group.samp[:, :, 4], jnp.int32)
+    packed = jax.lax.bitcast_convert_type(group.samp[:, :, 1], jnp.int32)
+    m = ((packed >> 15) & 1).astype(jnp.float32)
+    lidx = packed & 0x7FFF
+    st = group.samp[:, :, 0]
+    rayt = group.rayt
+
+    def base_gather(ax):
+        b = jnp.take_along_axis(
+            group.base[:, :, ax],
+            lidx.reshape(t_cnt, nc, 16 * 128), axis=-1)
+        return b.reshape(t_cnt, nc, 16, 128)
+
+    def frac(o_i, d_i, ax, npts):
+        p = rayt[:, None, o_i] + rayt[:, None, d_i] * st
+        lo_v = jnp.float32(float(bbox_min[ax]))
+        ext = float(bbox_max[ax]) - float(bbox_min[ax])
+        inv_v = jnp.float32(1.0 / ext if ext != 0.0 else 0.0)
+        f = ((p - lo_v) * inv_v) * jnp.float32(npts - 1)
+        return f - base_gather(ax)
+
+    tx = frac(0, 3, 0, gnx)
+    ty = frac(1, 4, 1, gny)
+    tz = frac(2, 5, 2, gnz)
+
     # cube[t, c, cc, r, l] = tabs[t, c, cc, lidx[t, c, r, l]]
     cube = jnp.take_along_axis(
         tabs[:, :, :, None, :], lidx[:, :, None, :, :], axis=-1)
 
-    tx = group.samp[:, :, 0]
-    ty = group.samp[:, :, 1]
-    tz = group.samp[:, :, 2]
-    m = group.samp[:, :, 3]
     wx = [1.0 - tx, tx]
     wy = [1.0 - ty, ty]
     wz = [m * (1.0 - tz), m * tz]
@@ -497,11 +553,12 @@ def _lanes_to_rays(a):
     return a.reshape(t_cnt * RAYS_PER_TILE, nc * CHUNK)
 
 
-def _group_outputs_reference(plan: Plan, packed_flat, group: TileGroup):
+def _group_outputs_reference(plan: Plan, packed_flat, group: TileGroup,
+                             geom):
     """Per-ray integration outputs for one group (pure jnp)."""
     tabs = _group_tables(packed_flat, group)
     sig, cr, cg, cb = (_lanes_to_rays(p) for p in
-                       _group_reference_planes(plan, tabs, group))
+                       _group_reference_planes(plan, tabs, group, geom))
 
     nc = group.n_chunks
     k_steps = nc * CHUNK
@@ -545,17 +602,20 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
             getattr(field, "packed_dtype", "float32")))
     packed_flat = packed.reshape(-1, 32)
 
+    geom = (schedule.bbox[0], schedule.bbox[1], schedule.grid_shape)
     parts = []
     for group in schedule.groups:
         if use_kernel:
             from dvren_tpu.ops import fused_tiles
             tabs = _group_tables(packed_flat, group)
             out = fused_tiles.render_tile_group(
-                plan, tabs, group.samp, group.k_enter,
-                group.n_chunks, gather=gather, reduce=reduce)
+                plan, geom, tabs, group.samp, group.base, group.rayt,
+                group.k_enter, group.n_chunks, gather=gather,
+                reduce=reduce)
             parts.append((group.pixel_ids,) + out)
         else:
-            parts.append(_group_outputs_reference(plan, packed_flat, group))
+            parts.append(_group_outputs_reference(plan, packed_flat, group,
+                                                  geom))
 
     if schedule.fallback is not None:
         for (budget, ids_dev, ke_dev, jit_rows) in schedule.fallback.groups:

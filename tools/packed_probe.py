@@ -97,6 +97,36 @@ def main():
                        iters=4) / KF
     log(f"D split alone: {s * 1e3:.3f} ms/frame")
 
+    # F. direct pair-row u16 build: 2 x-adjacent cells per 128-lane row
+    # [c0_hi(32) | c1_hi(32) | c0_lo(32) | c1_lo(32)], no lane padding.
+    def build_pairs(s, c):
+        zm = ym = xm = n - 1
+        xp = xm // 2
+        grids = [s] + [c[..., i] for i in range(3)]
+
+        def cell_cols(pcell, shift):
+            cols = []
+            for g in grids:
+                for dz in (0, 1):
+                    for dy in (0, 1):
+                        for dx in (0, 1):
+                            sl = jax.lax.slice(
+                                g, (dz, dy, pcell + dx),
+                                (dz + zm, dy + ym, pcell + dx + 2 * xp - 1),
+                                (1, 1, 2))
+                            bits = jax.lax.bitcast_convert_type(
+                                sl, jnp.uint32)
+                            cols.append((
+                                (bits >> shift) & jnp.uint32(0xFFFF)
+                            ).astype(jnp.uint16)[..., None])
+            return cols
+
+        parts = (cell_cols(0, 16) + cell_cols(1, 16)
+                 + cell_cols(0, 0) + cell_cols(1, 0))
+        table = jnp.concatenate(parts, axis=-1)     # (zm, ym, xp, 128) u16
+        return table[::13, 0, 0, :].astype(jnp.uint32).sum()
+    timed("F pair-row u16 direct", build_pairs)
+
     # E. 256^3 scaling check of the current build
     n2 = 256
     sigma2 = jnp.asarray(rng.uniform(0, 4, (n2, n2, n2)).astype(np.float32))

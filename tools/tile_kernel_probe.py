@@ -43,9 +43,10 @@ ft._GATHER_IMPLS.setdefault(
     "none", lambda tabs, lidx, fr: (fr[0], fr[1], fr[2], fr[3]))
 
 
-def kernel_noop(ke_ref, tabs_ref, samp_ref, out_ref, *, g_tiles, **kw):
+def kernel_noop(ke_ref, tabs_ref, samp_ref, base_ref, rayt_ref, out_ref,
+                *, g_tiles, **kw):
     """DMA-only floor: touch the blocks, no compute."""
-    v = (tabs_ref[0, 0, 0:16, :128] + samp_ref[0, 0, 0])
+    v = (tabs_ref[0, 0, 0:16, :128] + samp_ref[0, 0, 0] + rayt_ref[0, 0])
     for g in range(g_tiles):
         for i in range(5):
             out_ref[g, i] = v
@@ -57,45 +58,57 @@ KERNELS = {"full": ft._fwd_kernel, "noop": kernel_noop}
 def synth(seed=0):
     rng = np.random.default_rng(seed)
     tabs = jnp.asarray(rng.uniform(0, 4, (T, NC, 32, 128)).astype(np.float32))
-    samp = rng.uniform(0, 1, (T, NC, 5, 16, 128)).astype(np.float32)
-    samp[:, :, 3] = (samp[:, :, 3] > 0.1).astype(np.float32)
-    samp[:, :, 4] = rng.integers(0, 128, (T, NC, 16, 128)).astype(
-        np.int32).view(np.float32)
+    samp = rng.uniform(0.2, 2.0, (T, NC, 2, 16, 128)).astype(np.float32)
+    samp[:, :, 1] = (rng.integers(0, 128, (T, NC, 16, 128)).astype(np.int32)
+                     | (1 << 15)).view(np.float32)
     samp = jnp.asarray(samp)
+    base = jnp.asarray(
+        rng.integers(0, 62, (T, NC, 3, 128)).astype(np.float32))
+    rayt = jnp.asarray(
+        rng.uniform(-1, 1, (T, 6, 16, 128)).astype(np.float32))
     ke = jnp.asarray(rng.integers(0, 16, (T,)).astype(np.int32))
-    return tabs, samp, ke
+    return tabs, samp, base, rayt, ke
 
 
-def run(tag, kernel_kw, variant="full"):
+def run(tag, kernel_kw, variant="full", parallel=False):
     kw = dict(nc=NC, g_tiles=4, dt=2.0 / 128, t_near=0.2, t_far=2.2,
-              k_max=128, stop=1e-4, reduce="mxu", gather="dg")
+              k_max=128, stop=1e-4, reduce="mxu", gather="dg",
+              lo=(0.0, 0.0, 0.0), inv=(1.0, 1.0, 1.0),
+              ns=(63.0, 63.0, 63.0))
     kw.update(kernel_kw)
     G = kw["g_tiles"]
 
-    def fwd_call(tabs, samp, ke):
+    def fwd_call(tabs, samp, base, rayt, ke):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(T // G,),
             in_specs=[
                 pl.BlockSpec((G, NC, 32, 128), lambda i, ke: (i, 0, 0, 0)),
-                pl.BlockSpec((G, NC, 5, 16, 128),
+                pl.BlockSpec((G, NC, 2, 16, 128),
                              lambda i, ke: (i, 0, 0, 0, 0)),
+                pl.BlockSpec((G, NC, 3, 128), lambda i, ke: (i, 0, 0, 0)),
+                pl.BlockSpec((G, 6, 16, 128), lambda i, ke: (i, 0, 0, 0)),
             ],
             out_specs=pl.BlockSpec((G, 5, 16, 128),
                                    lambda i, ke: (i, 0, 0, 0)),
         )
+        params = {}
+        if parallel:
+            params["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=("parallel",))
         return pl.pallas_call(
             functools.partial(KERNELS[variant], **kw),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((T, 5, 16, 128), jnp.float32),
-        )(ke, tabs, samp)
+            **params,
+        )(ke, tabs, samp, base, rayt)
 
-    tabs, samp, ke = synth(0)
+    tabs, samp, base, rayt, ke = synth(0)
     scales = jnp.linspace(1.0, 1.01, KF)
 
     def reps(scales):
         def one(carry, s):
-            out = fwd_call(tabs * s, samp, ke)
+            out = fwd_call(tabs * s, samp, base, rayt, ke)
             return carry, out[::37, 0, 0, ::31].sum()
         return jax.lax.scan(one, 0.0, scales)[1]
 
@@ -111,11 +124,9 @@ def run(tag, kernel_kw, variant="full"):
 
 
 if __name__ == "__main__":
-    for g in (1, 2, 4, 8):
-        run(f"noop G={g}", dict(g_tiles=g), "noop")
-    for g in (1, 2, 4, 8):
-        run(f"full dg G={g}", dict(g_tiles=g))
-    run("full dg G=4 + mxu3", dict(reduce="mxu3"))
-    run("full dg G=4 + roll", dict(reduce="roll"))
-    run("full mxu-gather G=4", dict(gather="mxu"))
-    run("integrate_only G=4", dict(gather="none"))
+    run("noop G=4", {}, "noop")
+    run("noop G=4 parallel", {}, "noop", parallel=True)
+    run("full dg G=4", {})
+    run("full dg G=4 parallel", {}, parallel=True)
+    run("full dg G=8 parallel", dict(g_tiles=8), parallel=True)
+    run("full dg G=1 parallel", dict(g_tiles=1), parallel=True)

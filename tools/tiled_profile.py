@@ -104,12 +104,15 @@ def main():
     flat0 = packed0.reshape(-1, 32)
     tabs0 = tuple(_group_tables(flat0, g) for g in sched.groups)
 
+    geom = (sched.bbox[0], sched.bbox[1], sched.grid_shape)
+
     def kernel_only(scales, sched, tabs0):
         def one(carry, s):
             acc = jnp.float32(0)
             for g, tb in zip(sched.groups, tabs0):
                 out = fused_tiles.render_tile_group(
-                    plan, tb * s, g.samp, g.k_enter, g.n_chunks)
+                    plan, geom, tb * s, g.samp, g.base, g.rayt,
+                    g.k_enter, g.n_chunks)
                 acc += out[0][::513].sum()
             return carry, acc
         return jax.lax.scan(one, 0.0, scales)[1]
@@ -122,6 +125,22 @@ def main():
         iters=4) / KF
     log(f"kernel only: {s * 1e3:.2f} ms/frame")
     t_kernel = s
+
+    # 3b. packed + gather + kernel (production chain, no compose): clean
+    # kernel attribution without the tabs-scaling copies of phase 3.
+    def pgk(f, sched):
+        packed = grid_ops.build_packed_stencil_chmajor(f.sigma, f.color)
+        flat = packed.reshape(-1, 32)
+        geom2 = (sched.bbox[0], sched.bbox[1], sched.grid_shape)
+        acc = jnp.float32(0)
+        for g in sched.groups:
+            tabs = _group_tables(flat, g)
+            out = fused_tiles.render_tile_group(
+                plan, geom2, tabs, g.samp, g.base, g.rayt,
+                g.k_enter, g.n_chunks)
+            acc += out[0][::513].sum()
+        return acc
+    t_pgk = timed("packed+gather+kernel", pgk)
 
     # 4. full forward
     def full(f, sched):
@@ -154,8 +173,9 @@ def main():
     log(f"packed build        {t_packed * 1e3:7.2f} ms")
     log(f"row gather          {(t_gather - t_packed) * 1e3:7.2f} ms "
         f"({slots / max(t_gather - t_packed, 1e-9) / 1e6:.0f} Mstarts/s)")
-    log(f"tile kernel         {t_kernel * 1e3:7.2f} ms")
-    log(f"compose+rest        {(t_full - t_gather - t_kernel) * 1e3:7.2f} ms")
+    log(f"tile kernel (net)   {(t_pgk - t_gather) * 1e3:7.2f} ms "
+        f"(scaled-tabs probe: {t_kernel * 1e3:.2f})")
+    log(f"compose             {(t_full - t_pgk) * 1e3:7.2f} ms")
     log(f"full forward        {t_full * 1e3:7.2f} ms "
         f"({n_rays / t_full / 1e6:.1f} Mrays/s)")
 
