@@ -59,6 +59,7 @@ ROWS = 16          # block rows per chunk
 LANES = 128        # lanes per row
 GROUP = 8          # lanes per ray (= steps per chunk)
 RAYS_PER_TILE = 256
+RAYS_COLS = 16     # compacted per-ray output lanes (= LANES // GROUP)
 NCH = 32           # packed channels: 4 (sigma, r, g, b) x 8 corners
 
 
@@ -413,11 +414,18 @@ def _fwd_kernel(ke_ref, tabs_ref, samp_ref, base_ref, rayt_ref, out_ref,
 
         acc_r, acc_g, acc_b, acc_wd, acc_odp, _, _ = jax.lax.fori_loop(
             0, nc, chunk, init)
-        out_ref[g, 0] = acc_r
-        out_ref[g, 1] = acc_g
-        out_ref[g, 2] = acc_b
-        out_ref[g, 3] = acc_wd
-        out_ref[g, 4] = acc_odp
+        # Compact the group-replicated (16, 128) accumulators to one value
+        # per ray in lanes 0..15: the consumer then reads a contiguous
+        # (T, 5, 16, 16) array instead of a strided ::8 lane slice (40
+        # strided slices cost ~4 ms/frame of XLA relayouts at 512^2).
+        # Mosaic's gather wants idx.shape == operand.shape: gather at full
+        # width, then slice-store the leading 16 lanes.
+        ray16 = jnp.minimum(
+            jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1),
+            RAYS_COLS - 1) * GROUP
+        for i, acc in enumerate((acc_r, acc_g, acc_b, acc_wd, acc_odp)):
+            cacc = jnp.take_along_axis(acc, ray16, axis=1)
+            out_ref[g, i] = cacc[:, :RAYS_COLS]
         return 0
 
     jax.lax.fori_loop(0, g_tiles, tile, 0)
@@ -444,12 +452,20 @@ def _bwd_kernel(ke_ref, tabs_ref, samp_ref, base_ref, rayt_ref, gs_ref,
             return (n_banks, lambda ax, bk: base_ref[
                 g, c, ax, bk * LANES:(bk + 1) * LANES].reshape(1, LANES))
 
-        # Broadcast output cotangents to all lanes of each ray group (the
-        # forward emitted per-ray values replicated across the group, so
-        # the true accumulator cotangent is the sum over its lanes).
-        g_r, g_g, g_b, g_wd, g_odp = red.group_sum_many(
-            [gs_ref[g, 0], gs_ref[g, 1], gs_ref[g, 2], gs_ref[g, 3],
-             gs_ref[g, 4]])
+        # Expand the compacted per-ray cotangents (16, 16) back to all
+        # lanes of each 8-lane ray group (16, 128). Pad to full lane width
+        # first (Mosaic's gather wants idx.shape == operand.shape).
+        lane_ray = jax.lax.broadcasted_iota(
+            jnp.int32, (ROWS, LANES), 1) // GROUP
+
+        def expand(gs16):
+            padded = jnp.concatenate(
+                [gs16, jnp.zeros((ROWS, LANES - RAYS_COLS), jnp.float32)],
+                axis=1)
+            return jnp.take_along_axis(padded, lane_ray, axis=1)
+
+        g_r, g_g, g_b, g_wd, g_odp = (
+            expand(gs_ref[g, i]) for i in range(5))
 
         t_origin = (jnp.float32(t_near)
                     + ke.astype(jnp.float32) * jnp.float32(dt))
@@ -605,14 +621,14 @@ def _tile_op(nc, banks, g_tiles, dt, t_near, t_far, k_max, stop, interpret,
             num_scalar_prefetch=1,   # ke: (T,) int32, whole array in SMEM
             grid=(t_cnt // g_tiles,),
             in_specs=in_specs(),
-            out_specs=pl.BlockSpec((g_tiles, 5, ROWS, LANES),
+            out_specs=pl.BlockSpec((g_tiles, 5, ROWS, RAYS_COLS),
                                    lambda i, ke: (i, 0, 0, 0)),
         )
         return pl.pallas_call(
             functools.partial(_fwd_kernel, **kw),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(
-                (t_cnt, 5, ROWS, LANES), jnp.float32),
+                (t_cnt, 5, ROWS, RAYS_COLS), jnp.float32),
             # Independent tiles: "parallel" lets Mosaic overlap each grid
             # step's DMA with the previous step's compute - measured 2x
             # over the default "arbitrary" semantics (tile_kernel_probe).
@@ -627,7 +643,7 @@ def _tile_op(nc, banks, g_tiles, dt, t_near, t_far, k_max, stop, interpret,
             num_scalar_prefetch=1,
             grid=(t_cnt // g_tiles,),
             in_specs=in_specs() + [
-                pl.BlockSpec((g_tiles, 5, ROWS, LANES),
+                pl.BlockSpec((g_tiles, 5, ROWS, RAYS_COLS),
                              lambda i, ke: (i, 0, 0, 0)),
             ],
             out_specs=pl.BlockSpec((g_tiles, nc, NCH, banks * LANES),
@@ -667,16 +683,17 @@ def _tile_op(nc, banks, g_tiles, dt, t_near, t_far, k_max, stop, interpret,
     return op
 
 
-def render_tile_group(plan, geom, tabs, samp, base, rayt, k_enter,
-                      n_chunks, interpret: bool | None = None,
-                      gather: str = "dg", reduce: str = "mxu"):
-    """Fused forward for one tile group: per-ray integration outputs.
+def render_tile_group_raw(plan, geom, tabs, samp, base, rayt, k_enter,
+                          n_chunks, interpret: bool | None = None,
+                          gather: str = "dg", reduce: str = "mxu"):
+    """Fused forward for one tile group, RAW accumulator heads.
 
     ``geom`` = (bbox_min, bbox_max, grid_shape_zyx) - the field geometry
     the schedule was built for (fraction recompute constants).
-    Returns (radiance (R, 3), transmittance (R,), opacity (R,), depth (R,))
-    with R = n_tiles * 256 in tile-local ray order (matches
-    TileGroup.pixel_ids). Differentiable w.r.t. ``tabs``.
+    Returns (T, 5, 16, 16) float32: radiance r/g/b, weighted mid-segment
+    depth, processed optical depth per ray, laid out as image tiles
+    (row = pixel y, lane = pixel x within the 16x16 tile). Differentiable
+    w.r.t. ``tabs``.
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -697,18 +714,31 @@ def render_tile_group(plan, geom, tabs, samp, base, rayt, k_enter,
                   int(plan.sampling.max_steps), float(STOP_THRESHOLD),
                   bool(interpret), str(gather), str(reduce), lo, inv, ns)
     ke1 = k_enter.reshape(-1).astype(jnp.int32)
-    out = op(tabs, samp, base, rayt, ke1)
+    return op(tabs, samp, base, rayt, ke1)
 
-    def per_ray(i):  # group-replicated (T,16,128) -> (T*256,) ray order
-        return out[:, i, :, ::GROUP].reshape(-1)
 
-    odp = per_ray(4)
+def finalize_heads(plan, raw, axis=1):
+    """Raw accumulator heads -> (radiance(3), transmittance, opacity,
+    depth) with the integration output semantics (ops/integrate.py)."""
+    r, g, b, wd, odp = (jnp.take(raw, i, axis=axis) for i in range(5))
     t_final = jnp.exp(-odp)
     opacity = 1.0 - t_final
-    wd = per_ray(3)
     depth = jnp.where(opacity > OPACITY_EPS,
                       wd / jnp.maximum(opacity, OPACITY_EPS),
                       jnp.float32(plan.t_far))
-    radiance = jnp.stack(
-        [per_ray(0), per_ray(1), per_ray(2)], axis=-1)
-    return radiance, t_final, opacity, depth
+    return (r, g, b), t_final, opacity, depth
+
+
+def render_tile_group(plan, geom, tabs, samp, base, rayt, k_enter,
+                      n_chunks, interpret: bool | None = None,
+                      gather: str = "dg", reduce: str = "mxu"):
+    """Per-ray integration outputs for one tile group (flat ray order,
+    matching TileGroup.pixel_ids): (radiance (R, 3), transmittance (R,),
+    opacity (R,), depth (R,)) with R = n_tiles * 256."""
+    out = render_tile_group_raw(plan, geom, tabs, samp, base, rayt,
+                                k_enter, n_chunks, interpret=interpret,
+                                gather=gather, reduce=reduce)
+    (r, g, b), t_final, opacity, depth = finalize_heads(plan, out)
+    flat = lambda a: a.reshape(-1)
+    radiance = jnp.stack([flat(r), flat(g), flat(b)], axis=-1)
+    return radiance, flat(t_final), flat(opacity), flat(depth)

@@ -80,8 +80,28 @@ class TileGroup:
     base: jnp.ndarray        # (T, nc, 3, banks*128) f32 cell base coords
     rayt: jnp.ndarray        # (T, 6, 16, 128) f32 ox/oy/oz/dx/dy/dz planes
     k_enter: jnp.ndarray     # (T,) int32 tile window start
-    pixel_ids: jnp.ndarray   # (T*256,) int32 compose targets
+    pixel_ids: jnp.ndarray   # (T*256,) int32 compose targets (reference
+    #                          consumer + parity paths)
+    tile_ids: jnp.ndarray    # (T,) int32 global ROI tile index (row-major
+    #                          tile grid; pads/overflow tiles = n_tiles
+    #                          -> dropped); the kernel path composes by
+    #                          TILE (its (16,16) output block IS the image
+    #                          tile), ~1000 scatter starts instead of one
+    #                          per ray
     samples: int             # live sample count (stats)
+
+
+@pytree_dataclass(meta_fields=("meta",))
+@dataclass(frozen=True)
+class GatherPlan:
+    """Backward gather-transpose plan (see :func:`_build_gather_plan`).
+
+    ``meta`` (static) = per count-class (offset, n_k, c_k) into
+    ``all_idx``; the arrays are device-resident pytree leaves."""
+
+    all_idx: jnp.ndarray     # (S,) i32 cotangent-row gather order
+    inv_map: jnp.ndarray     # (n_cells,) i32 class-order -> table row
+    meta: tuple
 
 
 @pytree_dataclass(meta_fields=("total_rays", "tiled_samples",
@@ -91,6 +111,15 @@ class TileGroup:
 class TiledSchedule:
     groups: tuple            # of TileGroup
     fallback: object         # windowed.WindowedSchedule | None (overflow rays)
+    hostmap_all: jnp.ndarray  # (S,) int32: all groups' packed rows, concat
+    gather_plan: object      # GatherPlan | None: the backward's
+    #                          gather-transpose - d(table) is computed by
+    #                          gathering each cell's slot cotangents,
+    #                          reducing, and assembling the FULL table by
+    #                          an inverse-permutation gather. NO scatter:
+    #                          XLA:TPU scatters run at ~20-45M rows/s here
+    #                          (~10x slower than gathers), so the direct
+    #                          .at[hostmap].add dominated the train step.
     total_rays: int
     tiled_samples: int
     full_lattice_samples: int
@@ -265,6 +294,7 @@ def build_tiled_schedule(plan: Plan, field,
     roi = plan.roi
     full_samples = n * k_max
     groups = []
+    host_rows: list[np.ndarray] = []
     fallback_rays: list[np.ndarray] = []
     tiled_samples = 0
     pad_pid_base = plan.width * plan.height
@@ -421,6 +451,7 @@ def build_tiled_schedule(plan: Plan, field,
             t_pad = -(-t_kept // 8) * 8
             uniq_r = uniq.astype(np.int32).reshape(t_kept, nc * cap)
             ke_k = ke_t[keep].astype(np.int32)
+            tile_ids_k = sel[keep].astype(np.int32)
             pids = pids.reshape(t_kept, RAYS_PER_TILE)
             if t_pad != t_kept:
                 extra = t_pad - t_kept
@@ -436,12 +467,16 @@ def build_tiled_schedule(plan: Plan, field,
                 uniq_r = np.concatenate(
                     [uniq_r, np.zeros((extra, nc * cap), np.int32)])
                 ke_k = np.concatenate([ke_k, np.zeros(extra, np.int32)])
+                tile_ids_k = np.concatenate(
+                    [tile_ids_k,
+                     np.full(extra, n_tiles_all, np.int32)])  # dropped
                 pad_ids = (pad_pid_base + np.arange(
                     extra * RAYS_PER_TILE)).reshape(extra, RAYS_PER_TILE)
                 pad_pid_base += extra * RAYS_PER_TILE
                 pids = np.concatenate([pids, pad_ids.astype(pids.dtype)])
 
             tiled_samples += int(m_l[keep].sum())
+            host_rows.append(uniq_r.reshape(-1))
             groups.append(TileGroup(
                 n_chunks=nc,
                 n_tiles=t_pad,
@@ -452,6 +487,7 @@ def build_tiled_schedule(plan: Plan, field,
                 rayt=jax.device_put(rayt),
                 k_enter=jax.device_put(ke_k),
                 pixel_ids=jax.device_put(pids.reshape(-1).astype(np.int32)),
+                tile_ids=jax.device_put(tile_ids_k),
                 samples=int(m_l[keep].sum()),
             ))
 
@@ -463,9 +499,14 @@ def build_tiled_schedule(plan: Plan, field,
         fb = windowed_mod.build_schedule(
             plan, bbox_min, bbox_max, jitter=jitter, ray_subset=fb_ids)
 
+    hostmap_all = (np.concatenate(host_rows) if host_rows
+                   else np.zeros(0, np.int32))
     return TiledSchedule(
         groups=tuple(groups),
         fallback=fb,
+        hostmap_all=jax.device_put(hostmap_all),
+        gather_plan=_build_gather_plan(
+            hostmap_all, (nz - 1) * (ny - 1) * (nx - 1)),
         total_rays=n,
         tiled_samples=tiled_samples,
         full_lattice_samples=full_samples,
@@ -475,7 +516,87 @@ def build_tiled_schedule(plan: Plan, field,
     )
 
 
+def _build_gather_plan(hostmap_all: np.ndarray, n_cells: int) -> tuple:
+    """Transpose-gather plan for the backward's d(table) accumulation,
+    with NO scatter anywhere (XLA:TPU scatters run at ~20-45M rows/s on
+    this chip - even a unique-row set-scatter of the active cells costs
+    ~11 ms; gathers run ~10x faster).
+
+    The S slot rows are sorted by target packed row (cell) and bucketed
+    into exact-count classes; ``all_idx`` concatenates every class's
+    (n_k, c_k) index block so the backward issues ONE cotangent gather,
+    reduces each cell's rows, and assembles the FULL (n_cells, 32) table
+    gradient by an inverse-permutation gather (``inv_map``; inactive
+    cells point at a trailing zero row).
+
+    Returns a :class:`GatherPlan` or None when the schedule is empty."""
+    s_total = int(hostmap_all.size)
+    if s_total == 0:
+        return None
+    order = np.argsort(hostmap_all, kind="stable").astype(np.int64)
+    sorted_cells = hostmap_all[order]
+    cells, first, counts = np.unique(
+        sorted_cells, return_index=True, return_counts=True)
+    idx_parts, meta, cell_order = [], [], []
+    off = 0
+    for v in np.unique(counts):  # exact count classes: zero padding waste
+        member = counts == v
+        n_k, c_k = int(member.sum()), int(v)
+        col = np.arange(c_k, dtype=np.int64)[None, :]
+        idx_parts.append(
+            order[first[member][:, None] + col].astype(np.int32).reshape(-1))
+        cell_order.append(cells[member])
+        meta.append((off, n_k, c_k))
+        off += n_k * c_k
+    cell_order = np.concatenate(cell_order)
+    inv_map = np.full(n_cells, cell_order.size, np.int32)  # dummy zero row
+    inv_map[cell_order] = np.arange(cell_order.size, dtype=np.int32)
+    return GatherPlan(
+        all_idx=jax.device_put(np.concatenate(idx_parts)),
+        inv_map=jax.device_put(inv_map),
+        meta=tuple(meta))
+
+
 # ----------------------------------------------------------------- consume
+
+@jax.custom_vjp
+def _gather_rows_planned(table, hostmap_all, plan):
+    """Bit-exact u16 row gather of ALL groups' slot tables at once, with a
+    gather-transpose backward (see :func:`_build_gather_plan`): the direct
+    ``zeros.at[hostmap].add(ct)`` runs at XLA scatter-ADD speed (~30M
+    rows/s measured), ~10x slower than re-gathering the cotangents per
+    target row and set-scattering each row once."""
+    return grid_ops._u16_rows_to_f32(
+        jnp.take(grid_ops._split_u16(table), hostmap_all, axis=0,
+                 mode="clip"),
+        table.shape[1])
+
+
+def _gather_rows_planned_fwd(table, hostmap_all, plan):
+    return (_gather_rows_planned(table, hostmap_all, plan),
+            (plan, table.shape))
+
+
+def _gather_rows_planned_bwd(res, ct):
+    plan, tshape = res
+    all_idx, meta, inv_map = plan.all_idx, plan.meta, plan.inv_map
+    w = tshape[1]
+    ct16 = grid_ops._split_u16(ct)
+    g = grid_ops._u16_rows_to_f32(
+        jnp.take(ct16, all_idx, axis=0, mode="clip"), w)  # (S, w)
+    val_parts = [g[off:off + n_k * c_k].reshape(n_k, c_k, w).sum(axis=1)
+                 for off, n_k, c_k in meta]
+    # zero row for inactive cells, then assemble by inverse-perm GATHER
+    vals = jnp.concatenate(val_parts + [jnp.zeros((1, w), ct.dtype)])
+    v16 = grid_ops._split_u16(vals)
+    d = grid_ops._u16_rows_to_f32(
+        jnp.take(v16, inv_map, axis=0, mode="clip"), w)
+    return (d, None, None)
+
+
+_gather_rows_planned.defvjp(_gather_rows_planned_fwd,
+                            _gather_rows_planned_bwd)
+
 
 def _group_tables(packed_flat: jnp.ndarray, group: TileGroup) -> jnp.ndarray:
     """Gather + transpose the group's cell tables:
@@ -603,28 +724,118 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
     packed_flat = packed.reshape(-1, 32)
 
     geom = (schedule.bbox[0], schedule.bbox[1], schedule.grid_shape)
-    parts = []
-    for group in schedule.groups:
-        if use_kernel:
-            from dvren_tpu.ops import fused_tiles
-            tabs = _group_tables(packed_flat, group)
-            out = fused_tiles.render_tile_group(
-                plan, geom, tabs, group.samp, group.base, group.rayt,
-                group.k_enter, group.n_chunks, gather=gather,
-                reduce=reduce)
-            parts.append((group.pixel_ids,) + out)
-        else:
-            parts.append(_group_outputs_reference(plan, packed_flat, group,
-                                                  geom))
 
+    fallback_parts = []
     if schedule.fallback is not None:
         for (budget, ids_dev, ke_dev, jit_rows) in schedule.fallback.groups:
-            out = windowed_mod._group_outputs(
-                plan, budget, field, ids_dev, ke_dev, jit_rows)
-            parts.append(out)
+            fallback_parts.append(windowed_mod._group_outputs(
+                plan, budget, field, ids_dev, ke_dev, jit_rows))
 
+    if use_kernel:
+        from dvren_tpu.ops import fused_tiles
+
+        # One planned gather for all groups (f32 tables; the plan's
+        # gather-transpose backward replaces the slow scatter-add).
+        rows_all = None
+        if (packed_flat.dtype == jnp.float32
+                and schedule.gather_plan is not None
+                and schedule.hostmap_all.size):
+            rows_all = _gather_rows_planned(
+                packed_flat, schedule.hostmap_all, schedule.gather_plan)
+
+        raws, ids = [], []
+        off = 0
+        for group in schedule.groups:
+            if rows_all is not None:
+                n_rows = (group.n_tiles * group.n_chunks
+                          * group.banks * MAX_CELLS)
+                tabs = jnp.swapaxes(
+                    rows_all[off:off + n_rows].reshape(
+                        group.n_tiles, group.n_chunks,
+                        group.banks * MAX_CELLS, 32),
+                    2, 3)
+                off += n_rows
+            else:
+                tabs = _group_tables(packed_flat, group)
+            raws.append(fused_tiles.render_tile_group_raw(
+                plan, geom, tabs, group.samp, group.base, group.rayt,
+                group.k_enter, group.n_chunks, gather=gather,
+                reduce=reduce))
+            ids.append(group.tile_ids)
+        return _compose_tiles(plan, raws, ids, fallback_parts)
+
+    parts = [_group_outputs_reference(plan, packed_flat, group, geom)
+             for group in schedule.groups] + fallback_parts
     if not parts:
         return windowed_mod._compose_planes(
             plan, *windowed_mod._empty_parts())
     return windowed_mod._compose_planes(
         plan, *(jnp.concatenate([p[i] for p in parts]) for i in range(5)))
+
+
+def _compose_tiles(plan: Plan, raws, tile_ids, fallback_parts):
+    """Compose the kernel's per-tile raw heads into image planes by TILE:
+    each (16, 16) output block IS its image tile (row = pixel y, lane =
+    pixel x), so composition is a ~n_tiles-start row scatter plus one
+    relayout - instead of a per-ray pixel scatter (1.3M scatter starts
+    ~4 ms/frame at 512^2). Dead rays/tiles carry the exact background
+    (odp = 0 -> T = 1, wd = 0 -> depth = t_far)."""
+    from dvren_tpu.ops import fused_tiles
+    from dvren_tpu.ops.compose import ImagePlanes
+
+    roi = plan.roi
+    tx_n = -(-roi.width // TILE_W)
+    ty_n = -(-roi.height // TILE_H)
+    n_tiles = tx_n * ty_n
+
+    tiles5 = jnp.zeros((n_tiles, 5, TILE_H, TILE_W), jnp.float32)
+    if raws:
+        tiles5 = tiles5.at[jnp.concatenate(tile_ids)].set(
+            jnp.concatenate(raws), mode="drop")
+    a = tiles5.reshape(ty_n, tx_n, 5, TILE_H, TILE_W)
+    a = a.transpose(2, 0, 3, 1, 4).reshape(
+        5, ty_n * TILE_H, tx_n * TILE_W)
+    a = a[:, :roi.height, :roi.width]
+    (r, g, b), t_final, opacity, depth = fused_tiles.finalize_heads(
+        plan, a, axis=0)
+
+    H, W = plan.height, plan.width
+
+    def place(x, fill):
+        if (roi.x, roi.y, roi.width, roi.height) == (0, 0, W, H):
+            return x
+        full = jnp.full((H, W), jnp.float32(fill))
+        return jax.lax.dynamic_update_slice(full, x, (roi.y, roi.x))
+
+    image = jnp.stack(
+        [place(r, 0.0), place(g, 0.0), place(b, 0.0)], axis=-1)
+    trans = place(t_final, 1.0)
+    opac = place(opacity, 0.0)
+    dep = place(depth, float(plan.t_far))
+
+    if fallback_parts:
+        # Overflow tiles render through the windowed path; overwrite their
+        # live rays' pixels (few rays; pad ids >= H*W drop).
+        pids = jnp.concatenate([p[0] for p in fallback_parts])
+        rad = jnp.concatenate([p[1] for p in fallback_parts])
+        tr = jnp.concatenate([p[2] for p in fallback_parts])
+        op = jnp.concatenate([p[3] for p in fallback_parts])
+        de = jnp.concatenate([p[4] for p in fallback_parts])
+        image = image.reshape(H * W, 3).at[pids].set(
+            rad, mode="drop").reshape(H, W, 3)
+        trans = trans.reshape(H * W).at[pids].set(
+            tr, mode="drop").reshape(H, W)
+        opac = opac.reshape(H * W).at[pids].set(
+            op, mode="drop").reshape(H, W)
+        dep = dep.reshape(H * W).at[pids].set(
+            de, mode="drop").reshape(H, W)
+
+    # Hitmask: every ROI pixel received a generated ray (img_cpu.cpp:
+    # 169-176); rebuild from the ROI extent (windowed._compose_planes).
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    in_roi = ((ys >= roi.y) & (ys < roi.y + roi.height)
+              & (xs >= roi.x) & (xs < roi.x + roi.width))
+    return ImagePlanes(
+        image=image, transmittance=trans, opacity=opac, depth=dep,
+        hitmask=in_roi.astype(jnp.uint32))

@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--kf", type=int, default=8)
     ap.add_argument("--parity", action="store_true",
                     help="also check kernel vs jnp-consumer vs windowed")
+    ap.add_argument("--bwd", action="store_true",
+                    help="also attribute the backward (train-step) phases")
     args = ap.parse_args()
 
     import jax
@@ -147,6 +149,87 @@ def main():
         img = render_tiled(plan, f, sched).image
         return img[::64, ::64].sum()
     t_full = timed("full forward", full)
+
+    if args.bwd:
+        # a. fwd+bwd through the kernel only (pregathered tabs): isolates
+        # the two-pass bwd kernel.
+        def loss_k(tabs0, sched):
+            acc = jnp.float32(0)
+            for g, tb in zip(sched.groups, tabs0):
+                out = fused_tiles.render_tile_group(
+                    plan, geom, tb, g.samp, g.base, g.rayt,
+                    g.k_enter, g.n_chunks)
+                acc += (out[0] ** 2).sum()
+            return acc
+
+        def kb_reps(scales, sched, tabs0):
+            def one(carry, s):
+                t2 = tuple(tb * s for tb in tabs0)
+                g = jax.grad(loss_k)(t2, sched)
+                return carry, g[0][::97, 0, ::31].sum()
+            return jax.lax.scan(one, 0.0, scales)[1]
+
+        t0 = time.perf_counter()
+        kfn2 = jax.jit(kb_reps).lower(scales, sched, tabs0).compile()
+        log(f"kernel fwd+bwd: compile {time.perf_counter() - t0:.1f}s")
+        s = _time_compiled(
+            kfn2, [(scales, sched, tabs0),
+                   (scales * 1.003, sched, tabs0)], iters=3) / KF
+        log(f"kernel fwd+bwd: {s * 1e3:.2f} ms/step")
+
+        # b. grad of gather+kernel wrt the packed table: adds the
+        # hostmap scatter (take_rows_exact vjp).
+        def loss_pk(flat, sched):
+            acc = jnp.float32(0)
+            for g in sched.groups:
+                tabs = _group_tables(flat, g)
+                out = fused_tiles.render_tile_group(
+                    plan, geom, tabs, g.samp, g.base, g.rayt,
+                    g.k_enter, g.n_chunks)
+                acc += (out[0] ** 2).sum()
+            return acc
+
+        flat0j = jnp.asarray(flat0)
+
+        def pk_reps(scales, sched, flat):
+            def one(carry, s):
+                g = jax.grad(loss_pk)(flat * s, sched)
+                return carry, g[::1027, ::31].sum()
+            return jax.lax.scan(one, 0.0, scales)[1]
+
+        t0 = time.perf_counter()
+        pfn = jax.jit(pk_reps).lower(scales, sched, flat0j).compile()
+        log(f"gather+kernel fwd+bwd: compile {time.perf_counter() - t0:.1f}s")
+        s = _time_compiled(
+            pfn, [(scales, sched, flat0j),
+                  (scales * 1.003, sched, flat0j)], iters=3) / KF
+        log(f"gather+kernel fwd+bwd: {s * 1e3:.2f} ms/step "
+            f"(adds the {slots/1e6:.2f}M-row scatter)")
+
+        # c. full train step (loss + grads into sigma/color + sgd update)
+        target = jnp.zeros((plan.height, plan.width, 3), jnp.float32)
+
+        def loss_full(params, sched):
+            f = field.with_params(*params)
+            img = render_tiled(plan, f, sched).image
+            return jnp.mean((img - target) ** 2)
+
+        params0 = (field.sigma, field.color)
+
+        def step_reps(scales, sched, p0):
+            def one(p, s):
+                l, g = jax.value_and_grad(loss_full)(p, sched)
+                return ((p[0] - 1e-3 * g[0], p[1] - 1e-3 * g[1]), l)
+            return jax.lax.scan(one, p0, scales)[1]
+
+        t0 = time.perf_counter()
+        sfn = jax.jit(step_reps).lower(scales, sched, params0).compile()
+        log(f"full train step: compile {time.perf_counter() - t0:.1f}s")
+        s = _time_compiled(
+            sfn, [(scales, sched, params0),
+                  (scales * 1.003, sched, params0)], iters=3) / KF
+        log(f"full train step: {s * 1e3:.2f} ms/step "
+            f"({n_rays / s / 1e6:.1f} Mrays/s)")
 
     if args.parity:
         from dvren_tpu.render.windowed import (
