@@ -39,6 +39,8 @@ class FitResult:
     loss_history: list[float] = dc_field(default_factory=list)
     steps_run: int = 0
     wall_clock_s: float = 0.0
+    first_step_s: float = 0.0    # includes jit compile / cache load
+    steady_step_ms: float = 0.0  # mean of the remaining steps
     reached_target: bool = False
 
 
@@ -69,8 +71,16 @@ def view_plans(plan: Plan, cameras: Sequence[CameraConfig]):
             for c in cameras]
 
 
+def _project(params, sigma_min: float):
+    """Keep density physical (sigma >= sigma_min); color in [0, 1].
+    Runs INSIDE the jitted step: as separate host-side dispatches it cost
+    2 extra ~36 ms tunnel round trips per training step."""
+    return (jnp.maximum(params[0], sigma_min), jnp.clip(params[1], 0.0, 1.0))
+
+
 def make_train_step_scheduled(plan: Plan, cameras: Sequence[CameraConfig],
-                              field, optimizer, mode: str = "tiled"):
+                              field, optimizer, mode: str = "tiled",
+                              sigma_min: float = 0.0):
     """Fast-path training step: per-view host-built schedules (built once,
     replayed every step - the capture-specialization model), one compiled
     executable for the whole multi-view step.
@@ -117,7 +127,7 @@ def make_train_step_scheduled(plan: Plan, cameras: Sequence[CameraConfig],
         loss, grads = jax.value_and_grad(loss_fn)(
             params, field, targets, scheds)
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params = _project(optax.apply_updates(params, updates), sigma_min)
         return params, opt_state, loss
 
     def step(params, field, opt_state, targets):
@@ -147,10 +157,13 @@ def scheduled_mode_for(field) -> str | None:
 
 
 def make_train_step(plan: Plan, cameras: Sequence[CameraConfig],
-                    optimizer, param_labels=("sigma", "color")):
+                    optimizer, param_labels=("sigma", "color"),
+                    sigma_min: float | None = 0.0):
     """Build a jitted (field, opt_state, targets) -> (field, opt_state, loss)
     step. ``field`` must expose ``with_params`` over the trained leaves
     (DenseGridField) or be a params pytree (HashMLPField.params).
+    ``sigma_min=None`` skips the in-step (sigma, color) projection (for
+    non-grid param pytrees).
     """
     c2ws = jnp.stack([jnp.asarray(c.c2w, jnp.float32).reshape(3, 4)
                       for c in cameras])
@@ -170,6 +183,8 @@ def make_train_step(plan: Plan, cameras: Sequence[CameraConfig],
         loss, grads = jax.value_and_grad(loss_fn)(params, field, targets)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if sigma_min is not None and isinstance(params, tuple):
+            params = _project(params, sigma_min)
         return params, opt_state, loss
 
     return step
@@ -193,19 +208,23 @@ def fit_dense_grid(plan: Plan, field, cameras: Sequence[CameraConfig],
     if mode is None:
         mode = scheduled_mode_for(field) or "plain"
     if mode == "plain":
-        step = make_train_step(plan, cameras, optimizer)
+        step = make_train_step(plan, cameras, optimizer,
+                               sigma_min=config.sigma_min)
     else:
         step = make_train_step_scheduled(plan, cameras, field, optimizer,
-                                         mode=mode)
+                                         mode=mode,
+                                         sigma_min=config.sigma_min)
     targets = jnp.asarray(targets, jnp.float32)
 
     result = FitResult(field=field)
     t0 = time.perf_counter()
     for i in range(config.steps):
+        # The (sigma >= 0, color in [0,1]) projection runs inside the
+        # jitted step (host-side it cost 2 extra dispatches per step).
         params, opt_state, loss = step(params, field, opt_state, targets)
-        # Keep density physical (sigma >= 0); color clamped to [0, 1].
-        params = (jnp.maximum(params[0], config.sigma_min),
-                  jnp.clip(params[1], 0.0, 1.0))
+        if i == 0:
+            jax.block_until_ready(loss)
+            result.first_step_s = time.perf_counter() - t0
         loss_f = float(loss)
         p = float(psnr(loss))
         result.loss_history.append(loss_f)
@@ -217,5 +236,9 @@ def fit_dense_grid(plan: Plan, field, cameras: Sequence[CameraConfig],
             result.reached_target = True
             break
     result.wall_clock_s = time.perf_counter() - t0
+    if result.steps_run > 1:
+        result.steady_step_ms = (
+            (result.wall_clock_s - result.first_step_s)
+            / (result.steps_run - 1) * 1e3)
     result.field = field.with_params(*params)
     return result

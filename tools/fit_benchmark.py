@@ -33,6 +33,16 @@ def main() -> int:
 
     import numpy as np
     import jax
+
+    # Persistent compile cache: remote TPU compiles take tens of seconds
+    # cold and would dominate the 31-step wall clock; a warm cache makes
+    # the metric measure the training loop, not the compiler.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from dvren_tpu import (
@@ -84,6 +94,12 @@ def main() -> int:
         "reached": result.reached_target,
         "final_psnr": round(result.psnr_history[-1], 2),
         "steps": result.steps_run,
+        # The first step includes the jit compile / executable cache load
+        # (tens of seconds over the remote-compile tunnel); steady_step_ms
+        # is the actual training rate - itself dominated by the tunnel's
+        # ~36 ms/dispatch on this harness, not the chip.
+        "first_step_s": round(result.first_step_s, 2),
+        "steady_step_ms": round(result.steady_step_ms, 1),
         "device": str(jax.devices()[0]),
         "config": f"{g}^3 grid, {args.views} views @ {w}x{h}",
     }
