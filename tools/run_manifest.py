@@ -40,7 +40,9 @@ def load_manifest(path: str) -> list[dict]:
                 continue
             m = re.match(r"\s*test:\s*(\S+)", line)
             if m and current is not None:
-                current["test"] = m.group(1)
+                # Quoted values (parametrized node ids contain brackets
+                # that YAML wants quoted) must lose their quotes.
+                current["test"] = m.group(1).strip("'\"")
     return [c for c in cases if "test" in c]
 
 
