@@ -1,9 +1,10 @@
 """Fused tile-group render kernel: the north-star Pallas hot path.
 
 Consumes the host-resolved tile-table schedule (render/tiled.py): for each
-(16x16-pixel tile, 8-step chunk) the host has already collected the <= 512
-distinct grid cells touched (1-4 banks of 128 slots) and per-sample slot
-ids. This kernel does everything after the per-slot table gather IN ONE
+(16x16-pixel tile, 8-step chunk) the host has already collected the <= 256
+distinct grid cells touched (1-2 banks of 128 slots; beyond that the tile
+falls back to the windowed path) and per-sample slot ids. This kernel does
+everything after the per-slot table gather IN ONE
 PASS per tile - the TPU-native equivalent of the reference's fused
 samp+int device kernel plus CUDA-Graph steady state (role models:
 ``hotpath/src/cpu/samp_int_fused.cpp:11-76``,

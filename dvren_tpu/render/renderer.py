@@ -388,8 +388,12 @@ class Renderer:
             check(self._tile_eligible(field),
                   "use_tiles requires a dense OOB_ZERO trilinear grid field")
             return True
-        # Auto: the default TPU hot path for eligible fields.
+        # Auto: the default TPU hot path for eligible fields - but an
+        # EXPLICIT use_window wins (tiled mode bakes the camera and
+        # returns zero dCam; users select the window path precisely for
+        # camera/intrinsics gradients).
         return (jax.default_backend() == "tpu"
+                and not self._options.use_window
                 and self._tile_eligible(field))
 
     def _tiled_schedule_key(self, field) -> tuple:

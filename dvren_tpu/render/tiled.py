@@ -10,18 +10,25 @@ static; only the field VALUES change between calls. The schedule:
 1. tiles the ROI into 16x16-pixel blocks (256 rays), each with a shared
    step window [k_enter, k_enter + budget) split into 8-step chunks;
 2. per (tile, chunk), collects the <= 128 distinct grid cells its 2048
-   samples touch (spatially coherent rays guarantee small cell sets) and
-   assigns each sample a local slot id in that table;
-3. per sample, precomputes the trilinear fractions and the inside-bbox
-   mask, mirroring the device float32 math.
+   samples touch (spatially coherent rays guarantee small cell sets; <=
+   256 via two table banks) and assigns each sample a local slot id;
+3. per sample, ships only sample_t and the (slot | mask) bits, plus
+   per-tile ray planes and per-slot cell bases - the kernel recomputes
+   trilinear fractions on-chip (the slim schedule; fractions cost 2.5x
+   the DMA bytes and the kernel is bandwidth-bound).
 
 At render time the device gathers each (tile, chunk) cell table from the
 packed-stencil table with ONE row-gather per slot (~16x fewer gather
 starts than one per sample - the measured XLA bottleneck), and the fused
 Pallas kernel (ops/fused_tiles.py) turns table rows into per-sample values
-with exact one-hot matmuls on the MXU: no per-sample gather ever runs.
+with `tpu.dynamic_gather` lane shuffles: no per-sample gather ever runs.
+Composition is by TILE (the kernel emits (16,16) image tiles;
+:func:`_compose_tiles`) and the packed-table gradient is accumulated by a
+host-planned gather-transpose (:func:`_build_gather_plan`) - XLA scatters
+are ~10x slower than gathers on the target chip and appear nowhere on the
+hot path.
 
-Tiles whose cell set overflows 128 slots anywhere (extreme grid/frustum
+Tiles whose cell set overflows 256 slots anywhere (extreme grid/frustum
 ratios) fall back to the windowed path; correctness never depends on the
 tile geometry. Sample layout per (tile, chunk): block row r in [0,16),
 lane = (ray_in_tile %% 16) * 8 + step, ray_in_tile = r * 16 + lane // 8.
@@ -53,8 +60,6 @@ RAYS_PER_TILE = TILE_W * TILE_H
 CHUNK = 8
 MAX_CELLS = 128
 _SENTINEL = np.int64(1) << 62
-
-_FLT_MIN = np.float32(1.1754943508222875e-38)
 
 
 @pytree_dataclass(meta_fields=("n_chunks", "n_tiles", "banks", "samples"))
@@ -197,7 +202,6 @@ def _tighten_windows_by_occupancy(plan, o, d, k_enter_ray, k_count_ray,
         t = (base_t + jit * dt).astype(np.float32)
         t = np.where(t >= t_far, np.nextafter(t_far, t_near,
                                               dtype=np.float32), t)
-        occ_live = np.zeros(live.shape, bool)
         ii = np.zeros(live.shape + (3,), np.int64)
         inside = np.ones(live.shape, bool)
         for ax in range(3):
@@ -283,13 +287,6 @@ def build_tiled_schedule(plan: Plan, field,
     budget = np.maximum(tile_kx - tile_ke, 0)
     budget = np.minimum(-(-budget // CHUNK) * CHUNK, -(-k_max // CHUNK) * CHUNK)
     n_chunks_tile = (budget // CHUNK).astype(np.int64)
-
-    from dvren_tpu.core.plan import SamplingMode
-    if jitter is None and plan.sampling.mode == SamplingMode.STRATIFIED:
-        from dvren_tpu.render.pipeline import plan_jitter_table
-        jitter = plan_jitter_table(plan)
-    if jitter is not None:
-        jitter = np.asarray(jitter, np.float32)
 
     roi = plan.roi
     full_samples = n * k_max
@@ -714,6 +711,11 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
     check(tuple(int(v) for v in np.asarray(field.sigma.shape[:3]))
           == tuple(schedule.grid_shape),
           "schedule was built for a different grid resolution")
+    check(tuple(float(v) for v in field.bbox_min) == tuple(schedule.bbox[0])
+          and tuple(float(v) for v in field.bbox_max)
+          == tuple(schedule.bbox[1]),
+          "schedule was built for a different field bbox (cell ids and "
+          "fraction constants depend on it)")
     check(getattr(field, "oob", OobPolicy.ZERO) == OobPolicy.ZERO,
           "tiled rendering requires an OOB_ZERO field")
 
@@ -830,12 +832,6 @@ def _compose_tiles(plan: Plan, raws, tile_ids, fallback_parts):
         dep = dep.reshape(H * W).at[pids].set(
             de, mode="drop").reshape(H, W)
 
-    # Hitmask: every ROI pixel received a generated ray (img_cpu.cpp:
-    # 169-176); rebuild from the ROI extent (windowed._compose_planes).
-    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    in_roi = ((ys >= roi.y) & (ys < roi.y + roi.height)
-              & (xs >= roi.x) & (xs < roi.x + roi.width))
     return ImagePlanes(
         image=image, transmittance=trans, opacity=opac, depth=dep,
-        hitmask=in_roi.astype(jnp.uint32))
+        hitmask=windowed_mod.roi_hitmask(plan))

@@ -357,24 +357,29 @@ def _empty_parts():
             z, z, z)
 
 
-def _compose_planes(plan, pids, rad, tr, op, dep):
-    planes = compose(pids, rad, tr, op, dep, plan.width, plan.height,
-                     plan.t_far, unique_pixels=True)
-    # Rays that miss the bbox entirely are never rendered; their pixels keep
-    # the zero-contribution background, which matches the full render except
-    # for the hitmask - every ROI pixel did receive a generated ray
-    # (img_cpu.cpp:169-176), so rebuild the hitmask from the ROI extent.
+def roi_hitmask(plan) -> jnp.ndarray:
+    """(H, W) int32 hitmask from the ROI extent: every ROI pixel received a
+    generated ray (img_cpu.cpp:169-176), so schedule-based renderers that
+    skip provably-zero rays rebuild the hitmask geometrically."""
     roi = plan.roi
     ys = jax.lax.broadcasted_iota(jnp.int32, (plan.height, plan.width), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (plan.height, plan.width), 1)
     in_roi = ((ys >= roi.y) & (ys < roi.y + roi.height)
               & (xs >= roi.x) & (xs < roi.x + roi.width))
+    return in_roi.astype(jnp.int32)
+
+
+def _compose_planes(plan, pids, rad, tr, op, dep):
+    planes = compose(pids, rad, tr, op, dep, plan.width, plan.height,
+                     plan.t_far, unique_pixels=True)
+    # Rays that miss the bbox entirely are never rendered; their pixels keep
+    # the zero-contribution background, which matches the full render.
     return ImagePlanes(
         image=planes.image,
         transmittance=planes.transmittance,
         opacity=planes.opacity,
         depth=planes.depth,
-        hitmask=in_roi.astype(jnp.int32),
+        hitmask=roi_hitmask(plan),
     )
 
 

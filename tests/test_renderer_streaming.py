@@ -163,6 +163,20 @@ def test_windowed_renderer_backward_and_replay():
     np.testing.assert_allclose(bw.color, bf.color, rtol=1e-4, atol=1e-7)
 
 
+def test_explicit_use_window_beats_auto_tiles(monkeypatch):
+    """On TPU the auto-tiled default must NOT override an explicit
+    use_window=True: users select the window path for camera gradients,
+    which tiled mode zeroes (the schedule bakes the camera)."""
+    import jax
+    plan, field = windowed_scene()
+    r = Renderer(Context.create(), plan, RenderOptions(use_window=True))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert not r._use_tiles(field)
+    # and an explicit use_tiles=True still wins over the default window off
+    r2 = Renderer(Context.create(), plan, RenderOptions(use_tiles=True))
+    assert r2._use_tiles(field)
+
+
 def test_windowed_renderer_rejects_unbounded_fields():
     plan, _ = windowed_scene()
     from dvren_tpu import HashMLPConfig, HashMLPField
