@@ -162,6 +162,25 @@ def main():
     log(f"tiled fwd+bwd steady-state {tiled_fb_s * 1e3:.2f} ms/step -> "
         f"{tiled_fb_mrays:.1f} Mrays/s")
 
+    # bf16 packed-table perf mode (documented ~1e-3 field precision)
+    import dataclasses as _dc
+    field_bf16 = _dc.replace(field, packed_dtype="bfloat16")
+
+    def frames_bf16(scales, sched):
+        def body(carry, s):
+            f = field_bf16.with_params(field_bf16.sigma * s,
+                                       field_bf16.color)
+            img = render_tiled(plan, f, sched).image
+            return carry, img[::64, ::64].sum()
+        return jax.lax.scan(body, 0.0, scales)[1]
+
+    fwd_scan16 = jax.jit(frames_bf16).lower(scales, sched).compile()
+    s = _time_compiled(
+        fwd_scan16, [(scales, sched), (scales * 1.003, sched)], iters=4)
+    tiled_bf16_mrays = n_rays / (s / KF) / 1e6
+    log(f"tiled fwd bf16 steady-state {s / KF * 1e3:.2f} ms/frame -> "
+        f"{tiled_bf16_mrays:.1f} Mrays/s")
+
     # single-dispatch (includes ~36 ms tunnel roundtrip; round-1 continuity)
     tiled_fwd1 = jax.jit(
         lambda f, s: render_tiled(plan, f, s).image
@@ -213,6 +232,7 @@ def main():
             "fwd_path": "fused tile kernel, steady-state "
                         f"(K={KF} frames/dispatch)",
             "fwdbwd_Mrays_per_s": round(tiled_fb_mrays, 2),
+            "fwd_bf16_table_Mrays_per_s": round(tiled_bf16_mrays, 2),
             "fwd_ms_per_frame": round(tiled_fwd_s * 1e3, 3),
             "fwdbwd_ms_per_step": round(tiled_fb_s * 1e3, 3),
             "fwd_single_dispatch_ms": round(s1 * 1e3, 3),
