@@ -46,6 +46,23 @@ def test_kernel_matches_reference_roi():
     kernel_vs_reference(plan, field, build_tiled_schedule(plan, field))
 
 
+@pytest.mark.parametrize("dtype", ["bfloat16", "float16"])
+def test_kernel_16bit_tables_close(dtype):
+    """The 16-bit packed-table perf modes render through the tiled kernel
+    within the documented ~1e-3 field precision (schedules are dtype-
+    independent; only the gathered values quantize)."""
+    import dataclasses
+    plan, field = scene()
+    schedule = build_tiled_schedule(plan, field)
+    f16 = dataclasses.replace(field, packed_dtype=dtype)
+    a = render_tiled(plan, f16, schedule, use_kernel=True)
+    b = render_tiled(plan, field, schedule, use_kernel=True)
+    np.testing.assert_allclose(np.asarray(a.image), np.asarray(b.image),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(a.opacity),
+                               np.asarray(b.opacity), atol=5e-3)
+
+
 @pytest.mark.parametrize("reduce", ["mxu3", "roll"])
 def test_kernel_reduce_variants_match(reduce):
     """The alternate group-reduction strategies (3-pass bf16-split mask
