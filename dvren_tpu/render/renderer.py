@@ -70,8 +70,11 @@ class RenderOptions:
     (16x16-pixel tile, 8-step chunk) and a single Pallas kernel per tile
     group does gather + trilinear + integration on-chip. None (default)
     auto-enables it on TPU for eligible fields (dense OOB_ZERO grids with
-    generated rays); output parity vs the exact paths is ~1 ulp (float
-    reassociation), within the reference's own staged/fused 1e-4 budget.
+    generated rays), yields to an explicit ``use_window``, and demotes to
+    the windowed path when most rays' tiles overflow the slot tables
+    (fine grids under wide frusta, e.g. 256^3 at 512^2); output parity vs
+    the exact paths is ~1 ulp (float reassociation), within the
+    reference's own staged/fused 1e-4 budget.
     Camera gradients are NOT available through this path (the schedule
     bakes the camera); Renderer.backward returns zero dCam in tiled mode.
     """
@@ -180,6 +183,7 @@ class Renderer:
         self._window_bwd_key = None
         self._tiled_schedule = None
         self._tiled_key = None
+        self._tiled_demoted = False
         self._tiled_jit = None
         self._tiled_aot = None
         self._tiled_bwd_jit = None
@@ -271,7 +275,8 @@ class Renderer:
             stats.total_ms = (time.perf_counter() - t0) * 1e3
             sample_count = self._analytic_sample_count()
             outputs = None
-            self._last_mode = "tiled"
+            self._last_mode = ("windowed" if self._tiled_demoted
+                               else "tiled")
         elif self._options.use_window:
             planes = self._forward_windowed(field, stats)
             jax.block_until_ready(planes)
@@ -447,6 +452,13 @@ class Renderer:
                 occupancy=self._options.use_occupancy)
             self._tiled_key = key
             schedule = self._tiled_schedule
+            # Auto mode demotes to the windowed path when most rays'
+            # tiles overflowed the slot tables anyway (fine grids under
+            # wide frusta, e.g. 256^3 at 512^2 is 100% fallback): the
+            # fallback IS the windowed path, minus the schedule overhead.
+            self._tiled_demoted = (
+                self._options.use_tiles is None
+                and schedule.fallback_rays * 2 > schedule.total_rays)
             self._tiled_jit = jax.jit(
                 lambda f, s: tiled_mod.render_tiled(self._plan, f, s))
             self._tiled_aot = None
@@ -460,6 +472,10 @@ class Renderer:
                 f"tiled_samples={schedule.tiled_samples}"
                 f"/{schedule.full_lattice_samples}"
                 f" fallback_rays={schedule.fallback_rays}")
+        if self._tiled_demoted:
+            stats.notes.append(
+                "tiled_demoted_to_windowed: most rays fall back")
+            return self._forward_windowed(field, stats)
         if self._options.enable_graph:
             meta = self._field_meta_key(field)
             if self._tiled_aot is None or self._tiled_aot[1] != meta:

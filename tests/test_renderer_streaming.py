@@ -177,6 +177,35 @@ def test_explicit_use_window_beats_auto_tiles(monkeypatch):
     assert r2._use_tiles(field)
 
 
+def test_auto_tiles_demotes_on_heavy_fallback(monkeypatch):
+    """Fine grids under wide frusta overflow the tile slot tables (256^3 at
+    512^2 is 100% fallback); auto mode must demote to the windowed path
+    instead of paying the tiled machinery for nothing."""
+    import jax
+    rng = np.random.default_rng(4)
+    n = 96  # fine grid against a tiny image -> every tile overflows
+    plan = Plan.create(PlanConfig(
+        width=32, height=32, t_near=0.3, t_far=2.3, seed=5,
+        camera=CameraConfig(
+            k=(38.0, 0, 16.0, 0, 38.0, 16.0, 0, 0, 1),
+            c2w=(1, 0, 0, 0.5, 0, 1, 0, 0.5, 0, 0, 1, -1.0)),
+        sampling=SamplingConfig(dt=0.04, max_steps=48)))
+    field = DenseGridField.create(DenseGridConfig(
+        resolution=(n, n, n),
+        sigma=rng.uniform(0.5, 4.0, n ** 3),
+        color=rng.uniform(0, 1, 3 * n ** 3)))
+    r = Renderer(Context.create(), plan)  # auto mode
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    fr = r.forward(field)
+    notes = " ".join(fr.stats.notes)
+    assert "tiled_demoted_to_windowed" in notes
+    assert "windowed_path" in notes
+    # backward must route through the windowed schedule, with camera grads
+    br = r.backward(field, np.ones(plan.ray_count * 3, np.float32))
+    assert br.sigma.shape == (n ** 3,)
+    assert np.abs(br.camera).sum() > 0
+
+
 def test_windowed_renderer_rejects_unbounded_fields():
     plan, _ = windowed_scene()
     from dvren_tpu import HashMLPConfig, HashMLPField
