@@ -204,22 +204,23 @@ def build_packed_stencil_chmajor(sigma: jnp.ndarray, color: jnp.ndarray,
     The tiled fused kernel wants this ordering so that the per-channel
     corner sum is a contiguous 8-row reduction (ops/fused_tiles.py); the
     classic interleaved layout is :func:`build_packed_stencil`.
-    Differentiable like its sibling (shifted-slice concat vjp).
+    Differentiable (stack + transpose vjp). Construction stacks the 32
+    shifted slices on a LEADING axis and transposes once: run time matches
+    the minor-axis concat of 32 one-wide pieces, but the XLA compile is
+    ~8x faster cold (tools/packed_probe.py variants A vs C - one transpose
+    beats 32 lane-offset concat emissions for the compiler).
     """
     z, y, x = sigma.shape
     zm, ym, xm = z - 1, y - 1, x - 1
     parts = []
     for ch in range(4):
+        g = sigma if ch == 0 else color[..., ch - 1]
         for dz in (0, 1):
             for dy in (0, 1):
                 for dx in (0, 1):
-                    if ch == 0:
-                        parts.append(sigma[dz:dz + zm, dy:dy + ym,
-                                           dx:dx + xm, None])
-                    else:
-                        parts.append(color[dz:dz + zm, dy:dy + ym,
-                                           dx:dx + xm, ch - 1:ch])
-    return jnp.concatenate(parts, axis=-1).astype(dtype)
+                    parts.append(g[dz:dz + zm, dy:dy + ym, dx:dx + xm])
+    stacked = jnp.stack(parts, axis=0)          # (32, zm, ym, xm)
+    return jnp.moveaxis(stacked, 0, -1).astype(dtype)
 
 
 def _split_u16(table: jnp.ndarray) -> jnp.ndarray:
