@@ -189,10 +189,14 @@ def build_packed_stencil(sigma: jnp.ndarray, color: jnp.ndarray,
     for dz in (0, 1):
         for dy in (0, 1):
             for dx in (0, 1):
-                parts.append(sigma[dz:dz + zm, dy:dy + ym,
-                                   dx:dx + xm, None])
-                parts.append(color[dz:dz + zm, dy:dy + ym, dx:dx + xm, :])
-    return jnp.concatenate(parts, axis=-1).astype(dtype)
+                parts.append(sigma[dz:dz + zm, dy:dy + ym, dx:dx + xm])
+                for ch in range(3):
+                    parts.append(
+                        color[dz:dz + zm, dy:dy + ym, dx:dx + xm, ch])
+    # Stack on a leading axis + one transpose: bit-identical to the
+    # minor-axis concat but ~8x faster to COMPILE (see
+    # build_packed_stencil_chmajor).
+    return jnp.moveaxis(jnp.stack(parts, axis=0), 0, -1).astype(dtype)
 
 
 def build_packed_stencil_chmajor(sigma: jnp.ndarray, color: jnp.ndarray,
