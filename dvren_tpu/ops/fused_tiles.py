@@ -1,23 +1,30 @@
 """Fused tile-group render kernel: the north-star Pallas hot path.
 
-Consumes the host-resolved tile-table schedule (render/tiled.py): for each
-(16x16-pixel tile, 8-step chunk) the host has already collected the <= 256
-distinct grid cells touched (1-2 banks of 128 slots; beyond that the tile
-falls back to the windowed path) and per-sample slot ids. This kernel does
-everything after the per-slot table gather IN ONE
-PASS per tile - the TPU-native equivalent of the reference's fused
-samp+int device kernel plus CUDA-Graph steady state (role models:
+Consumes the host-resolved bank-packed tile-table schedule
+(render/tiled.py): for each 16x16-pixel tile the host has collected, per
+8-step chunk, the <= 256 distinct grid cells its 2048 samples touch, and
+packed every chunk's cell run DENSELY into the tile's shared bank space
+(NB banks of 128 lanes; a run may start at any lane offset and spans at
+most two consecutive banks). Measured on the 512^2/64^3 headline scene,
+only ~38% of the round-2 per-chunk 128-slot tables were live cells - the
+dense packing cuts slot lanes (and with them the host row-gather bytes,
+the kernel's table DMA, and the backward's cotangent write) ~2.3x.
+
+This kernel does everything after the per-slot table gather IN ONE PASS
+per tile - the TPU-native equivalent of the reference's fused samp+int
+device kernel plus CUDA-Graph steady state (role models:
 ``hotpath/src/cpu/samp_int_fused.cpp:11-76``,
 ``hotpath/src/cuda/graph_cuda.cu:120-205``; north star per SURVEY.md 2.3):
 
 1. per-sample trilinear fraction recompute from the SLIM schedule
-   (sample_t + packed slot|mask + per-tile ray planes + per-slot cell
-   bases; see :func:`_sample_geometry` - shipping fractions costs 2.5x the
-   DMA bytes and the kernel is bandwidth-bound);
-2. slot -> value expansion with ``tpu.dynamic_gather``
-   (``jnp.take_along_axis(op, idx, axis=1)`` with op/idx both (16, 128)):
-   one vector shuffle per packed channel per bank replaces 2048 XLA gather
-   starts - the measured XLA gather-start ceiling never applies in-kernel;
+   (sample_t + packed slot|mask + per-tile compact ray planes + per-lane
+   cell bases; see :func:`_sample_geometry` - shipping fractions costs
+   2.5x the DMA bytes and the kernel is bandwidth-bound);
+2. slot -> value expansion with ``tpu.dynamic_gather``: each chunk's
+   window is the two banks [b0, b0+1] named by a prefetched scalar; one
+   vector shuffle per bank per packed channel replaces 2048 XLA gather
+   starts - the measured XLA gather-start ceiling never applies
+   in-kernel;
 3. the transmittance recurrence, reformulated (like ops/integrate.py) as
    prefix sums of optical depth. All per-ray reductions are SUMS because
    ``processed`` is a prefix mask, so they map onto tiny MXU matmuls with
@@ -32,16 +39,21 @@ samp+int device kernel plus CUDA-Graph steady state (role models:
    processed od).
 
 The backward is a custom VJP (no residuals beyond the inputs): pass 1
-re-runs the gather+interpolation storing per-chunk planes and prefix state
-in VMEM scratch, pass 2 walks the chunks in reverse applying the adjoint of
-the telescoped-weight formulation (the jax.grad semantics of
+re-runs the gather+interpolation storing per-chunk planes and prefix
+state in VMEM scratch, pass 2 walks the chunks in reverse applying the
+adjoint of the telescoped-weight formulation (the jax.grad semantics of
 ops/integrate.py::integrate, including the maximum(x, 0) tie gradient of
-0.5) and scatter-accumulates d(table) with one-hot matmuls on the MXU.
+0.5) and ACCUMULATES d(table) in place into the tile's (NB, 32, 128)
+bank block with one-hot matmuls on the MXU - cells shared between a
+tile's chunks reduce inside VMEM, so the cotangent write is the bank
+block itself, not a full per-chunk table (round-2's dominant backward
+cost, ~2.9x larger).
 
 Layouts (see render/tiled.py): samples of a chunk sit at (block row r,
 lane l) with ray = r*16 + l//8 and in-chunk step j = l%8; tabs are
-(T, nc, 32, 128) with row ch*8 + corner (channel-major packed stencil,
-corner = dz*4 + dy*2 + dx) and lane = cell slot.
+(T, NB, 32, 128) with row ch*8 + corner (channel-major packed stencil,
+corner = dz*4 + dy*2 + dx) and lane = bank slot; rayt is compact
+(T, 12, 128) with row ax*2 + half and lane = ray % 128 (half = ray//128).
 """
 
 from __future__ import annotations
@@ -62,6 +74,7 @@ GROUP = 8          # lanes per ray (= steps per chunk)
 RAYS_PER_TILE = 256
 RAYS_COLS = 16     # compacted per-ray output lanes (= LANES // GROUP)
 NCH = 32           # packed channels: 4 (sigma, r, g, b) x 8 corners
+RAYT_ROWS = 12     # compact ray planes: 6 axes x 2 halves of 128 rays
 
 
 def _group_matrices():
@@ -215,29 +228,49 @@ def _reducer(reduce: str):
     return _REDUCERS[reduce]()
 
 
-def _dg_col(mat, col, lidx_c, bank_of):
-    """Expand table row ``col`` of ``mat`` (C, banks*128) to per-sample
-    values (R, 128) via ``tpu.dynamic_gather`` (one lane shuffle per bank
-    + select). Single-step slicing straight off the loaded block - Mosaic
-    rejects broadcast from a re-sliced intermediate ("Invalid input
+def _expand_rayt(rayt_g):
+    """Compact (12, 128) ray planes -> six (16, 128) sample-layout planes.
+
+    Row ax*2 + half holds axis ``ax`` of rays half*128..half*128+127; the
+    sample layout wants ray = row*16 + lane//8 replicated across each
+    8-lane group. Two lane shuffles + one select per axis replace the
+    8x-replicated (6, 16, 128) planes round 2 shipped (44 MB/frame of DMA
+    at 512^2)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
+    idx = (row % 8) * RAYS_COLS + lane // GROUP   # ray % 128
+    half_hi = row >= 8                            # ray // 128
+    planes = []
+    for ax in range(6):
+        a = jnp.broadcast_to(rayt_g[2 * ax:2 * ax + 1, :], (ROWS, LANES))
+        b = jnp.broadcast_to(rayt_g[2 * ax + 1:2 * ax + 2, :],
+                             (ROWS, LANES))
+        va = jnp.take_along_axis(a, idx, axis=1)
+        vb = jnp.take_along_axis(b, idx, axis=1)
+        planes.append(jnp.where(half_hi, vb, va))
+    return planes
+
+
+def _win_expand(m0, m1, col, idx2):
+    """Expand window-relative slots ``idx2`` (R, 128) in [0, 256) into
+    values of row ``col`` of the two bank matrices m0/m1 ((C, 128) loaded
+    blocks) via ``tpu.dynamic_gather`` - one lane shuffle per bank + one
+    select. Rows are sliced in ONE step off the loaded block (Mosaic
+    rejects broadcast from a re-sliced intermediate, "Invalid input
     layout")."""
-    banks = mat.shape[-1] // LANES
-    rows = lidx_c.shape[0]
-    val = None
-    for b in range(banks):
-        row = jnp.broadcast_to(
-            mat[col:col + 1, b * LANES:(b + 1) * LANES], (rows, LANES))
-        idx = jnp.clip(lidx_c - b * LANES, 0, LANES - 1)
-        got = jnp.take_along_axis(row, idx, axis=1)
-        val = got if val is None else jnp.where(bank_of == b, got, val)
-    return val
+    rows = idx2.shape[0]
+    r0 = jnp.broadcast_to(m0[col:col + 1, :], (rows, LANES))
+    r1 = jnp.broadcast_to(m1[col:col + 1, :], (rows, LANES))
+    v0 = jnp.take_along_axis(r0, jnp.clip(idx2, 0, LANES - 1), axis=1)
+    v1 = jnp.take_along_axis(r1, jnp.clip(idx2 - LANES, 0, LANES - 1),
+                             axis=1)
+    return jnp.where(idx2 >= LANES, v1, v0)
 
 
-def _sample_geometry(samp_c, base_loader, rayt, bank_of_fn, *, lo, inv,
-                     ns):
+def _sample_geometry(samp_c, base0, base1, b0, rayt, *, lo, inv, ns):
     """Recompute per-sample trilinear weights IN-KERNEL from the slim
     schedule: sample_t + packed (slot | mask) + per-tile ray planes +
-    per-slot cell bases.
+    per-lane cell bases.
 
     Shipping fractions cost 32 KB/chunk of DMA (the kernel is
     bandwidth-bound at this chip's ~100 GB/s effective HBM rate, measured
@@ -247,34 +280,23 @@ def _sample_geometry(samp_c, base_loader, rayt, bank_of_fn, *, lo, inv,
     device positions only perturbs a fraction continuously - it can never
     flip a sample to a different cell or into/out of the mask.
 
-    samp_c: (2, R, 128) = sample_t f32, bitcast(lidx | m << 15).
-    base_loader: (ax, bank) -> (1, 128) f32 cell base coords per slot
-    (a REF-level slice: Mosaic rejects vector-level lane-offset slices of
-    a loaded 3-row block under broadcast - "Invalid input layout").
-    rayt: (6, R, 128) = ox, oy, oz, dx, dy, dz planes (per-ray values
-    replicated across each 8-lane group).
-    Returns (lidx (R,128) i32, bank_of, weights ((wx0,wx1),(wy..),(wz..))
-    with m folded into wz).
+    samp_c: (2, R, 128) = sample_t f32, bitcast(tile-local lidx | m << 15).
+    base0/base1: (3, 128) loaded bank blocks of per-lane cell base coords.
+    b0: the chunk's window start bank (scalar).
+    rayt: six (R, 128) planes ox, oy, oz, dx, dy, dz (from _expand_rayt).
+    Returns (idx2 (R,128) window-relative i32, weights
+    ((wx0,wx1),(wy..),(wz..)) with m folded into wz).
     """
     st = samp_c[0]
     packed = pltpu.bitcast(samp_c[1], jnp.int32)
     m = ((packed >> 15) & 1).astype(jnp.float32)
-    lidx_c = packed & 0x7FFF
-    bank_of = bank_of_fn(lidx_c)
-    rows = lidx_c.shape[0]
-    banks, loader = base_loader
+    idx2 = (packed & 0x7FFF) - b0 * LANES
 
     def axis(o_pl, d_pl, ax):
         p = o_pl + d_pl * st
         local = (p - jnp.float32(lo[ax])) * jnp.float32(inv[ax])
         f = local * jnp.float32(ns[ax])
-        val = None
-        for bk in range(banks):
-            rowb = jnp.broadcast_to(loader(ax, bk), (rows, LANES))
-            idx = jnp.clip(lidx_c - bk * LANES, 0, LANES - 1)
-            got = jnp.take_along_axis(rowb, idx, axis=1)
-            val = got if val is None else jnp.where(bank_of == bk, got, val)
-        return f - val
+        return f - _win_expand(base0, base1, ax, idx2)
 
     tx = axis(rayt[0], rayt[3], 0)
     ty = axis(rayt[1], rayt[4], 1)
@@ -282,16 +304,16 @@ def _sample_geometry(samp_c, base_loader, rayt, bank_of_fn, *, lo, inv,
     wx = (1.0 - tx, tx)
     wy = (1.0 - ty, ty)
     wz = (m * (1.0 - tz), m * tz)
-    return lidx_c, bank_of, (wx, wy, wz)
+    return idx2, (wx, wy, wz)
 
 
-def _gather_planes_dg(tabs_c, lidx_c, bank_of, weights):
+def _gather_planes_dg(mat0, mat1, idx2, weights):
     """Per-sample (sigma, r, g, b) planes for one chunk, each (R, 128),
-    via ``tpu.dynamic_gather`` (one vector shuffle per packed channel).
+    via ``tpu.dynamic_gather`` over the chunk's 2-bank window.
 
-    tabs_c: (32, banks*128) cell table; lidx_c: (R, 128) int32 slots;
-    weights: ((wx0, wx1), (wy0, wy1), (wz0, wz1)) with the mask folded
-    into wz (from :func:`_sample_geometry`).
+    mat0/mat1: (32, 128) loaded bank blocks; idx2: (R, 128) int32
+    window-relative slots; weights from :func:`_sample_geometry` (mask
+    folded into wz).
     """
     wx, wy, wz = weights
     planes = []
@@ -301,40 +323,38 @@ def _gather_planes_dg(tabs_c, lidx_c, bank_of, weights):
             for dy in (0, 1):
                 for dx in (0, 1):
                     col = ch * 8 + dz * 4 + dy * 2 + dx
-                    val = _dg_col(tabs_c, col, lidx_c, bank_of)
+                    val = _win_expand(mat0, mat1, col, idx2)
                     term = (wz[dz] * wy[dy] * wx[dx]) * val
                     acc = term if acc is None else acc + term
         planes.append(acc)
     return planes
 
 
-def _gather_planes_mxu(tabs_c, lidx_c, bank_of, weights):
+def _gather_planes_mxu(mat0, mat1, idx2, weights):
     """Same contract as :func:`_gather_planes_dg`, but the slot expansion
-    runs on the MXU: per block row r, cube_r = tabs_c @ OH_r with
-    OH_r[s, l] = [lidx[r, l] == s]. One-hot f32 matmuls are EXACT (each
-    output column is a single table value: the bf16x3 split of v times
-    exactly-representable 0/1 recombines to v, and zero terms add
-    exactly), so the gathered values match the dynamic-gather variant
-    bitwise.
+    runs on the MXU: per block row r, cube_r = mat @ OH_r with
+    OH_r[s, l] = [idx2[r, l] == s (+128 for bank 1)]. One-hot f32 matmuls
+    are EXACT (each output column is a single table value: the bf16x3
+    split of v times exactly-representable 0/1 recombines to v, and zero
+    terms add exactly), so the gathered values match the dynamic-gather
+    variant bitwise.
     Trilinear reduction happens per row in channel-major layout
     ((32, 128) -> (4, 8, 128) corner sum; the 8-corner reduction may
     reassociate vs the sequential corner adds - within the 1e-5 budget),
     avoiding cross-row relayouts.
     """
-    banks = tabs_c.shape[1] // LANES
-    n_rows = lidx_c.shape[0]
+    n_rows = idx2.shape[0]
     slot = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
     wx, wy, wz = weights
     rows = [[] for _ in range(4)]
     for r in range(n_rows):
-        lrow = jnp.broadcast_to(lidx_c[r:r + 1, :], (LANES, LANES))
-        cube_r = jnp.zeros((NCH, LANES), jnp.float32)
-        for b in range(banks):
-            oh = (slot + b * LANES == lrow).astype(jnp.float32)
-            cube_r = cube_r + jnp.dot(
-                tabs_c[:, b * LANES:(b + 1) * LANES], oh,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)  # (32, 128)
+        lrow = jnp.broadcast_to(idx2[r:r + 1, :], (LANES, LANES))
+        oh0 = (slot == lrow).astype(jnp.float32)
+        oh1 = (slot + LANES == lrow).astype(jnp.float32)
+        cube_r = (jnp.dot(mat0, oh0, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+                  + jnp.dot(mat1, oh1, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST))
         # corner weights in packed-corner order (dz*4 + dy*2 + dx)
         wc8 = jnp.concatenate(
             [(wz[dz] * wy[dy] * wx[dx])[r:r + 1, :]
@@ -365,21 +385,17 @@ def _chunk_geometry(ke, c, consts):
     return livef, dta
 
 
-def _fwd_kernel(ke_ref, tabs_ref, samp_ref, base_ref, rayt_ref, out_ref,
-                *, nc, g_tiles, dt, t_near, t_far, k_max, stop, gather,
-                reduce, lo, inv, ns):
+def _fwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
+                out_ref, *, nc, nb, g_tiles, dt, t_near, t_far, k_max,
+                stop, gather, reduce, lo, inv, ns):
     red = _reducer(reduce)
     consts = (dt, t_near, t_far, k_max)
     geom = dict(lo=lo, inv=inv, ns=ns)
-    banks = tabs_ref.shape[-1] // LANES
     tile0 = pl.program_id(0) * g_tiles
-
-    def bank_of_fn(lidx):
-        return lidx // LANES
 
     def tile(g, _):
         ke = ke_ref[tile0 + g]
-        rayt = rayt_ref[g]
+        rayt = _expand_rayt(rayt_ref[g])
         t_origin = (jnp.float32(t_near)
                     + ke.astype(jnp.float32) * jnp.float32(dt))
         zeros = jnp.zeros((ROWS, LANES), jnp.float32)
@@ -389,12 +405,13 @@ def _fwd_kernel(ke_ref, tabs_ref, samp_ref, base_ref, rayt_ref, out_ref,
 
         def chunk(c, carry):
             acc_r, acc_g, acc_b, acc_wd, acc_odp, carry_od, carry_t = carry
-            loader = (banks, lambda ax, bk: base_ref[
-                g, c, ax, bk * LANES:(bk + 1) * LANES].reshape(1, LANES))
-            lidx_c, bank_of, weights = _sample_geometry(
-                samp_ref[g, c], loader, rayt, bank_of_fn, **geom)
+            b0 = b0_ref[(tile0 + g) * nc + c]
+            b1 = jnp.minimum(b0 + 1, nb - 1)
+            idx2, weights = _sample_geometry(
+                samp_ref[g, c], base_ref[g, b0], base_ref[g, b1], b0,
+                rayt, **geom)
             sig, cr, cg, cb = _GATHER_IMPLS[gather](
-                tabs_ref[g, c], lidx_c, bank_of, weights)
+                tabs_ref[g, b0], tabs_ref[g, b1], idx2, weights)
             livef, dta = _chunk_geometry(ke, c, consts)
 
             od = jnp.maximum(sig * dta, 0.0) * livef
@@ -432,26 +449,26 @@ def _fwd_kernel(ke_ref, tabs_ref, samp_ref, base_ref, rayt_ref, out_ref,
     jax.lax.fori_loop(0, g_tiles, tile, 0)
 
 
-def _bwd_kernel(ke_ref, tabs_ref, samp_ref, base_ref, rayt_ref, gs_ref,
-                dtabs_ref, planes_s, state_s,
-                *, nc, g_tiles, dt, t_near, t_far, k_max, stop, gather,
+def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
+                gs_ref, dtabs_ref, planes_s, state_s,
+                *, nc, nb, g_tiles, dt, t_near, t_far, k_max, stop, gather,
                 reduce, lo, inv, ns):
     red = _reducer(reduce)
     consts = (dt, t_near, t_far, k_max)
     geom = dict(lo=lo, inv=inv, ns=ns)
-    n_banks = tabs_ref.shape[-1] // LANES
     tile0 = pl.program_id(0) * g_tiles
-
-    def bank_of_fn(lidx):
-        return lidx // LANES
 
     def tile(g, _):
         ke = ke_ref[tile0 + g]
-        rayt = rayt_ref[g]
+        rayt = _expand_rayt(rayt_ref[g])
 
-        def loader_for(c):
-            return (n_banks, lambda ax, bk: base_ref[
-                g, c, ax, bk * LANES:(bk + 1) * LANES].reshape(1, LANES))
+        # The tile's gradient accumulates IN PLACE into its bank block:
+        # chunks sharing cells reduce in VMEM and the HBM write is one
+        # (NB, 32, 128) block per tile (round 2 wrote a full per-chunk
+        # (nc, 32, banks*128) cotangent - 2.9x the bytes at the headline
+        # config - and reduced it host-side).
+        for b in range(nb):
+            dtabs_ref[g, b] = jnp.zeros((NCH, LANES), jnp.float32)
 
         # Expand the compacted per-ray cotangents (16, 16) back to all
         # lanes of each 8-lane ray group (16, 128). Pad to full lane width
@@ -471,13 +488,20 @@ def _bwd_kernel(ke_ref, tabs_ref, samp_ref, base_ref, rayt_ref, gs_ref,
         t_origin = (jnp.float32(t_near)
                     + ke.astype(jnp.float32) * jnp.float32(dt))
 
+        def win(c):
+            b0 = b0_ref[(tile0 + g) * nc + c]
+            b1 = jnp.minimum(b0 + 1, nb - 1)
+            return b0, b1
+
         # Pass 1 (forward): recompute planes and prefix state per chunk.
         def fwd_chunk(c, carry):
             carry_od, carry_t = carry
-            lidx_c, bank_of, weights = _sample_geometry(
-                samp_ref[g, c], loader_for(c), rayt, bank_of_fn, **geom)
+            b0, b1 = win(c)
+            idx2, weights = _sample_geometry(
+                samp_ref[g, c], base_ref[g, b0], base_ref[g, b1], b0,
+                rayt, **geom)
             sig, cr, cg, cb = _GATHER_IMPLS[gather](
-                tabs_ref[g, c], lidx_c, bank_of, weights)
+                tabs_ref[g, b0], tabs_ref[g, b1], idx2, weights)
             planes_s[c, 0] = sig
             planes_s[c, 1] = cr
             planes_s[c, 2] = cg
@@ -527,13 +551,14 @@ def _bwd_kernel(ke_ref, tabs_ref, samp_ref, base_ref, rayt_ref, gs_ref,
             dsig = dod * livef * tie * dta
             dplanes = (dsig, g_r * w, g_g * w, g_b * w)
 
-            lidx_c, _, (wx, wy, wz) = _sample_geometry(
-                samp_ref[g, c], loader_for(c), rayt, bank_of_fn, **geom)
+            b0, b1 = win(c)
+            idx2, (wx, wy, wz) = _sample_geometry(
+                samp_ref[g, c], base_ref[g, b0], base_ref[g, b1], b0,
+                rayt, **geom)
 
             slot = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
-            banks = dtabs_ref.shape[-1] // LANES
-            dtabs_c = [jnp.zeros((NCH, LANES), jnp.float32)
-                       for _ in range(banks)]
+            d0 = jnp.zeros((NCH, LANES), jnp.float32)
+            d1 = jnp.zeros((NCH, LANES), jnp.float32)
             for r in range(ROWS):
                 rows = []
                 for ch in range(4):
@@ -544,17 +569,23 @@ def _bwd_kernel(ke_ref, tabs_ref, samp_ref, base_ref, rayt_ref, gs_ref,
                                 wc = (wz[dz] * wy[dy] * wx[dx])[r:r + 1, :]
                                 rows.append(wc * dp_r)
                 d_cr = jnp.concatenate(rows, axis=0)          # (32, 128)
-                # one-hot oh[s, l] = [lidx[r, l] == s + b*128] per bank;
-                # contract both on lanes: dtabs[ch, s] = sum_l d_cr * oh
-                lrow = jnp.broadcast_to(lidx_c[r:r + 1, :], (LANES, LANES))
-                for b in range(banks):
-                    oh = (slot + b * LANES == lrow).astype(jnp.float32)
-                    dtabs_c[b] = dtabs_c[b] + jax.lax.dot_general(
-                        d_cr, oh, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=_MASK_PRECISION)
-            dtabs_ref[g, c] = (dtabs_c[0] if banks == 1
-                               else jnp.concatenate(dtabs_c, axis=1))
+                # one-hot oh[s, l] = [idx2[r, l] == s (+128 bank 1)];
+                # contract both on lanes: d[ch, s] = sum_l d_cr * oh
+                lrow = jnp.broadcast_to(idx2[r:r + 1, :], (LANES, LANES))
+                oh0 = (slot == lrow).astype(jnp.float32)
+                oh1 = (slot + LANES == lrow).astype(jnp.float32)
+                d0 = d0 + jax.lax.dot_general(
+                    d_cr, oh0, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_MASK_PRECISION)
+                d1 = d1 + jax.lax.dot_general(
+                    d_cr, oh1, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_MASK_PRECISION)
+            # In-place bank accumulation; when the window clamps (b1 ==
+            # b0) no idx2 reaches bank-1 slots, so d1 is exactly zero.
+            dtabs_ref[g, b0] = dtabs_ref[g, b0] + d0
+            dtabs_ref[g, b1] = dtabs_ref[g, b1] + d1
 
             return carry_suf + red.group_sum(gww)
 
@@ -569,17 +600,19 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pick_g_tiles(t_cnt, nc, banks, bwd_scratch=True,
+def _pick_g_tiles(t_cnt, nc, nb, bwd_scratch=True,
                   vmem_budget=6 << 20):
     """Tiles per grid step: amortize DMA-issue overhead while keeping
     double-buffered blocks + backward scratch within the VMEM budget. The
     schedule pads every group to a multiple of 8, so any power-of-two
     choice <= 8 divides t_cnt."""
-    per_tile = (nc * (NCH * banks * LANES            # tabs
-                      + 2 * ROWS * LANES             # samp
-                      + 3 * banks * LANES)           # base
-                + 6 * ROWS * LANES) * 4              # rayt
+    per_tile = (nb * NCH * LANES                     # tabs
+                + nc * 2 * ROWS * LANES              # samp
+                + nb * 3 * LANES                     # base
+                + 16 * LANES) * 4                    # rayt (12 -> 16 pad)
     scratch = nc * 6 * ROWS * LANES * 4 if bwd_scratch else 0
+    if bwd_scratch:
+        per_tile += nb * NCH * LANES * 4             # dtabs out block
     g = 8
     while g > 1 and (2 * g * per_tile + scratch > vmem_budget
                      or t_cnt % g):
@@ -587,43 +620,45 @@ def _pick_g_tiles(t_cnt, nc, banks, bwd_scratch=True,
     return g
 
 
-@functools.lru_cache(maxsize=None)
-def _tile_op(nc, banks, g_tiles, dt, t_near, t_far, k_max, stop, interpret,
+@functools.lru_cache(maxsize=64)
+def _tile_op(nc, nb, g_tiles, dt, t_near, t_far, k_max, stop, interpret,
              gather, reduce, lo, inv, ns):
-    """custom_vjp'd accumulator op for one chunk-count group.
+    """custom_vjp'd accumulator op for one (chunk count, bank count) group.
 
-    (tabs (T,nc,32,banks*128), samp (T,nc,2,16,128),
-     base (T,nc,3,banks*128), rayt (T,6,16,128), ke (T,) int32) ->
-    out (T,5,16,128): per-ray sums replicated across each 8-lane group:
-    radiance r/g/b, weighted mid-segment depth, processed optical depth
-    (T_final = exp(-odp)). Each grid step processes ``g_tiles`` tiles;
-    trilinear fractions are recomputed in-kernel from the slim schedule
-    (lo/inv/ns = field bbox min, inverse extent, grid n-1 per axis).
+    (tabs (T,NB,32,128), samp (T,nc,2,16,128), base (T,NB,3,128),
+     rayt (T,12,128), ke (T,) int32, bank0 (T*nc,) int32) ->
+    out (T,5,16,16): per-ray sums: radiance r/g/b, weighted mid-segment
+    depth, processed optical depth (T_final = exp(-odp)). Each grid step
+    processes ``g_tiles`` tiles; trilinear fractions are recomputed
+    in-kernel from the slim schedule (lo/inv/ns = field bbox min, inverse
+    extent, grid n-1 per axis). The lru_cache is bounded (ADVICE round 2):
+    long-lived processes rendering many plans would otherwise accumulate
+    unbounded custom_vjp objects and their jit caches.
     """
-    kw = dict(nc=nc, g_tiles=g_tiles, dt=dt, t_near=t_near, t_far=t_far,
-              k_max=k_max, stop=stop, gather=gather, reduce=reduce,
-              lo=lo, inv=inv, ns=ns)
+    kw = dict(nc=nc, nb=nb, g_tiles=g_tiles, dt=dt, t_near=t_near,
+              t_far=t_far, k_max=k_max, stop=stop, gather=gather,
+              reduce=reduce, lo=lo, inv=inv, ns=ns)
 
     def in_specs():
         return [
-            pl.BlockSpec((g_tiles, nc, NCH, banks * LANES),
-                         lambda i, ke: (i, 0, 0, 0)),
+            pl.BlockSpec((g_tiles, nb, NCH, LANES),
+                         lambda i, ke, b0: (i, 0, 0, 0)),
             pl.BlockSpec((g_tiles, nc, 2, ROWS, LANES),
-                         lambda i, ke: (i, 0, 0, 0, 0)),
-            pl.BlockSpec((g_tiles, nc, 3, banks * LANES),
-                         lambda i, ke: (i, 0, 0, 0)),
-            pl.BlockSpec((g_tiles, 6, ROWS, LANES),
-                         lambda i, ke: (i, 0, 0, 0)),
+                         lambda i, ke, b0: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((g_tiles, nb, 3, LANES),
+                         lambda i, ke, b0: (i, 0, 0, 0)),
+            pl.BlockSpec((g_tiles, RAYT_ROWS, LANES),
+                         lambda i, ke, b0: (i, 0, 0)),
         ]
 
-    def fwd_call(tabs, samp, base, rayt, ke):
+    def fwd_call(tabs, samp, base, rayt, ke, bank0):
         t_cnt = tabs.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,   # ke: (T,) int32, whole array in SMEM
+            num_scalar_prefetch=2,   # ke (T,), bank0 (T*nc,) in SMEM
             grid=(t_cnt // g_tiles,),
             in_specs=in_specs(),
             out_specs=pl.BlockSpec((g_tiles, 5, ROWS, RAYS_COLS),
-                                   lambda i, ke: (i, 0, 0, 0)),
+                                   lambda i, ke, b0: (i, 0, 0, 0)),
         )
         return pl.pallas_call(
             functools.partial(_fwd_kernel, **kw),
@@ -636,19 +671,19 @@ def _tile_op(nc, banks, g_tiles, dt, t_near, t_far, k_max, stop, interpret,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",)),
             interpret=interpret,
-        )(ke, tabs, samp, base, rayt)
+        )(ke, bank0, tabs, samp, base, rayt)
 
-    def bwd_call(tabs, samp, base, rayt, ke, gs):
+    def bwd_call(tabs, samp, base, rayt, ke, bank0, gs):
         t_cnt = tabs.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(t_cnt // g_tiles,),
             in_specs=in_specs() + [
                 pl.BlockSpec((g_tiles, 5, ROWS, RAYS_COLS),
-                             lambda i, ke: (i, 0, 0, 0)),
+                             lambda i, ke, b0: (i, 0, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((g_tiles, nc, NCH, banks * LANES),
-                                   lambda i, ke: (i, 0, 0, 0)),
+            out_specs=pl.BlockSpec((g_tiles, nb, NCH, LANES),
+                                   lambda i, ke, b0: (i, 0, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((nc, 4, ROWS, LANES), jnp.float32),
                 pltpu.VMEM((nc, 2, ROWS, LANES), jnp.float32),
@@ -658,34 +693,34 @@ def _tile_op(nc, banks, g_tiles, dt, t_near, t_far, k_max, stop, interpret,
             functools.partial(_bwd_kernel, **kw),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(
-                (t_cnt, nc, NCH, banks * LANES), jnp.float32),
+                (t_cnt, nb, NCH, LANES), jnp.float32),
             # Steps are independent (scratch is fully rewritten by pass 1
             # before pass 2 reads it, within each step).
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",)),
             interpret=interpret,
-        )(ke, tabs, samp, base, rayt, gs)
+        )(ke, bank0, tabs, samp, base, rayt, gs)
 
     @jax.custom_vjp
-    def op(tabs, samp, base, rayt, ke):
-        return fwd_call(tabs, samp, base, rayt, ke)
+    def op(tabs, samp, base, rayt, ke, bank0):
+        return fwd_call(tabs, samp, base, rayt, ke, bank0)
 
-    def op_fwd(tabs, samp, base, rayt, ke):
-        return fwd_call(tabs, samp, base, rayt, ke), (
-            tabs, samp, base, rayt, ke)
+    def op_fwd(tabs, samp, base, rayt, ke, bank0):
+        return fwd_call(tabs, samp, base, rayt, ke, bank0), (
+            tabs, samp, base, rayt, ke, bank0)
 
     def op_bwd(res, g):
-        tabs, samp, base, rayt, ke = res
-        dtabs = bwd_call(tabs, samp, base, rayt, ke, g)
+        tabs, samp, base, rayt, ke, bank0 = res
+        dtabs = bwd_call(tabs, samp, base, rayt, ke, bank0, g)
         return (dtabs, jnp.zeros_like(samp), jnp.zeros_like(base),
-                jnp.zeros_like(rayt), None)
+                jnp.zeros_like(rayt), None, None)
 
     op.defvjp(op_fwd, op_bwd)
     return op
 
 
 def render_tile_group_raw(plan, geom, tabs, samp, base, rayt, k_enter,
-                          n_chunks, interpret: bool | None = None,
+                          bank0, n_chunks, interpret: bool | None = None,
                           gather: str = "dg", reduce: str = "mxu"):
     """Fused forward for one tile group, RAW accumulator heads.
 
@@ -706,16 +741,17 @@ def render_tile_group_raw(plan, geom, tabs, samp, base, rayt, k_enter,
         else 0.0
         for l, hi in zip(bbox_min, bbox_max))
     ns = (float(nx - 1), float(ny - 1), float(nz - 1))
-    banks = tabs.shape[-1] // LANES
+    nb = int(tabs.shape[1])
     t_cnt = int(tabs.shape[0])
-    g_tiles = _pick_g_tiles(t_cnt, int(n_chunks), int(banks))
-    op = _tile_op(int(n_chunks), int(banks), int(g_tiles),
+    g_tiles = _pick_g_tiles(t_cnt, int(n_chunks), nb)
+    op = _tile_op(int(n_chunks), nb, int(g_tiles),
                   float(plan.sampling.dt),
                   float(plan.t_near), float(plan.t_far),
                   int(plan.sampling.max_steps), float(STOP_THRESHOLD),
                   bool(interpret), str(gather), str(reduce), lo, inv, ns)
     ke1 = k_enter.reshape(-1).astype(jnp.int32)
-    return op(tabs, samp, base, rayt, ke1)
+    b01 = bank0.reshape(-1).astype(jnp.int32)
+    return op(tabs, samp, base, rayt, ke1, b01)
 
 
 def finalize_heads(plan, raw, axis=1):
@@ -731,14 +767,15 @@ def finalize_heads(plan, raw, axis=1):
 
 
 def render_tile_group(plan, geom, tabs, samp, base, rayt, k_enter,
-                      n_chunks, interpret: bool | None = None,
+                      bank0, n_chunks, interpret: bool | None = None,
                       gather: str = "dg", reduce: str = "mxu"):
     """Per-ray integration outputs for one tile group (flat ray order,
     matching TileGroup.pixel_ids): (radiance (R, 3), transmittance (R,),
     opacity (R,), depth (R,)) with R = n_tiles * 256."""
     out = render_tile_group_raw(plan, geom, tabs, samp, base, rayt,
-                                k_enter, n_chunks, interpret=interpret,
-                                gather=gather, reduce=reduce)
+                                k_enter, bank0, n_chunks,
+                                interpret=interpret, gather=gather,
+                                reduce=reduce)
     (r, g, b), t_final, opacity, depth = finalize_heads(plan, out)
     flat = lambda a: a.reshape(-1)
     radiance = jnp.stack([flat(r), flat(g), flat(b)], axis=-1)

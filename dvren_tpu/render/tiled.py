@@ -65,25 +65,41 @@ _SENTINEL = np.int64(1) << 62
 @pytree_dataclass(meta_fields=("n_chunks", "n_tiles", "banks", "samples"))
 @dataclass(frozen=True)
 class TileGroup:
-    """All tiles sharing one chunk count (static kernel shape).
+    """All tiles sharing one (chunk count, bank count) - static kernel
+    shapes.
 
     A registered pytree so schedules flow through jit as ARGUMENTS
     (closing over the group arrays embeds them as HLO constants; at 512^2
     that is >100 MB of literals and overflows the remote-compile upload).
+
+    Bank packing (round 3): each chunk's unique-cell run packs DENSELY
+    into the tile's shared lane space (``banks`` banks of 128 lanes); a
+    run starts at any offset and spans at most two consecutive banks
+    (runs > 128 cells align to a bank boundary). Measured at 512^2/64^3,
+    only ~38% of round-2's fixed 128-slot chunk tables were live - dense
+    packing cuts slot lanes ~2.3x, and with them the host row-gather
+    bytes, the kernel's table DMA, and the backward's cotangent write.
     """
 
     n_chunks: int
     n_tiles: int             # padded to a multiple of 8 (kernel DMA blocks)
-    banks: int               # table banks per chunk (slots = banks*128)
-    hostmap: jnp.ndarray     # (T*nc*banks*128,) int32 packed row per slot
+    banks: int               # table banks per TILE (lanes = banks*128)
+    hostmap: jnp.ndarray     # (T*banks*128,) int32 packed row per lane
     samp: jnp.ndarray        # (T, nc, 2, 16, 128) f32: sample_t,
-    #                          bitcast(slot | mask << 15). The kernel
-    #                          recomputes trilinear fractions from these +
-    #                          base + rayt (shipping fractions costs 2.5x
-    #                          the DMA bytes; the kernel is bound by this
-    #                          chip's ~100 GB/s effective HBM rate)
-    base: jnp.ndarray        # (T, nc, 3, banks*128) f32 cell base coords
-    rayt: jnp.ndarray        # (T, 6, 16, 128) f32 ox/oy/oz/dx/dy/dz planes
+    #                          bitcast(tile-local lane | mask << 15). The
+    #                          kernel recomputes trilinear fractions from
+    #                          these + base + rayt (shipping fractions
+    #                          costs 2.5x the DMA bytes; the kernel is
+    #                          bound by this chip's ~100 GB/s effective
+    #                          HBM rate)
+    base: jnp.ndarray        # (T, banks, 3, 128) f32 cell base coords
+    rayt: jnp.ndarray        # (T, 12, 128) f32 compact ray planes: row
+    #                          ax*2 + half, lane = ray % 128 for axes
+    #                          (ox, oy, oz, dx, dy, dz); the kernel
+    #                          expands to sample layout with two lane
+    #                          shuffles (round 2 shipped the 8x-replicated
+    #                          (6, 16, 128) planes - 44 MB/frame at 512^2)
+    bank0: jnp.ndarray       # (T, nc) int32 window start bank per chunk
     k_enter: jnp.ndarray     # (T,) int32 tile window start
     pixel_ids: jnp.ndarray   # (T*256,) int32 compose targets (reference
     #                          consumer + parity paths)
@@ -358,14 +374,13 @@ def build_tiled_schedule(plan: Plan, field,
         st_l = to_lanes(np.broadcast_to(sample_t,
                                         (t_cnt, RAYS_PER_TILE, k_steps)))
 
-        def ray_planes(a):  # per-ray (T, 256) -> sample layout (T, 16, 128)
-            return np.repeat(a.reshape(t_cnt, 16, 16), CHUNK,
-                             axis=2).reshape(t_cnt, 16, 128)
-
+        # Compact ray planes: (T, 12, 128), row = ax*2 + half for axes
+        # (ox, oy, oz, dx, dy, dz), lane = ray % 128 (the kernel expands
+        # to sample layout with two lane shuffles per axis).
         rayt_all = np.stack(
-            [ray_planes(ot[:, :, i]) for i in range(3)]
-            + [ray_planes(dtn[:, :, i]) for i in range(3)],
-            axis=1).astype(np.float32)              # (T, 6, 16, 128)
+            [ot[:, :, i].reshape(t_cnt, 2, 128) for i in range(3)]
+            + [dtn[:, :, i].reshape(t_cnt, 2, 128) for i in range(3)],
+            axis=1).astype(np.float32).reshape(t_cnt, 12, 128)
 
         # unique cells + local slots per (tile, chunk)
         flat = cell_l.reshape(t_cnt * nc, 16 * 128)
@@ -381,53 +396,82 @@ def build_tiled_schedule(plan: Plan, field,
         lidx = np.empty(flat.shape, np.int32)
         np.put_along_axis(lidx, order, rank.astype(np.int32), 1)
 
-        # Tiles whose worst chunk needs <= 128 cells use one table bank;
-        # <= 256 cells two banks (the kernel selects the bank from the slot
-        # id); beyond that the tile falls back to the windowed path.
-        worst = nuniq.reshape(t_cnt, nc).max(axis=1)
-        banks_t = np.where(worst > MAX_CELLS, 2, 1)
-        overflow = worst > 2 * MAX_CELLS
+        # Dense bank packing: each chunk's run of nuniq cells lands at the
+        # next free lane offset; runs of <= 128 cells span at most two
+        # consecutive banks from any offset, larger runs (<= 256) align
+        # to a bank boundary. Tiles with a chunk beyond 256 cells fall
+        # back to the windowed path.
+        nuniq2 = nuniq.reshape(t_cnt, nc)
+        overflow = (nuniq2 > 2 * MAX_CELLS).any(axis=1)
         if overflow.any():
             fallback_rays.append(ids[overflow][live_r[overflow]])
 
-        for banks in (1, 2):
-            keep = (~overflow) & (banks_t == banks)
+        off = np.zeros((t_cnt, nc), np.int64)
+        nb_tile = np.zeros(t_cnt, np.int64)
+        for t in np.nonzero(~overflow)[0]:
+            cur = 0
+            for c in range(nc):
+                n_c = int(nuniq2[t, c])
+                if n_c > MAX_CELLS:
+                    cur = -(-cur // MAX_CELLS) * MAX_CELLS
+                # Empty chunks anchor at lane 0: their samples are all
+                # masked (weight 0) but must still index a VALID lane -
+                # ``cur`` can equal the tile's total lane count here, one
+                # past the bank space (OOB bank read in the kernel, NaN
+                # fill in the jnp consumer).
+                off[t, c] = cur if n_c > 0 else 0
+                cur += n_c
+            nb_tile[t] = max(-(-cur // MAX_CELLS), 1)
+
+        for nb in sorted(set(nb_tile[~overflow].tolist())):
+            keep = (~overflow) & (nb_tile == nb)
             if not keep.any():
                 continue
-            cap = banks * MAX_CELLS
+            nb = int(nb)
+            lanes = nb * MAX_CELLS
+            t_kept = int(keep.sum())
             rowsel = np.repeat(keep, nc)
             sc_k = sc[rowsel]
             new_k = new[rowsel]
             rank_k = rank[rowsel]
-            uniq = np.zeros((sc_k.shape[0], cap), np.int64)
-            rws, cls = np.nonzero(new_k & (rank_k < cap)
-                                  & (sc_k != _SENTINEL))
-            uniq[rws, rank_k[rws, cls]] = sc_k[rws, cls]
+            off_k = off[keep].reshape(-1)             # (t_kept*nc,)
 
-            lidx_k = np.minimum(lidx.reshape(t_cnt, nc, 16, 128)[keep],
-                                cap - 1)
-            t_kept = int(keep.sum())
+            hostmap = np.zeros((t_kept, lanes), np.int64)
+            rws, cls = np.nonzero(new_k & (sc_k != _SENTINEL))
+            hostmap[rws // nc, off_k[rws] + rank_k[rws, cls]] = \
+                sc_k[rws, cls]
 
-            # Slim schedule: sample_t + (slot | mask << 15) bitcast to f32.
-            # The kernel recomputes fractions from these + the per-slot
-            # cell bases + the per-tile ray planes (fused_tiles is
+            # Tile-local lane ids; masked samples point at their chunk's
+            # window start (any in-window lane works: their weight is 0).
+            rank_s = lidx.reshape(t_cnt, nc, 16, 128)[keep].astype(np.int64)
+            m_k = m_l[keep] > 0
+            off_bc = off[keep][:, :, None, None]
+            lidx_local = np.where(m_k, off_bc + np.minimum(
+                rank_s, np.maximum(nuniq2[keep][:, :, None, None] - 1, 0)),
+                off_bc).astype(np.int32)
+
+            # Slim schedule: sample_t + (lane | mask << 15) bitcast to f32.
+            # The kernel recomputes fractions from these + the per-lane
+            # cell bases + the compact ray planes (fused_tiles is
             # bandwidth-bound; fractions would cost 2.5x the bytes).
-            packed_bits = (lidx_k.astype(np.int32)
-                           | ((m_l[keep] > 0).astype(np.int32) << 15))
+            packed_bits = (lidx_local
+                           | (m_k.astype(np.int32) << 15))
             samp = np.stack(
                 [st_l[keep],
                  np.ascontiguousarray(packed_bits).view(np.float32)],
                 axis=2).astype(np.float32)  # (T, nc, 2, 16, 128)
 
-            # Per-slot cell base coordinates (the host's clipped floor
-            # indices, exactly - recovered from the slot's cell id).
-            uniq_i = uniq.astype(np.int64)
-            iz_u = uniq_i // ((ny - 1) * (nx - 1))
-            rem_u = uniq_i % ((ny - 1) * (nx - 1))
+            # Per-lane cell base coordinates (the host's clipped floor
+            # indices, exactly - recovered from the lane's cell id).
+            iz_u = hostmap // ((ny - 1) * (nx - 1))
+            rem_u = hostmap % ((ny - 1) * (nx - 1))
             base = np.stack(
                 [(rem_u % (nx - 1)), (rem_u // (nx - 1)), iz_u],
-                axis=1).astype(np.float32).reshape(t_kept, nc, 3, cap)
+                axis=1).astype(np.float32)            # (T, 3, lanes)
+            base = base.reshape(t_kept, 3, nb, MAX_CELLS).transpose(
+                0, 2, 1, 3)                           # (T, nb, 3, 128)
             rayt = rayt_all[keep]
+            bank0 = (off[keep] // MAX_CELLS).astype(np.int32)
 
             ids_k = ids[keep]
             live_k = live_r[keep]
@@ -444,9 +488,9 @@ def build_tiled_schedule(plan: Plan, field,
 
             # Pad the group to a multiple of 8 tiles so the kernel can
             # block several tiles per grid step. Pad tiles are fully dead:
-            # m == 0 everywhere, slot 0, packed row 0, throwaway pixels.
+            # m == 0 everywhere, lane 0, packed row 0, throwaway pixels.
             t_pad = -(-t_kept // 8) * 8
-            uniq_r = uniq.astype(np.int32).reshape(t_kept, nc * cap)
+            uniq_r = hostmap.astype(np.int32)         # (T, lanes)
             ke_k = ke_t[keep].astype(np.int32)
             tile_ids_k = sel[keep].astype(np.int32)
             pids = pids.reshape(t_kept, RAYS_PER_TILE)
@@ -462,7 +506,9 @@ def build_tiled_schedule(plan: Plan, field,
                     [rayt, np.zeros((extra,) + rayt.shape[1:],
                                     np.float32)])
                 uniq_r = np.concatenate(
-                    [uniq_r, np.zeros((extra, nc * cap), np.int32)])
+                    [uniq_r, np.zeros((extra, lanes), np.int32)])
+                bank0 = np.concatenate(
+                    [bank0, np.zeros((extra, nc), np.int32)])
                 ke_k = np.concatenate([ke_k, np.zeros(extra, np.int32)])
                 tile_ids_k = np.concatenate(
                     [tile_ids_k,
@@ -477,11 +523,12 @@ def build_tiled_schedule(plan: Plan, field,
             groups.append(TileGroup(
                 n_chunks=nc,
                 n_tiles=t_pad,
-                banks=banks,
+                banks=nb,
                 hostmap=jax.device_put(uniq_r.reshape(-1)),
                 samp=jax.device_put(samp),
                 base=jax.device_put(base),
                 rayt=jax.device_put(rayt),
+                bank0=jax.device_put(bank0),
                 k_enter=jax.device_put(ke_k),
                 pixel_ids=jax.device_put(pids.reshape(-1).astype(np.int32)),
                 tile_ids=jax.device_put(tile_ids_k),
@@ -596,18 +643,17 @@ _gather_rows_planned.defvjp(_gather_rows_planned_fwd,
 
 
 def _group_tables(packed_flat: jnp.ndarray, group: TileGroup) -> jnp.ndarray:
-    """Gather + transpose the group's cell tables:
-    (T, nc, 32, banks*128).
+    """Gather + transpose the group's bank tables: (T, banks, 32, 128).
 
-    One row-gather per table SLOT (~16x fewer starts than per-sample)
-    through the bit-exact u16 path."""
+    One row-gather per bank LANE (each a distinct cell of the tile's
+    dense bank packing - no per-sample or per-chunk duplication) through
+    the bit-exact u16 path."""
     if packed_flat.dtype == jnp.float32:
         rows = grid_ops.take_rows_exact(packed_flat, group.hostmap)
     else:
         rows = jnp.take(packed_flat, group.hostmap,
                         axis=0).astype(jnp.float32)
-    tabs = rows.reshape(group.n_tiles, group.n_chunks,
-                        group.banks * MAX_CELLS, 32)
+    tabs = rows.reshape(group.n_tiles, group.banks, MAX_CELLS, 32)
     return jnp.swapaxes(tabs, 2, 3)
 
 
@@ -620,18 +666,28 @@ def _group_reference_planes(plan: Plan, tabs, group: TileGroup, geom):
     t_cnt, nc = group.n_tiles, group.n_chunks
     packed = jax.lax.bitcast_convert_type(group.samp[:, :, 1], jnp.int32)
     m = ((packed >> 15) & 1).astype(jnp.float32)
-    lidx = packed & 0x7FFF
+    lidx = packed & 0x7FFF                        # tile-local bank lane
     st = group.samp[:, :, 0]
-    rayt = group.rayt
+
+    # Expand the compact (12, 128) ray planes to per-sample layout:
+    # sample (row r, lane l) belongs to ray r*16 + l//8.
+    ray_idx = (np.arange(16)[:, None] * 16
+               + np.arange(128)[None, :] // 8).reshape(-1)
+    rayt6 = jnp.take(group.rayt.reshape(t_cnt, 6, 256),
+                     jnp.asarray(ray_idx), axis=2).reshape(
+        t_cnt, 6, 16, 128)
+
+    lanes = group.banks * MAX_CELLS
+    base_f = group.base.transpose(0, 2, 1, 3).reshape(t_cnt, 3, lanes)
 
     def base_gather(ax):
         b = jnp.take_along_axis(
-            group.base[:, :, ax],
+            base_f[:, None, ax],
             lidx.reshape(t_cnt, nc, 16 * 128), axis=-1)
         return b.reshape(t_cnt, nc, 16, 128)
 
     def frac(o_i, d_i, ax, npts):
-        p = rayt[:, None, o_i] + rayt[:, None, d_i] * st
+        p = rayt6[:, None, o_i] + rayt6[:, None, d_i] * st
         lo_v = jnp.float32(float(bbox_min[ax]))
         ext = float(bbox_max[ax]) - float(bbox_min[ax])
         inv_v = jnp.float32(1.0 / ext if ext != 0.0 else 0.0)
@@ -642,9 +698,13 @@ def _group_reference_planes(plan: Plan, tabs, group: TileGroup, geom):
     ty = frac(1, 4, 1, gny)
     tz = frac(2, 5, 2, gnz)
 
-    # cube[t, c, cc, r, l] = tabs[t, c, cc, lidx[t, c, r, l]]
+    # cube[t, c, cc, r, l] = tabs_f[t, cc, lidx[t, c, r, l]] over the
+    # tile's flattened bank lanes
+    tabs_f = tabs.transpose(0, 2, 1, 3).reshape(t_cnt, 32, lanes)
     cube = jnp.take_along_axis(
-        tabs[:, :, :, None, :], lidx[:, :, None, :, :], axis=-1)
+        tabs_f[:, None, :, :],
+        lidx.reshape(t_cnt, nc, 1, 16 * 128), axis=-1).reshape(
+        t_cnt, nc, 32, 16, 128)
 
     wx = [1.0 - tx, tx]
     wy = [1.0 - ty, ty]
@@ -749,19 +809,17 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
         off = 0
         for group in schedule.groups:
             if rows_all is not None:
-                n_rows = (group.n_tiles * group.n_chunks
-                          * group.banks * MAX_CELLS)
+                n_rows = group.n_tiles * group.banks * MAX_CELLS
                 tabs = jnp.swapaxes(
                     rows_all[off:off + n_rows].reshape(
-                        group.n_tiles, group.n_chunks,
-                        group.banks * MAX_CELLS, 32),
+                        group.n_tiles, group.banks, MAX_CELLS, 32),
                     2, 3)
                 off += n_rows
             else:
                 tabs = _group_tables(packed_flat, group)
             raws.append(fused_tiles.render_tile_group_raw(
                 plan, geom, tabs, group.samp, group.base, group.rayt,
-                group.k_enter, group.n_chunks, gather=gather,
+                group.k_enter, group.bank0, group.n_chunks, gather=gather,
                 reduce=reduce))
             ids.append(group.tile_ids)
         return _compose_tiles(plan, raws, ids, fallback_parts)

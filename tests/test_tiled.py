@@ -160,6 +160,41 @@ def test_occupancy_trimming_exact_and_smaller():
     assert_planes_close(out_k, full)
 
 
+def test_empty_chunk_lanes_in_range():
+    """Regression (round 3): a chunk whose samples are ALL masked has no
+    unique cells; its lane offset must anchor at 0, not at the tile's
+    running total (which can equal the bank-space size - an OOB bank read
+    in the kernel, NaN fill in the jnp consumer's take_along_axis)."""
+    rng = np.random.default_rng(3)
+    n = 16
+    plan = Plan.create(PlanConfig(
+        width=64, height=64, t_near=0.2, t_far=2.2, seed=3,
+        camera=CameraConfig(
+            k=(64 * 1.2, 0, 32, 0, 64 * 1.2, 32, 0, 0, 1),
+            c2w=(1, 0, 0, 0.6, 0, 0.96, -0.28, 0.55,
+                 0, 0.28, 0.96, -0.9)),
+        sampling=SamplingConfig(dt=2.0 / 64, max_steps=64)))
+    field = DenseGridField.create(DenseGridConfig(
+        resolution=(n, n, n),
+        sigma=rng.uniform(0.5, 8.0, n ** 3),
+        color=rng.uniform(0, 1, 3 * n ** 3)))
+    schedule = build_tiled_schedule(plan, field)
+    saw_empty = False
+    for g in schedule.groups:
+        packed = np.asarray(g.samp)[:, :, 1].view(np.int32)
+        lidx = packed & 0x7FFF
+        m = (packed >> 15) & 1
+        lanes = g.banks * 128
+        assert int(lidx.max()) < lanes, (int(lidx.max()), lanes)
+        saw_empty |= bool(
+            ((m > 0).sum(axis=(2, 3)) == 0).any())
+    assert saw_empty, "scene no longer produces an empty chunk; adjust it"
+    full = render(plan, field).planes
+    out = render_tiled(plan, field, schedule, use_kernel=False)
+    assert not np.isnan(np.asarray(out.image)).any()
+    assert_planes_close(out, full)
+
+
 def test_occupancy_all_empty_background():
     plan, field = scene()
     zero = field.with_params(jnp.zeros_like(field.sigma), field.color)

@@ -114,7 +114,7 @@ def main():
             for g, tb in zip(sched.groups, tabs0):
                 out = fused_tiles.render_tile_group(
                     plan, geom, tb * s, g.samp, g.base, g.rayt,
-                    g.k_enter, g.n_chunks)
+                    g.k_enter, g.bank0, g.n_chunks)
                 acc += out[0][::513].sum()
             return carry, acc
         return jax.lax.scan(one, 0.0, scales)[1]
@@ -139,7 +139,7 @@ def main():
             tabs = _group_tables(flat, g)
             out = fused_tiles.render_tile_group(
                 plan, geom2, tabs, g.samp, g.base, g.rayt,
-                g.k_enter, g.n_chunks)
+                g.k_enter, g.bank0, g.n_chunks)
             acc += out[0][::513].sum()
         return acc
     t_pgk = timed("packed+gather+kernel", pgk)
@@ -158,7 +158,7 @@ def main():
             for g, tb in zip(sched.groups, tabs0):
                 out = fused_tiles.render_tile_group(
                     plan, geom, tb, g.samp, g.base, g.rayt,
-                    g.k_enter, g.n_chunks)
+                    g.k_enter, g.bank0, g.n_chunks)
                 acc += (out[0] ** 2).sum()
             return acc
 
@@ -185,7 +185,7 @@ def main():
                 tabs = _group_tables(flat, g)
                 out = fused_tiles.render_tile_group(
                     plan, geom, tabs, g.samp, g.base, g.rayt,
-                    g.k_enter, g.n_chunks)
+                    g.k_enter, g.bank0, g.n_chunks)
                 acc += (out[0] ** 2).sum()
             return acc
 
