@@ -450,9 +450,14 @@ def _fwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
 
 
 def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
-                gs_ref, dtabs_ref, planes_s, state_s,
-                *, nc, nb, g_tiles, dt, t_near, t_far, k_max, stop, gather,
-                reduce, lo, inv, ns):
+                gs_ref, dtabs_ref, *rest,
+                nc, nb, g_tiles, dt, t_near, t_far, k_max, stop, gather,
+                reduce, lo, inv, ns, cam):
+    if cam:
+        dcam_ref, planes_s, state_s = rest
+    else:
+        planes_s, state_s = rest
+        dcam_ref = None
     red = _reducer(reduce)
     consts = (dt, t_near, t_far, k_max)
     geom = dict(lo=lo, inv=inv, ns=ns)
@@ -519,7 +524,10 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
              jnp.full((ROWS, LANES), t_origin, jnp.float32)))
 
         # Pass 2 (reverse): adjoint of the telescoped-weight integration.
-        def bwd_chunk(i, carry_suf):
+        zero_p = jnp.zeros((ROWS, LANES), jnp.float32)
+
+        def bwd_chunk(i, carry):
+            carry_suf, dcams = carry
             c = nc - 1 - i
             sig = planes_s[c, 0]
             cr = planes_s[c, 1]
@@ -587,10 +595,63 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
             dtabs_ref[g, b0] = dtabs_ref[g, b0] + d0
             dtabs_ref[g, b1] = dtabs_ref[g, b1] + d1
 
-            return carry_suf + red.group_sum(gww)
+            if cam:
+                # Camera adjoint: dL/d(trilinear fraction) per axis from
+                # the weight adjoints (needs the corner VALUES again - 32
+                # more window expansions), chained to the ray planes:
+                # t_ax = ((o_ax + d_ax*st) - lo)*inv*ns - base, so
+                # d(o_ax) = dt_ax * inv*ns and d(d_ax) = dt_ax * st*inv*ns.
+                # Supersedes the reference's permanent zero dCam stub
+                # (/root/reference/hotpath/src/cpu/diff_cpu.cpp:41-47,74)
+                # ON the fused fast path.
+                mat0, mat1 = tabs_ref[g, b0], tabs_ref[g, b1]
+                packed = pltpu.bitcast(samp_ref[g, c, 1], jnp.int32)
+                m = ((packed >> 15) & 1).astype(jnp.float32)
+                st = samp_ref[g, c, 0]
+                dtx = dty = dtz = 0.0
+                for ch in range(4):
+                    dp = dplanes[ch]
+                    v = {}
+                    for dz in (0, 1):
+                        for dy in (0, 1):
+                            for dx_ in (0, 1):
+                                v[(dz, dy, dx_)] = _win_expand(
+                                    mat0, mat1,
+                                    ch * 8 + dz * 4 + dy * 2 + dx_, idx2)
+                    for dz in (0, 1):
+                        for dy in (0, 1):
+                            dtx += dp * (wz[dz] * wy[dy]
+                                         * (v[(dz, dy, 1)] - v[(dz, dy, 0)]))
+                    for dz in (0, 1):
+                        for dx_ in (0, 1):
+                            dty += dp * (wz[dz] * wx[dx_]
+                                         * (v[(dz, 1, dx_)] - v[(dz, 0, dx_)]))
+                    for dy in (0, 1):
+                        for dx_ in (0, 1):
+                            dtz += dp * (m * wy[dy] * wx[dx_]
+                                         * (v[(1, dy, dx_)] - v[(0, dy, dx_)]))
+                kx = jnp.float32(inv[0] * ns[0])
+                ky = jnp.float32(inv[1] * ns[1])
+                kz = jnp.float32(inv[2] * ns[2])
+                dcams = (dcams[0] + dtx * kx, dcams[1] + dty * ky,
+                         dcams[2] + dtz * kz,
+                         dcams[3] + dtx * st * kx, dcams[4] + dty * st * ky,
+                         dcams[5] + dtz * st * kz)
 
-        jax.lax.fori_loop(0, nc, bwd_chunk,
-                          jnp.zeros((ROWS, LANES), jnp.float32))
+            return (carry_suf + red.group_sum(gww), dcams)
+
+        _, dcams = jax.lax.fori_loop(
+            0, nc, bwd_chunk,
+            (jnp.zeros((ROWS, LANES), jnp.float32), (zero_p,) * 6))
+
+        if cam:
+            ray16 = jnp.minimum(
+                jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1),
+                RAYS_COLS - 1) * GROUP
+            sums = red.group_sum_many(list(dcams))
+            for ax in range(6):
+                cacc = jnp.take_along_axis(sums[ax], ray16, axis=1)
+                dcam_ref[g, ax] = cacc[:, :RAYS_COLS]
         return 0
 
     jax.lax.fori_loop(0, g_tiles, tile, 0)
@@ -622,7 +683,7 @@ def _pick_g_tiles(t_cnt, nc, nb, bwd_scratch=True,
 
 @functools.lru_cache(maxsize=64)
 def _tile_op(nc, nb, g_tiles, dt, t_near, t_far, k_max, stop, interpret,
-             gather, reduce, lo, inv, ns):
+             gather, reduce, lo, inv, ns, cam=False):
     """custom_vjp'd accumulator op for one (chunk count, bank count) group.
 
     (tabs (T,NB,32,128), samp (T,nc,2,16,128), base (T,NB,3,128),
@@ -638,6 +699,7 @@ def _tile_op(nc, nb, g_tiles, dt, t_near, t_far, k_max, stop, interpret,
     kw = dict(nc=nc, nb=nb, g_tiles=g_tiles, dt=dt, t_near=t_near,
               t_far=t_far, k_max=k_max, stop=stop, gather=gather,
               reduce=reduce, lo=lo, inv=inv, ns=ns)
+    kw_bwd = dict(kw, cam=cam)
 
     def in_specs():
         return [
@@ -675,6 +737,16 @@ def _tile_op(nc, nb, g_tiles, dt, t_near, t_far, k_max, stop, interpret,
 
     def bwd_call(tabs, samp, base, rayt, ke, bank0, gs):
         t_cnt = tabs.shape[0]
+        out_shapes = [jax.ShapeDtypeStruct(
+            (t_cnt, nb, NCH, LANES), jnp.float32)]
+        out_specs = [pl.BlockSpec((g_tiles, nb, NCH, LANES),
+                                  lambda i, ke, b0: (i, 0, 0, 0))]
+        if cam:
+            out_shapes.append(jax.ShapeDtypeStruct(
+                (t_cnt, 6, ROWS, RAYS_COLS), jnp.float32))
+            out_specs.append(pl.BlockSpec(
+                (g_tiles, 6, ROWS, RAYS_COLS),
+                lambda i, ke, b0: (i, 0, 0, 0)))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(t_cnt // g_tiles,),
@@ -682,18 +754,16 @@ def _tile_op(nc, nb, g_tiles, dt, t_near, t_far, k_max, stop, interpret,
                 pl.BlockSpec((g_tiles, 5, ROWS, RAYS_COLS),
                              lambda i, ke, b0: (i, 0, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((g_tiles, nb, NCH, LANES),
-                                   lambda i, ke, b0: (i, 0, 0, 0)),
+            out_specs=out_specs if cam else out_specs[0],
             scratch_shapes=[
                 pltpu.VMEM((nc, 4, ROWS, LANES), jnp.float32),
                 pltpu.VMEM((nc, 2, ROWS, LANES), jnp.float32),
             ],
         )
         return pl.pallas_call(
-            functools.partial(_bwd_kernel, **kw),
+            functools.partial(_bwd_kernel, **kw_bwd),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct(
-                (t_cnt, nb, NCH, LANES), jnp.float32),
+            out_shape=out_shapes if cam else out_shapes[0],
             # Steps are independent (scratch is fully rewritten by pass 1
             # before pass 2 reads it, within each step).
             compiler_params=pltpu.CompilerParams(
@@ -711,9 +781,20 @@ def _tile_op(nc, nb, g_tiles, dt, t_near, t_far, k_max, stop, interpret,
 
     def op_bwd(res, g):
         tabs, samp, base, rayt, ke, bank0 = res
-        dtabs = bwd_call(tabs, samp, base, rayt, ke, bank0, g)
+        out = bwd_call(tabs, samp, base, rayt, ke, bank0, g)
+        if cam:
+            dtabs, dcam = out
+            # (T, 6, 16, 16) per-ray sums -> the compact rayt layout
+            # (T, 12, 128): flatten (16, 16) to the within-tile ray id
+            # (row-major), then split into the two 128-ray halves.
+            t_cnt = dcam.shape[0]
+            d_rayt = dcam.reshape(t_cnt, 6, 2, LANES).reshape(
+                t_cnt, RAYT_ROWS, LANES)
+        else:
+            dtabs = out
+            d_rayt = jnp.zeros_like(rayt)
         return (dtabs, jnp.zeros_like(samp), jnp.zeros_like(base),
-                jnp.zeros_like(rayt), None, None)
+                d_rayt, None, None)
 
     op.defvjp(op_fwd, op_bwd)
     return op
@@ -721,7 +802,8 @@ def _tile_op(nc, nb, g_tiles, dt, t_near, t_far, k_max, stop, interpret,
 
 def render_tile_group_raw(plan, geom, tabs, samp, base, rayt, k_enter,
                           bank0, n_chunks, interpret: bool | None = None,
-                          gather: str = "dg", reduce: str = "mxu"):
+                          gather: str = "dg", reduce: str = "mxu",
+                          cam_grads: bool = False):
     """Fused forward for one tile group, RAW accumulator heads.
 
     ``geom`` = (bbox_min, bbox_max, grid_shape_zyx) - the field geometry
@@ -729,7 +811,10 @@ def render_tile_group_raw(plan, geom, tabs, samp, base, rayt, k_enter,
     Returns (T, 5, 16, 16) float32: radiance r/g/b, weighted mid-segment
     depth, processed optical depth per ray, laid out as image tiles
     (row = pixel y, lane = pixel x within the 16x16 tile). Differentiable
-    w.r.t. ``tabs``.
+    w.r.t. ``tabs``; with ``cam_grads=True`` also w.r.t. ``rayt`` (the
+    backward's pass 2 emits the ray-plane adjoint - the fast path's
+    camera gradient, superseding the reference's permanent zero dCam
+    stub, diff_cpu.cpp:41-47,74).
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -748,7 +833,8 @@ def render_tile_group_raw(plan, geom, tabs, samp, base, rayt, k_enter,
                   float(plan.sampling.dt),
                   float(plan.t_near), float(plan.t_far),
                   int(plan.sampling.max_steps), float(STOP_THRESHOLD),
-                  bool(interpret), str(gather), str(reduce), lo, inv, ns)
+                  bool(interpret), str(gather), str(reduce), lo, inv, ns,
+                  bool(cam_grads))
     ke1 = k_enter.reshape(-1).astype(jnp.int32)
     b01 = bank0.reshape(-1).astype(jnp.int32)
     return op(tabs, samp, base, rayt, ke1, b01)

@@ -29,6 +29,8 @@ Nearest rounding matches C++ ``std::round`` (half away from zero) via
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -199,21 +201,8 @@ def build_packed_stencil(sigma: jnp.ndarray, color: jnp.ndarray,
     return jnp.moveaxis(jnp.stack(parts, axis=0), 0, -1).astype(dtype)
 
 
-def build_packed_stencil_chmajor(sigma: jnp.ndarray, color: jnp.ndarray,
-                                 dtype=jnp.float32) -> jnp.ndarray:
-    """Channel-major packed trilinear stencil: (Z-1, Y-1, X-1, 32) where
-    column [ch * 8 + corner] holds channel ch (sigma, r, g, b) of corner
-    (dz, dy, dx) with corner = dz*4 + dy*2 + dx.
-
-    The tiled fused kernel wants this ordering so that the per-channel
-    corner sum is a contiguous 8-row reduction (ops/fused_tiles.py); the
-    classic interleaved layout is :func:`build_packed_stencil`.
-    Differentiable (stack + transpose vjp). Construction stacks the 32
-    shifted slices on a LEADING axis and transposes once: run time matches
-    the minor-axis concat of 32 one-wide pieces, but the XLA compile is
-    ~8x faster cold (tools/packed_probe.py variants A vs C - one transpose
-    beats 32 lane-offset concat emissions for the compiler).
-    """
+def _build_chmajor_raw(sigma: jnp.ndarray, color: jnp.ndarray,
+                       dtype) -> jnp.ndarray:
     z, y, x = sigma.shape
     zm, ym, xm = z - 1, y - 1, x - 1
     parts = []
@@ -225,6 +214,67 @@ def build_packed_stencil_chmajor(sigma: jnp.ndarray, color: jnp.ndarray,
                     parts.append(g[dz:dz + zm, dy:dy + ym, dx:dx + xm])
     stacked = jnp.stack(parts, axis=0)          # (32, zm, ym, xm)
     return jnp.moveaxis(stacked, 0, -1).astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _build_chmajor(sigma, color, dtype_name):
+    return _build_chmajor_raw(sigma, color, jnp.dtype(dtype_name))
+
+
+def _build_chmajor_fwd(sigma, color, dtype_name):
+    return (_build_chmajor(sigma, color, dtype_name),
+            (sigma.shape, color.shape))
+
+
+def _build_chmajor_bwd(dtype_name, res, ct):
+    """Hand-rolled adjoint: 32 static shifted slice-adds, one per
+    (channel, corner) column. The AD-derived vjp of stack+moveaxis goes
+    through a materialized (32, zm, ym, xm) transpose of the cotangent
+    (reading the (C, 32) table at its 4x-padded lane layout) - measured
+    ~4 ms/step at 64^3 on the tunnel chip; the direct slice-adds read the
+    cotangent once."""
+    sigma_shape, color_shape = res
+    z, y, x = sigma_shape
+    zm, ym, xm = z - 1, y - 1, x - 1
+    ct = ct.astype(jnp.float32)
+    d_sigma = jnp.zeros(sigma_shape, jnp.float32)
+    d_color = jnp.zeros(color_shape, jnp.float32)
+    for ch in range(4):
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    col = ch * 8 + dz * 4 + dy * 2 + dx
+                    piece = ct[..., col]
+                    if ch == 0:
+                        d_sigma = d_sigma.at[
+                            dz:dz + zm, dy:dy + ym, dx:dx + xm].add(piece)
+                    else:
+                        d_color = d_color.at[
+                            dz:dz + zm, dy:dy + ym, dx:dx + xm,
+                            ch - 1].add(piece)
+    return d_sigma, d_color
+
+
+_build_chmajor.defvjp(_build_chmajor_fwd, _build_chmajor_bwd)
+
+
+def build_packed_stencil_chmajor(sigma: jnp.ndarray, color: jnp.ndarray,
+                                 dtype=jnp.float32) -> jnp.ndarray:
+    """Channel-major packed trilinear stencil: (Z-1, Y-1, X-1, 32) where
+    column [ch * 8 + corner] holds channel ch (sigma, r, g, b) of corner
+    (dz, dy, dx) with corner = dz*4 + dy*2 + dx.
+
+    The tiled fused kernel wants this ordering so that the per-channel
+    corner sum is a contiguous 8-row reduction (ops/fused_tiles.py); the
+    classic interleaved layout is :func:`build_packed_stencil`.
+    Construction stacks the 32 shifted slices on a LEADING axis and
+    transposes once: run time matches the minor-axis concat of 32 one-wide
+    pieces, but the XLA compile is ~8x faster cold (tools/packed_probe.py
+    variants A vs C - one transpose beats 32 lane-offset concat emissions
+    for the compiler). Differentiable via a hand-rolled adjoint (32 static
+    shifted slice-adds - see :func:`_build_chmajor_bwd`).
+    """
+    return _build_chmajor(sigma, color, jnp.dtype(dtype).name)
 
 
 def _split_u16(table: jnp.ndarray) -> jnp.ndarray:

@@ -225,6 +225,14 @@ def integrate_pallas(sigma, color, dt, mask, t_near, t_far,
                      tile_n=DEFAULT_TILE_N, interpret=False):
     """Fused integration: (radiance (N,3), trans, opacity, depth (N,)).
 
+    KEPT ABLATION - not on the production path (which is the fused tile
+    kernel, ops/fused_tiles.py; the staged/streamed paths use the jnp
+    ``ops.integrate``). This standalone Pallas integrator is retained as
+    the measured per-op baseline the fused kernel is compared against
+    (tools/pallas_probe*.py) and as the reference implementation of the
+    in-kernel-recompute backward in isolation (tests/test_pallas_parity.py;
+    FEATURES.md #14/15 notes the ablation status).
+
     Fully differentiable w.r.t. sigma and color: the radiance head (the
     ``hp_diff`` contract) runs the in-kernel recompute backward; the
     transmittance/opacity/depth heads are pulled back through the jnp
@@ -235,41 +243,62 @@ def integrate_pallas(sigma, color, dt, mask, t_near, t_far,
     return _fwd_call(sigma, color, dt, mask, t_near, t_far, tile_n, interpret)
 
 
+def _unwrap_primal(x):
+    """Extract values from CustomVJPPrimal leaves (symbolic_zeros=True
+    wraps each fwd argument leaf with .value/.perturbed)."""
+    is_primal = lambda l: hasattr(l, "perturbed") and hasattr(l, "value")
+    return jax.tree.map(lambda l: l.value if is_primal(l) else l, x,
+                        is_leaf=is_primal)
+
+
 def _vjp_fwd(sigma, color, dt, mask, t_near, t_far, tile_n, interpret):
+    sigma, color, dt, mask = (
+        _unwrap_primal(v) for v in (sigma, color, dt, mask))
     out = _fwd_call(sigma, color, dt, mask, t_near, t_far, tile_n, interpret)
     return out, (sigma, color, dt, mask)
 
 
 def _vjp_bwd(t_near, t_far, tile_n, interpret, residuals, cotangents):
+    from jax.custom_derivatives import SymbolicZero
+
     sigma, color, dt, mask = residuals
     g_rad, g_t, g_op, g_depth = cotangents
-    d_sigma, d_planes = _bwd_call(sigma, color, dt, mask, g_rad,
-                                  tile_n, interpret)
+    zero = lambda g: isinstance(g, SymbolicZero)
+
+    if zero(g_rad):
+        d_sigma = jnp.zeros_like(sigma)
+        d_planes = [jnp.zeros_like(sigma) for _ in range(3)]
+    else:
+        d_sigma, d_planes = _bwd_call(sigma, color, dt, mask, g_rad,
+                                      tile_n, interpret)
     if isinstance(color, (tuple, list)):
         d_color = type(color)(d_planes)
     else:
         d_color = jnp.stack(list(d_planes), axis=-1)
 
-    # Non-radiance heads: pull their cotangents back through the jnp
-    # reference formulation (ops.integrate) - zero-cost when the loss only
-    # touches radiance (XLA drops the dead branch for literal-zero
-    # cotangents is NOT guaranteed, but these heads are elementwise +
-    # cumsum: no gathers, a small fraction of the kernel's work).
-    from dvren_tpu.ops.integrate import integrate as _integrate_ref
+    # Non-radiance heads: pulled back through the jnp reference
+    # formulation (ops.integrate) ONLY when their cotangents are not
+    # symbolic zeros - a radiance-only loss skips the cumsum pullback
+    # entirely (ADVICE r2: XLA dead-code elimination of a literal-zero
+    # branch is not guaranteed).
+    if not (zero(g_t) and zero(g_op) and zero(g_depth)):
+        from dvren_tpu.ops.integrate import integrate as _integrate_ref
 
-    def heads(sig, col):
-        out = _integrate_ref(sig, col, dt, mask, t_near, t_far,
-                             with_aux=False)
-        return out.transmittance, out.opacity, out.depth
+        def heads(sig, col):
+            out = _integrate_ref(sig, col, dt, mask, t_near, t_far,
+                                 with_aux=False)
+            return out.transmittance, out.opacity, out.depth
 
-    _, pull = jax.vjp(heads, sigma, color)
-    ds2, dc2 = pull((g_t, g_op, g_depth))
-    d_sigma = d_sigma + ds2
-    if isinstance(color, (tuple, list)):
-        d_color = type(color)(a + b for a, b in zip(d_color, dc2))
-    else:
-        d_color = d_color + dc2
+        outs, pull = jax.vjp(heads, sigma, color)
+        cts = tuple(jnp.zeros_like(o) if zero(g) else g
+                    for o, g in zip(outs, (g_t, g_op, g_depth)))
+        ds2, dc2 = pull(cts)
+        d_sigma = d_sigma + ds2
+        if isinstance(color, (tuple, list)):
+            d_color = type(color)(a + b for a, b in zip(d_color, dc2))
+        else:
+            d_color = d_color + dc2
     return d_sigma, d_color, None, None
 
 
-integrate_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+integrate_pallas.defvjp(_vjp_fwd, _vjp_bwd, symbolic_zeros=True)

@@ -74,9 +74,9 @@ class RenderOptions:
     the windowed path when most rays' tiles overflow the slot tables
     (fine grids under wide frusta, e.g. 256^3 at 512^2); output parity vs
     the exact paths is ~1 ulp (float reassociation), within the
-    reference's own staged/fused 1e-4 budget.
-    Camera gradients are NOT available through this path (the schedule
-    bakes the camera); Renderer.backward returns zero dCam in tiled mode.
+    reference's own staged/fused 1e-4 budget. Camera/intrinsics
+    gradients are available (round 3): the kernel's backward emits the
+    ray-plane adjoint at the schedule's camera.
     """
 
     use_fused_path: bool = True
@@ -194,6 +194,8 @@ class Renderer:
         self._parity_jit = None  # (key, fn) parity-view tile executable
         self._override_jitter = {}  # bundle size -> host jitter table
         self._bwd_aot = {}  # mode -> (AOT executable, field meta key)
+        self._occ_sigma_ref = None  # pins the occupancy key's sigma id
+        self._tiled_stage_ms = None  # (key, (sample, integrate, compose))
 
     # ------------------------------------------------------------------ fwd
 
@@ -394,9 +396,8 @@ class Renderer:
                   "use_tiles requires a dense OOB_ZERO trilinear grid field")
             return True
         # Auto: the default TPU hot path for eligible fields - but an
-        # EXPLICIT use_window wins (tiled mode bakes the camera and
-        # returns zero dCam; users select the window path precisely for
-        # camera/intrinsics gradients).
+        # EXPLICIT use_window wins (users who select the window path get
+        # exactly the windowed replay semantics they asked for).
         return (jax.default_backend() == "tpu"
                 and not self._options.use_window
                 and self._tile_eligible(field))
@@ -406,8 +407,12 @@ class Renderer:
                tuple(np.asarray(field.bbox_max, np.float64).tolist()),
                tuple(int(v) for v in np.asarray(field.sigma.shape[:3])))
         if self._options.use_occupancy:
-            # occupancy windows depend on the zero set: rebuild when the
-            # sigma array object changes
+            # Occupancy windows depend on the zero set: rebuild when the
+            # sigma array OBJECT changes. The Renderer holds a strong
+            # reference to the schedule's sigma (``_occ_sigma_ref``, set
+            # at build time), so this id can never be a recycled address
+            # of a dead array (ADVICE r2: a bare id-keyed cache could
+            # silently replay a stale occupancy schedule after GC).
             key = key + (id(field.sigma),)
         return key
 
@@ -427,7 +432,7 @@ class Renderer:
             t0 = time.perf_counter()
             if mode == "tiled":
                 aot = self._get_tiled_bwd(field).lower(
-                    params, dl0, self._tiled_schedule).compile()
+                    params, c2w0, k0, dl0, self._tiled_schedule).compile()
             elif mode == "windowed":
                 aot = self._get_window_bwd(field).lower(
                     params, c2w0, k0, dl0, self._window_schedule).compile()
@@ -451,6 +456,11 @@ class Renderer:
                 self._plan, field, jitter=self._jitter_host,
                 occupancy=self._options.use_occupancy)
             self._tiled_key = key
+            # Keep the schedule's sigma alive so the id() in the cache key
+            # cannot be recycled by a later allocation (see
+            # _tiled_schedule_key).
+            self._occ_sigma_ref = (field.sigma
+                                   if self._options.use_occupancy else None)
             schedule = self._tiled_schedule
             # Auto mode demotes to the windowed path when most rays'
             # tiles overflowed the slot tables anyway (fine grids under
@@ -491,7 +501,50 @@ class Renderer:
         else:
             planes = self._tiled_jit(field, self._tiled_schedule)
         stats.notes.append("tiled_path")
+        if self._options.capture_stats:
+            self._fill_tiled_stage_stats(field, stats)
         return planes
+
+    def _fill_tiled_stage_stats(self, field, stats: RenderStats):
+        """Per-stage ms on the production tiled path (renderer.cpp:258-385
+        parity). The fused path is ONE dispatch, so stages are measured by
+        a decomposed replay (tables / kernel / compose executables) ONCE
+        per (schedule, field metadata) and cached; mapping: sample_ms =
+        packed build + bank gather, integrate_ms = fused tile kernel,
+        compose_ms = tile composition + fallback. ray_ms stays 0: rays
+        are baked into the schedule at build time (its cost is the
+        tiled_schedule_build_ms note)."""
+        meta = (self._tiled_key, self._field_meta_key(field))
+        if self._tiled_stage_ms is None or self._tiled_stage_ms[0] != meta:
+            from dvren_tpu.render import tiled as tiled_mod
+            try:
+                tables_fn, kernel_fn, compose_fn = \
+                    tiled_mod.render_tiled_phases(
+                        self._plan, self._tiled_schedule)
+                jt, jk, jc = (jax.jit(tables_fn), jax.jit(kernel_fn),
+                              jax.jit(compose_fn))
+
+                def timed(fn, *a):
+                    out = fn(*a)              # compile + warm
+                    jax.block_until_ready(out)
+                    t0 = time.perf_counter()
+                    out = fn(*a)
+                    jax.block_until_ready(out)
+                    return out, (time.perf_counter() - t0) * 1e3
+
+                tabs, t_tab = timed(jt, field)
+                raws, t_k = timed(jk, tabs)
+                _, t_c = timed(jc, field, raws)
+                self._tiled_stage_ms = (meta, (t_tab, t_k, t_c))
+            except Exception as exc:  # pragma: no cover - degrade
+                self._tiled_stage_ms = (meta, None)
+                stats.notes.append(f"stage_probe_failed:{exc}")
+        vals = self._tiled_stage_ms[1]
+        if vals is not None:
+            stats.sample_ms, stats.integrate_ms, stats.compose_ms = vals
+            stats.notes.append(
+                "stage_ms=decomposed_replay(sample=tables,"
+                "integrate=kernel,compose=compose)")
 
     def _forward_windowed(self, field, stats: RenderStats):
         from dvren_tpu.render import windowed as windowed_mod
@@ -638,8 +691,8 @@ class Renderer:
               f"dL/dI must have {n * 3} elements, got {dl.size}")
         if mode == "tiled" and self._tiled_schedule is not None:
             # Differentiate the fused tile replay itself (the custom-VJP
-            # Pallas backward). Camera gradients are zeros in this mode:
-            # the schedule bakes the camera into the precomputed fractions.
+            # Pallas backward); camera gradients ride the kernel's
+            # ray-plane adjoint at the schedule's camera.
             return self._backward_tiled(field, dl.reshape(n, 3), out)
         if mode == "windowed" and self._window_schedule is not None:
             # Differentiate the windowed replay itself: the schedule's
@@ -751,35 +804,42 @@ class Renderer:
             plan_ref = self._plan
             field_ref = field
 
-            def loss(params, dl_img_dev, sched):
+            def loss(params, c2w, k_mat, dl_img_dev, sched):
                 f = field_ref.with_params(*params)
-                planes = tiled_mod.render_tiled(plan_ref, f, sched)
+                planes = tiled_mod.render_tiled(plan_ref, f, sched,
+                                                k=k_mat, c2w=c2w)
                 return jnp.sum(planes.image * dl_img_dev)
 
-            self._tiled_bwd_jit = jax.jit(jax.grad(loss, argnums=0))
+            self._tiled_bwd_jit = jax.jit(
+                jax.grad(loss, argnums=(0, 1, 2)))
             self._tiled_bwd_key = meta_key
         return self._tiled_bwd_jit
 
     def _backward_tiled(self, field: DenseGridField, dl: np.ndarray,
                         out: BackwardResult | None) -> BackwardResult:
         """Tiled-mode backward: differentiates the fused tile replay (the
-        Pallas custom VJP recomputes in-kernel; table grads scatter through
-        the packed-stencil VJP). dCam is zeros - the schedule bakes the
-        camera; use use_window for camera/intrinsics optimization."""
+        Pallas custom VJP recomputes in-kernel; table grads flow through
+        the bank gather-transpose and the packed-stencil adjoint). Camera
+        gradients are REAL on this path (round 3): the kernel's pass 2
+        emits the ray-plane adjoint, chained through traced ray
+        generation to dC2W/dK - superseding the reference's permanent
+        zero-dCam stub (diff_cpu.cpp:41-47,74) on the fast path."""
         from dvren_tpu.render import tiled as tiled_mod
 
+        plan = self._plan
         dl_dev = self._dl_image(dl)
         schedule = self._tiled_schedule
+        k0 = jnp.asarray(plan.camera.k, jnp.float32).reshape(3, 3)
+        c2w0 = jnp.asarray(plan.camera.c2w, jnp.float32).reshape(3, 4)
 
         aot = self._bwd_aot.get("tiled")
         if aot is not None and aot[1] == self._field_meta_key(field):
-            grads = aot[0]((field.sigma, field.color), dl_dev, schedule)
+            grads = aot[0]((field.sigma, field.color), c2w0, k0, dl_dev,
+                           schedule)
         else:
             grads = self._get_tiled_bwd(field)(
-                (field.sigma, field.color), dl_dev, schedule)
-        return self._finish_backward(
-            (grads, jnp.zeros((3, 4), jnp.float32),
-             jnp.zeros((3, 3), jnp.float32)), out)
+                (field.sigma, field.color), c2w0, k0, dl_dev, schedule)
+        return self._finish_backward(grads, out)
 
     def _get_window_bwd(self, field):
         from dvren_tpu.render import windowed as windowed_mod
@@ -1016,13 +1076,22 @@ class Renderer:
         pixels = plan.pixel_count
         info.image_buffer_bytes = pixels * (3 + 1 + 1 + 1) * f32 + pixels * 4
         info.gradient_buffer_bytes = nk * f32 + nk * 3 * f32 + 12 * f32
-        if self._compiled_fused is not None:
+        # Real XLA temp allocation from whichever executables exist: the
+        # production path's forward AOT (tiled/windowed/fused-stream) plus
+        # any captured backward (the reference reports real scratch on its
+        # real path, renderer.cpp:572-610).
+        candidates = [self._compiled_fused, self._tiled_aot,
+                      self._window_aot] + list(self._bwd_aot.values())
+        for aot in candidates:
+            if aot is None:
+                continue
             try:
-                mem = self._compiled_fused[0].memory_analysis()
-                info.workspace_buffer_bytes = int(
-                    getattr(mem, "temp_size_in_bytes", 0))
+                mem = aot[0].memory_analysis()
+                info.workspace_buffer_bytes = max(
+                    info.workspace_buffer_bytes,
+                    int(getattr(mem, "temp_size_in_bytes", 0)))
             except Exception:  # pragma: no cover - backend-dependent
-                info.workspace_buffer_bytes = 0
+                pass
         if not info.workspace_buffer_bytes:
             # Analytic scratch estimate when no AOT executable exists (the
             # reference reports real scratch always, renderer.cpp:572-610):

@@ -40,6 +40,7 @@ Reference role model: hp_samp_int_fused + CUDA Graph steady state
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -86,7 +87,14 @@ class TileGroup:
     banks: int               # table banks per TILE (lanes = banks*128)
     hostmap: jnp.ndarray     # (T*banks*128,) int32 packed row per lane
     samp: jnp.ndarray        # (T, nc, 2, 16, 128) f32: sample_t,
-    #                          bitcast(tile-local lane | mask << 15). The
+    #                          bitcast(tile-local lane | mask << 15).
+    #                          INVARIANT (ADVICE r2): plane 1 carries raw
+    #                          integer bits as denormal f32 patterns so
+    #                          both planes ship in ONE dense DMA block -
+    #                          nothing may apply float arithmetic or an
+    #                          FTZ-ing copy to it; only bitcast/DMA touch
+    #                          it (host pack here, pltpu.bitcast in
+    #                          ops/fused_tiles.py::_sample_geometry). The
     #                          kernel recomputes trilinear fractions from
     #                          these + base + rayt (shipping fractions
     #                          costs 2.5x the DMA bytes; the kernel is
@@ -100,6 +108,12 @@ class TileGroup:
     #                          shuffles (round 2 shipped the 8x-replicated
     #                          (6, 16, 128) planes - 44 MB/frame at 512^2)
     bank0: jnp.ndarray       # (T, nc) int32 window start bank per chunk
+    ray_ids: jnp.ndarray     # (T, 256) int32 global ray id per tile lane
+    #                          (dead/pad rays -> 0; their weights are 0 so
+    #                          camera-gradient flow through ray 0 carries
+    #                          zero cotangent) - used to rebuild the ray
+    #                          planes as TRACED functions of (K, c2w) for
+    #                          the fast path's camera gradients
     k_enter: jnp.ndarray     # (T,) int32 tile window start
     pixel_ids: jnp.ndarray   # (T*256,) int32 compose targets (reference
     #                          consumer + parity paths)
@@ -474,6 +488,7 @@ def build_tiled_schedule(plan: Plan, field,
             bank0 = (off[keep] // MAX_CELLS).astype(np.int32)
 
             ids_k = ids[keep]
+            ray_ids_k = np.maximum(ids_k, 0).astype(np.int32)
             live_k = live_r[keep]
             lx = np.where(ids_k >= 0, ids_k % roi.width, 0)
             ly = np.where(ids_k >= 0, ids_k // roi.width, 0)
@@ -509,6 +524,9 @@ def build_tiled_schedule(plan: Plan, field,
                     [uniq_r, np.zeros((extra, lanes), np.int32)])
                 bank0 = np.concatenate(
                     [bank0, np.zeros((extra, nc), np.int32)])
+                ray_ids_k = np.concatenate(
+                    [ray_ids_k,
+                     np.zeros((extra, RAYS_PER_TILE), np.int32)])
                 ke_k = np.concatenate([ke_k, np.zeros(extra, np.int32)])
                 tile_ids_k = np.concatenate(
                     [tile_ids_k,
@@ -529,6 +547,7 @@ def build_tiled_schedule(plan: Plan, field,
                 base=jax.device_put(base),
                 rayt=jax.device_put(rayt),
                 bank0=jax.device_put(bank0),
+                ray_ids=jax.device_put(ray_ids_k),
                 k_enter=jax.device_put(ke_k),
                 pixel_ids=jax.device_put(pids.reshape(-1).astype(np.int32)),
                 tile_ids=jax.device_put(tile_ids_k),
@@ -603,33 +622,65 @@ def _build_gather_plan(hostmap_all: np.ndarray, n_cells: int) -> tuple:
 
 # ----------------------------------------------------------------- consume
 
-@jax.custom_vjp
-def _gather_rows_planned(table, hostmap_all, plan):
-    """Bit-exact u16 row gather of ALL groups' slot tables at once, with a
-    gather-transpose backward (see :func:`_build_gather_plan`): the direct
-    ``zeros.at[hostmap].add(ct)`` runs at XLA scatter-ADD speed (~30M
-    rows/s measured), ~10x slower than re-gathering the cotangents per
-    target row and set-scattering each row once."""
-    return grid_ops._u16_rows_to_f32(
-        jnp.take(grid_ops._split_u16(table), hostmap_all, axis=0,
-                 mode="clip"),
-        table.shape[1])
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gather_bank_tables(table, hostmap_all, plan, group_shapes):
+    """Bit-exact u16 row gather of ALL groups' bank lanes straight into
+    the kernel's bank-block layout, split per group ((T, NB, 32, 128)
+    tuple), with a gather-transpose backward (:func:`_build_gather_plan`).
+
+    Three deliberate layout choices (all measured on the tunnel chip):
+    - the lane->column transpose happens in the u16 DOMAIN and the hi|lo
+      recombine after it, so every large intermediate is 128-lane dense -
+      recombining first materializes padded (S, 32)-minor f32 arrays
+      (XLA pads minors < 128 to full lane tiles, 4x the bytes);
+    - the per-group SPLIT lives inside this custom_vjp: under plain AD
+      each group's slice cotangent becomes a full-size pad-and-add (one
+      per group - ~1 GB/step of adds at the headline config); here the
+      backward just concatenates the per-group cotangents;
+    - the backward re-gathers cotangents per target cell and assembles
+      the full table by an inverse-permutation gather: the direct
+      ``zeros.at[hostmap].add(ct)`` runs at XLA scatter-ADD speed (~30M
+      rows/s), ~10x slower than this gather-transpose.
+
+    ``group_shapes``: static tuple of (n_tiles, banks) per group."""
+    r16 = jnp.take(grid_ops._split_u16(table), hostmap_all, axis=0,
+                   mode="clip")                       # (S, 64) u16
+    g3 = jnp.swapaxes(r16.reshape(-1, MAX_CELLS, 64), 1, 2)
+    hi = g3[:, :32].astype(jnp.uint32) << 16          # (B, 32, 128)
+    lo = g3[:, 32:].astype(jnp.uint32)
+    banks_all = jax.lax.bitcast_convert_type(hi | lo, jnp.float32)
+    out, off = [], 0
+    for t_cnt, nb in group_shapes:
+        out.append(banks_all[off:off + t_cnt * nb].reshape(
+            t_cnt, nb, 32, MAX_CELLS))
+        off += t_cnt * nb
+    return tuple(out)
 
 
-def _gather_rows_planned_fwd(table, hostmap_all, plan):
-    return (_gather_rows_planned(table, hostmap_all, plan),
+def _gather_bank_tables_fwd(table, hostmap_all, plan, group_shapes):
+    return (_gather_bank_tables(table, hostmap_all, plan, group_shapes),
             (plan, table.shape))
 
 
-def _gather_rows_planned_bwd(res, ct):
+def _gather_bank_tables_bwd(group_shapes, res, cts):
     plan, tshape = res
     all_idx, meta, inv_map = plan.all_idx, plan.meta, plan.inv_map
     w = tshape[1]
-    ct16 = grid_ops._split_u16(ct)
-    g = grid_ops._u16_rows_to_f32(
-        jnp.take(ct16, all_idx, axis=0, mode="clip"), w)  # (S, w)
-    val_parts = [g[off:off + n_k * c_k].reshape(n_k, c_k, w).sum(axis=1)
-                 for off, n_k, c_k in meta]
+    ct = jnp.concatenate(
+        [c.reshape(-1, 32, MAX_CELLS) for c in cts])  # (B, 32, 128)
+    # f32 (B, 32, 128) -> u16 (B, 64, 128) -> lanes-major (S, 64), all
+    # dense; the f32 reconstruct happens inside the per-class reduction
+    # (fused into the sum - no padded (S, w) materialization).
+    bits = jax.lax.bitcast_convert_type(ct, jnp.uint32)
+    ct16 = jnp.concatenate(
+        [(bits >> 16).astype(jnp.uint16),
+         (bits & jnp.uint32(0xFFFF)).astype(jnp.uint16)], axis=1)
+    ct16 = jnp.swapaxes(ct16, 1, 2).reshape(-1, 64)   # (S, 64) u16
+    g16 = jnp.take(ct16, all_idx, axis=0, mode="clip")
+    val_parts = [
+        grid_ops._u16_rows_to_f32(
+            g16[off:off + n_k * c_k], w).reshape(n_k, c_k, w).sum(axis=1)
+        for off, n_k, c_k in meta]
     # zero row for inactive cells, then assemble by inverse-perm GATHER
     vals = jnp.concatenate(val_parts + [jnp.zeros((1, w), ct.dtype)])
     v16 = grid_ops._split_u16(vals)
@@ -638,8 +689,8 @@ def _gather_rows_planned_bwd(res, ct):
     return (d, None, None)
 
 
-_gather_rows_planned.defvjp(_gather_rows_planned_fwd,
-                            _gather_rows_planned_bwd)
+_gather_bank_tables.defvjp(_gather_bank_tables_fwd,
+                           _gather_bank_tables_bwd)
 
 
 def _group_tables(packed_flat: jnp.ndarray, group: TileGroup) -> jnp.ndarray:
@@ -760,13 +811,23 @@ def _group_outputs_reference(plan: Plan, packed_flat, group: TileGroup,
 
 def render_tiled(plan: Plan, field, schedule: TiledSchedule,
                  use_kernel: bool = True, gather: str = "dg",
-                 reduce: str = "mxu") -> ImagePlanes:
+                 reduce: str = "mxu", k=None, c2w=None) -> ImagePlanes:
     """Tile-table forward render (traceable; jit/grad over the field).
 
     ``use_kernel=False`` runs the pure-jnp reference consumer (any
     backend); True runs the fused Pallas kernel (TPU). ``gather``/
     ``reduce`` select the kernel's slot-expansion and group-reduction
     strategies (ops/fused_tiles.py; defaults are the measured-fastest).
+
+    ``k`` (3,3) / ``c2w`` (3,4) may be traced camera arrays for pose /
+    intrinsics gradients AT the schedule's camera: the ray planes are
+    then rebuilt as traced functions of the camera (instead of the
+    schedule's host-baked planes) and the kernel's backward emits their
+    adjoint (pass 2 recomputes fractions from them - the cell/slot/mask
+    assignment stays host-authoritative, exact a.e. because clipped
+    steps and mask flips contribute zero in an open neighborhood). Like
+    the windowed path, evaluating at a materially different camera would
+    use a stale schedule - rebuild instead. Kernel path only.
     """
     check(tuple(int(v) for v in np.asarray(field.sigma.shape[:3]))
           == tuple(schedule.grid_shape),
@@ -786,41 +847,63 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
     packed_flat = packed.reshape(-1, 32)
 
     geom = (schedule.bbox[0], schedule.bbox[1], schedule.grid_shape)
+    with_cam = k is not None or c2w is not None
+    check(not with_cam or use_kernel,
+          "camera gradients ride the kernel path (use_kernel=True)")
 
     fallback_parts = []
     if schedule.fallback is not None:
         for (budget, ids_dev, ke_dev, jit_rows) in schedule.fallback.groups:
             fallback_parts.append(windowed_mod._group_outputs(
-                plan, budget, field, ids_dev, ke_dev, jit_rows))
+                plan, budget, field, ids_dev, ke_dev, jit_rows,
+                k=k, c2w=c2w))
 
     if use_kernel:
         from dvren_tpu.ops import fused_tiles
 
-        # One planned gather for all groups (f32 tables; the plan's
-        # gather-transpose backward replaces the slow scatter-add).
-        rows_all = None
+        # One planned gather for all groups, emitted directly in the
+        # kernel's bank-block layout (the plan's gather-transpose backward
+        # replaces the slow scatter-add).
+        group_tabs = None
         if (packed_flat.dtype == jnp.float32
                 and schedule.gather_plan is not None
                 and schedule.hostmap_all.size):
-            rows_all = _gather_rows_planned(
-                packed_flat, schedule.hostmap_all, schedule.gather_plan)
+            group_tabs = _gather_bank_tables(
+                packed_flat, schedule.hostmap_all, schedule.gather_plan,
+                tuple((g.n_tiles, g.banks) for g in schedule.groups))
+
+        traced_rays = None
+        if with_cam:
+            from dvren_tpu.ops.raygen import generate_rays
+            all_ids = jnp.concatenate(
+                [g.ray_ids.reshape(-1) for g in schedule.groups]) \
+                if schedule.groups else None
+            if all_ids is not None:
+                traced_rays = generate_rays(plan, k=k, c2w=c2w,
+                                            ids=all_ids)
 
         raws, ids = [], []
-        off = 0
-        for group in schedule.groups:
-            if rows_all is not None:
-                n_rows = group.n_tiles * group.banks * MAX_CELLS
-                tabs = jnp.swapaxes(
-                    rows_all[off:off + n_rows].reshape(
-                        group.n_tiles, group.banks, MAX_CELLS, 32),
-                    2, 3)
-                off += n_rows
+        roff = 0
+        for gi, group in enumerate(schedule.groups):
+            if group_tabs is not None:
+                tabs = group_tabs[gi]
             else:
                 tabs = _group_tables(packed_flat, group)
+            rayt = group.rayt
+            if traced_rays is not None:
+                nt = group.n_tiles
+                n_r = nt * RAYS_PER_TILE
+                o = traced_rays.origins[roff:roff + n_r]
+                d = traced_rays.directions[roff:roff + n_r]
+                roff += n_r
+                rayt = jnp.stack(
+                    [o[:, i].reshape(nt, 2, 128) for i in range(3)]
+                    + [d[:, i].reshape(nt, 2, 128) for i in range(3)],
+                    axis=1).reshape(nt, 12, 128)
             raws.append(fused_tiles.render_tile_group_raw(
-                plan, geom, tabs, group.samp, group.base, group.rayt,
+                plan, geom, tabs, group.samp, group.base, rayt,
                 group.k_enter, group.bank0, group.n_chunks, gather=gather,
-                reduce=reduce))
+                reduce=reduce, cam_grads=with_cam))
             ids.append(group.tile_ids)
         return _compose_tiles(plan, raws, ids, fallback_parts)
 
@@ -831,6 +914,60 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
             plan, *windowed_mod._empty_parts())
     return windowed_mod._compose_planes(
         plan, *(jnp.concatenate([p[i] for p in parts]) for i in range(5)))
+
+
+def render_tiled_phases(plan: Plan, schedule: TiledSchedule,
+                        gather: str = "dg", reduce: str = "mxu"):
+    """Three jittable phase functions whose chained application equals
+    :func:`render_tiled` with ``use_kernel=True`` - the Renderer's
+    per-stage stats probe (reference parity: ``Renderer::Forward`` times
+    ray/sample/integrate/compose on its real path,
+    ``src/render/renderer.cpp:258-385``; the fused path is ONE dispatch,
+    so stages are measured by a decomposed replay once per schedule).
+
+    Returns (tables_fn(field) -> tabs tuple, kernel_fn(tabs) -> raws
+    tuple, compose_fn(field, raws) -> ImagePlanes). tables = packed-
+    stencil build + bank gather (the "sampling + field eval" analogue),
+    kernel = the fused march (the "integrate" analogue), compose = tile
+    composition + windowed fallback.
+    """
+    geom = (schedule.bbox[0], schedule.bbox[1], schedule.grid_shape)
+
+    def tables_fn(field):
+        packed = grid_ops.build_packed_stencil_chmajor(
+            field.sigma, field.color,
+            dtype=grid_ops.table_dtype(
+                getattr(field, "packed_dtype", "float32")))
+        packed_flat = packed.reshape(-1, 32)
+        if (packed_flat.dtype == jnp.float32
+                and schedule.gather_plan is not None
+                and schedule.hostmap_all.size):
+            return _gather_bank_tables(
+                packed_flat, schedule.hostmap_all, schedule.gather_plan,
+                tuple((g.n_tiles, g.banks) for g in schedule.groups))
+        return tuple(_group_tables(packed_flat, g)
+                     for g in schedule.groups)
+
+    def kernel_fn(tabs):
+        from dvren_tpu.ops import fused_tiles
+        return tuple(
+            fused_tiles.render_tile_group_raw(
+                plan, geom, tb, g.samp, g.base, g.rayt, g.k_enter,
+                g.bank0, g.n_chunks, gather=gather, reduce=reduce)
+            for g, tb in zip(schedule.groups, tabs))
+
+    def compose_fn(field, raws):
+        fallback_parts = []
+        if schedule.fallback is not None:
+            for (budget, ids_dev, ke_dev, jit_rows) in \
+                    schedule.fallback.groups:
+                fallback_parts.append(windowed_mod._group_outputs(
+                    plan, budget, field, ids_dev, ke_dev, jit_rows))
+        return _compose_tiles(plan, list(raws),
+                              [g.tile_ids for g in schedule.groups],
+                              fallback_parts)
+
+    return tables_fn, kernel_fn, compose_fn
 
 
 def _compose_tiles(plan: Plan, raws, tile_ids, fallback_parts):

@@ -184,3 +184,58 @@ def test_pose_refinement_converges():
     err1 = float(jnp.abs(t - t_true).max())
     assert float(l) < l0 * 0.2
     assert err1 < err0 * 0.5
+
+
+def test_pose_refinement_converges_tiled():
+    """Pose refinement riding the TILED fast path (round 3): camera
+    gradients come from the fused kernel's ray-plane adjoint; the
+    schedule is rebuilt whenever the camera estimate moves (it bakes the
+    camera, like CUDA-graph capture specializes launch parameters)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from dvren_tpu.render.tiled import build_tiled_schedule, render_tiled
+
+    sigma, color = sphere_shell_volume(12, radius=0.3, width=0.08)
+    plan = make_plan(32, 32, dt=0.0625, max_steps=32)
+    field = DenseGridField.create(DenseGridConfig(
+        resolution=(12, 12, 12), sigma=sigma.reshape(-1),
+        color=color.reshape(-1)))
+    k0 = jnp.asarray(plan.camera.k, jnp.float32).reshape(3, 3)
+    true_c2w = jnp.asarray(plan.camera.c2w, jnp.float32).reshape(3, 4)
+    sched0 = build_tiled_schedule(plan, field)
+    target = render_tiled(plan, field, sched0, k=k0, c2w=true_c2w).image
+
+    t_true = true_c2w[:, 3]
+    t0 = t_true + jnp.asarray([0.05, -0.04, 0.0])
+
+    def loss(t, sched):
+        c2w = true_c2w.at[:, 3].set(t)
+        img = render_tiled(plan, field, sched, k=k0, c2w=c2w).image
+        return jnp.mean((img - target) ** 2)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss))
+    opt = optax.adam(1e-2)
+    state = opt.init(t0)
+    t = t0
+    l0 = None
+    for it in range(60):
+        # rebuild the schedule at the current camera estimate every few
+        # steps (windows/cells are baked; gradients are exact AT the
+        # schedule's camera)
+        if it % 10 == 0:
+            import dataclasses as _dc
+            cam = _dc.replace(
+                plan.camera,
+                c2w=tuple(np.asarray(
+                    true_c2w.at[:, 3].set(t)).reshape(-1).tolist()))
+            sched = build_tiled_schedule(plan.with_camera(cam), field)
+        l, g = grad_fn(t, sched)
+        if l0 is None:
+            l0 = float(l)
+        u, state = opt.update(g, state)
+        t = optax.apply_updates(t, u)
+    err0 = float(jnp.abs(t0 - t_true).max())
+    err1 = float(jnp.abs(t - t_true).max())
+    assert float(l) < l0 * 0.5, (float(l), l0)
+    assert err1 < err0 * 0.5, (err1, err0)
