@@ -277,6 +277,107 @@ def build_packed_stencil_chmajor(sigma: jnp.ndarray, color: jnp.ndarray,
     return _build_chmajor(sigma, color, jnp.dtype(dtype).name)
 
 
+def _shift_stack_fullpitch(sigma: jnp.ndarray, color: jnp.ndarray,
+                           n_rows: int) -> jnp.ndarray:
+    """(32, n_rows) column-major full-pitch stencil stack.
+
+    At FULL grid pitch the source index of cell v's corner (dz, dy, dx)
+    is v + dz*Y*X + dy*X + dx - a pure offset - so every column is one
+    1-D offset slice of the zero-padded flattened plane: the whole stack
+    builds at memory speed with no transposes (cell-pitch ids wrap at
+    each x row and cannot be expressed as offset slices)."""
+    z, y, x = sigma.shape
+    p = z * y * x
+    pad = n_rows - p + y * x + x + 2
+    planes = [sigma.reshape(-1)] + [color[..., i].reshape(-1)
+                                    for i in range(3)]
+    parts = []
+    for pl_ in planes:
+        flat = jnp.concatenate(
+            [pl_.astype(jnp.float32), jnp.zeros((pad,), jnp.float32)])
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    off = dz * y * x + dy * x + dx
+                    parts.append(jax.lax.dynamic_slice(
+                        flat, (off,), (n_rows,)))
+    return jnp.stack(parts, axis=0)
+
+
+def fullpitch_rows(grid_shape_zyx) -> int:
+    """Full-pitch packed-table row count: Z*Y*X rounded up to the Pallas
+    transpose block (2048)."""
+    z, y, x = (int(v) for v in grid_shape_zyx)
+    return -(-(z * y * x) // 2048) * 2048
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _build_fullpitch(sigma, color, dtype_name):
+    from dvren_tpu.ops import packed_transpose
+
+    n_rows = fullpitch_rows(sigma.shape)
+    stack = _shift_stack_fullpitch(sigma, color, n_rows)
+    return packed_transpose.stack_to_rows(
+        stack.astype(jnp.dtype(dtype_name)))
+
+
+def _build_fullpitch_fwd(sigma, color, dtype_name):
+    return (_build_fullpitch(sigma, color, dtype_name),
+            (sigma.shape, color.shape))
+
+
+def _build_fullpitch_bwd(dtype_name, res, ct):
+    """Adjoint: transpose back to column-major in the Pallas kernel, then
+    32 one-dimensional offset-slice adds (the exact adjoint of the
+    shift-stack slices)."""
+    from dvren_tpu.ops import packed_transpose
+
+    sigma_shape, color_shape = res
+    z, y, x = sigma_shape
+    p = z * y * x
+    n_rows = ct.shape[0]
+    pad = n_rows - p + y * x + x + 2
+    t = packed_transpose.rows_to_stack(ct.astype(jnp.float32))  # (32, R)
+    d_planes = []
+    i = 0
+    for _ in range(4):
+        acc = jnp.zeros((p + pad,), jnp.float32)
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    off = dz * y * x + dy * x + dx
+                    acc = acc.at[off:off + n_rows].add(t[i])
+                    i += 1
+        d_planes.append(acc[:p])
+    d_sigma = d_planes[0].reshape(sigma_shape)
+    d_color = jnp.stack([d.reshape(sigma_shape) for d in d_planes[1:]],
+                        axis=-1)
+    return d_sigma, d_color
+
+
+_build_fullpitch.defvjp(_build_fullpitch_fwd, _build_fullpitch_bwd)
+
+
+def build_packed_stencil_fullpitch(sigma: jnp.ndarray, color: jnp.ndarray,
+                                   dtype=jnp.float32) -> jnp.ndarray:
+    """Full-pitch packed trilinear stencil: (R, 32) with R =
+    :func:`fullpitch_rows`; row v = cell (iz, iy, ix) at v =
+    (iz*Y + iy)*X + ix (FULL grid pitch - dead rows at ix == X-1 etc.
+    read wrapped neighbors and are never referenced by schedules), col
+    ch*8 + corner as in :func:`build_packed_stencil_chmajor`.
+
+    The full pitch makes every column a pure offset slice of the
+    flattened planes, so construction is one XLA shift-stack (memory
+    speed) plus the blockwise Pallas transpose
+    (ops/packed_transpose.py) - measured 4.6 -> ~2 ms/frame at 64^3 vs
+    the cell-pitch stack+moveaxis build, whose lane-padded transposes
+    dominated. The adjoint runs the same kernel in reverse. Used by the
+    tiled fast path (render/tiled.py); cell-pitch consumers
+    (eval_packed_trilinear) keep :func:`build_packed_stencil_chmajor`.
+    """
+    return _build_fullpitch(sigma, color, jnp.dtype(dtype).name)
+
+
 def _split_u16(table: jnp.ndarray) -> jnp.ndarray:
     """f32 (C, W) -> u16 (C, 2W): hi halves then lo halves, row-aligned."""
     bits = jax.lax.bitcast_convert_type(table, jnp.uint32)

@@ -202,11 +202,10 @@ def _make_tiled_sharded_fn(plan: Plan, mesh: Mesh, axis: str,
         return [{k: P(axis) for k in g} for g in shards]
 
     def run(field, shards):
-        packed = grid_ops.build_packed_stencil_chmajor(
+        packed_flat = grid_ops.build_packed_stencil_fullpitch(
             field.sigma, field.color,
             dtype=grid_ops.table_dtype(
                 getattr(field, "packed_dtype", "float32")))
-        packed_flat = packed.reshape(-1, 32)
         in_specs = (P(), shard_specs(shards))
         tiles5 = shard_map(
             body, mesh=mesh, in_specs=in_specs, out_specs=P(),

@@ -181,15 +181,19 @@ def _tile_rays(plan: Plan):
 
 
 def _empty_cells(sigma: np.ndarray) -> np.ndarray:
-    """Flat bool per grid cell: True iff ALL 8 corner sigmas are exactly 0
-    (trilinear interpolation inside such a cell is identically 0, so
-    skipping its samples is exact - the TPU-native superset of the
-    reference's only acceleration, early termination, int_cpu.cpp:171)."""
+    """FULL-pitch flat bool per grid cell: True iff ALL 8 corner sigmas
+    are exactly 0 (trilinear interpolation inside such a cell is
+    identically 0, so skipping its samples is exact - the TPU-native
+    superset of the reference's only acceleration, early termination,
+    int_cpu.cpp:171). Dead full-pitch rows (ix == X-1 etc., never
+    produced by the clipped floor) are marked empty."""
     s = np.asarray(sigma) != 0.0
     occ = (s[:-1, :-1, :-1] | s[:-1, :-1, 1:] | s[:-1, 1:, :-1]
            | s[:-1, 1:, 1:] | s[1:, :-1, :-1] | s[1:, :-1, 1:]
            | s[1:, 1:, :-1] | s[1:, 1:, 1:])
-    return (~occ).reshape(-1)
+    full = np.ones(s.shape, bool)
+    full[:-1, :-1, :-1] = ~occ
+    return full.reshape(-1)
 
 
 def _tighten_windows_by_occupancy(plan, o, d, k_enter_ray, k_count_ray,
@@ -240,8 +244,7 @@ def _tighten_windows_by_occupancy(plan, o, d, k_enter_ray, k_count_ray,
             inside &= (local >= 0.0) & (local <= 1.0)
             f = (local * np.float32(npts[ax] - 1)).astype(np.float32)
             ii[..., ax] = np.clip(np.floor(f), 0, npts[ax] - 2)
-        cell = ((ii[..., 2] * (ny - 1) + ii[..., 1]) * (nx - 1)
-                + ii[..., 0])
+        cell = (ii[..., 2] * ny + ii[..., 1]) * nx + ii[..., 0]
         occ_live = live & inside & ~cell_empty[cell]
         any_live = occ_live.any(axis=1)
         first = np.argmax(occ_live, axis=1)
@@ -374,7 +377,7 @@ def build_tiled_schedule(plan: Plan, field,
         in_y, iy, ty = _axis(py, bbox_min[1], inv_ext[1], ny)
         in_z, iz, tz = _axis(pz, bbox_min[2], inv_ext[2], nz)
         m = (in_x & in_y & in_z & live)
-        cell = (iz * (ny - 1) + iy) * (nx - 1) + ix   # packed-table row
+        cell = (iz * ny + iy) * nx + ix   # FULL-pitch packed-table row
 
         # -> (tile, chunk, block row, lane) sample layout
         def to_lanes(a):
@@ -477,10 +480,10 @@ def build_tiled_schedule(plan: Plan, field,
 
             # Per-lane cell base coordinates (the host's clipped floor
             # indices, exactly - recovered from the lane's cell id).
-            iz_u = hostmap // ((ny - 1) * (nx - 1))
-            rem_u = hostmap % ((ny - 1) * (nx - 1))
+            iz_u = hostmap // (ny * nx)
+            rem_u = hostmap % (ny * nx)
             base = np.stack(
-                [(rem_u % (nx - 1)), (rem_u // (nx - 1)), iz_u],
+                [(rem_u % nx), (rem_u // nx), iz_u],
                 axis=1).astype(np.float32)            # (T, 3, lanes)
             base = base.reshape(t_kept, 3, nb, MAX_CELLS).transpose(
                 0, 2, 1, 3)                           # (T, nb, 3, 128)
@@ -569,7 +572,7 @@ def build_tiled_schedule(plan: Plan, field,
         fallback=fb,
         hostmap_all=jax.device_put(hostmap_all),
         gather_plan=_build_gather_plan(
-            hostmap_all, (nz - 1) * (ny - 1) * (nx - 1)),
+            hostmap_all, grid_ops.fullpitch_rows((nz, ny, nx))),
         total_rays=n,
         tiled_samples=tiled_samples,
         full_lattice_samples=full_samples,
@@ -840,11 +843,10 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
     check(getattr(field, "oob", OobPolicy.ZERO) == OobPolicy.ZERO,
           "tiled rendering requires an OOB_ZERO field")
 
-    packed = grid_ops.build_packed_stencil_chmajor(
+    packed_flat = grid_ops.build_packed_stencil_fullpitch(
         field.sigma, field.color,
         dtype=grid_ops.table_dtype(
             getattr(field, "packed_dtype", "float32")))
-    packed_flat = packed.reshape(-1, 32)
 
     geom = (schedule.bbox[0], schedule.bbox[1], schedule.grid_shape)
     with_cam = k is not None or c2w is not None
@@ -934,11 +936,10 @@ def render_tiled_phases(plan: Plan, schedule: TiledSchedule,
     geom = (schedule.bbox[0], schedule.bbox[1], schedule.grid_shape)
 
     def tables_fn(field):
-        packed = grid_ops.build_packed_stencil_chmajor(
+        packed_flat = grid_ops.build_packed_stencil_fullpitch(
             field.sigma, field.color,
             dtype=grid_ops.table_dtype(
                 getattr(field, "packed_dtype", "float32")))
-        packed_flat = packed.reshape(-1, 32)
         if (packed_flat.dtype == jnp.float32
                 and schedule.gather_plan is not None
                 and schedule.hostmap_all.size):
