@@ -267,7 +267,59 @@ def _win_expand(m0, m1, col, idx2):
     return jnp.where(idx2 >= LANES, v1, v0)
 
 
-def _sample_geometry(samp_c, base0, base1, b0, rayt, *, lo, inv, ns):
+class _Windows:
+    """Per-chunk bank-window state for ``subs`` sub-tiles.
+
+    Each sub-tile of a chunk has its own 2-bank window [b0_s, b0_s + 1]
+    into the tile's shared bank space (subs == 1 is the classic whole-
+    tile window; subs == 4 is the fine-grid mode: 8x8-pixel sub-tiles,
+    rows 4s..4s+3 of the block - measured 0% slot overflow at 512^2 over
+    128^3 and at the 800^2/160^3 SDF shell with occupancy, where 16x16
+    tiles overflow 58-91% of tiles). ``expand`` runs one dynamic-gather
+    window expansion per sub-tile on its row slice and concatenates; for
+    subs == 1 it is exactly the single-window expansion."""
+
+    def __init__(self, tabs_ref, base_ref, g, b0_ref, tile_idx, c, nc, nb,
+                 subs):
+        self.subs = subs
+        self.rps = ROWS // subs
+        self.b0s = [b0_ref[(tile_idx * nc + c) * subs + s]
+                    for s in range(subs)]
+        self.mats = []
+        self.bases = []
+        for b0 in self.b0s:
+            b1 = jnp.minimum(b0 + 1, nb - 1)
+            self.mats.append((tabs_ref[g, b0], tabs_ref[g, b1]))
+            self.bases.append((base_ref[g, b0], base_ref[g, b1]))
+
+    def idx2(self, lidx):
+        """Window-relative slots: lidx (16, 128) tile-local -> per-row
+        offset by the owning sub-tile's window start bank."""
+        if self.subs == 1:
+            return lidx - self.b0s[0] * LANES
+        return jnp.concatenate(
+            [lidx[s * self.rps:(s + 1) * self.rps] - self.b0s[s] * LANES
+             for s in range(self.subs)], axis=0)
+
+    def _expand(self, mats, col, idx2):
+        if self.subs == 1:
+            m0, m1 = mats[0]
+            return _win_expand(m0, m1, col, idx2)
+        outs = []
+        for s in range(self.subs):
+            m0, m1 = mats[s]
+            sl = slice(s * self.rps, (s + 1) * self.rps)
+            outs.append(_win_expand(m0, m1, col, idx2[sl]))
+        return jnp.concatenate(outs, axis=0)
+
+    def expand_tab(self, col, idx2):
+        return self._expand(self.mats, col, idx2)
+
+    def expand_base(self, ax, idx2):
+        return self._expand(self.bases, ax, idx2)
+
+
+def _sample_geometry(samp_c, win, rayt, *, lo, inv, ns):
     """Recompute per-sample trilinear weights IN-KERNEL from the slim
     schedule: sample_t + packed (slot | mask) + per-tile ray planes +
     per-lane cell bases.
@@ -281,8 +333,7 @@ def _sample_geometry(samp_c, base0, base1, b0, rayt, *, lo, inv, ns):
     flip a sample to a different cell or into/out of the mask.
 
     samp_c: (2, R, 128) = sample_t f32, bitcast(tile-local lidx | m << 15).
-    base0/base1: (3, 128) loaded bank blocks of per-lane cell base coords.
-    b0: the chunk's window start bank (scalar).
+    win: the chunk's :class:`_Windows` (per-sub-tile bank windows).
     rayt: six (R, 128) planes ox, oy, oz, dx, dy, dz (from _expand_rayt).
     Returns (idx2 (R,128) window-relative i32, weights
     ((wx0,wx1),(wy..),(wz..)) with m folded into wz).
@@ -290,13 +341,13 @@ def _sample_geometry(samp_c, base0, base1, b0, rayt, *, lo, inv, ns):
     st = samp_c[0]
     packed = pltpu.bitcast(samp_c[1], jnp.int32)
     m = ((packed >> 15) & 1).astype(jnp.float32)
-    idx2 = (packed & 0x7FFF) - b0 * LANES
+    idx2 = win.idx2(packed & 0x7FFF)
 
     def axis(o_pl, d_pl, ax):
         p = o_pl + d_pl * st
         local = (p - jnp.float32(lo[ax])) * jnp.float32(inv[ax])
         f = local * jnp.float32(ns[ax])
-        return f - _win_expand(base0, base1, ax, idx2)
+        return f - win.expand_base(ax, idx2)
 
     tx = axis(rayt[0], rayt[3], 0)
     ty = axis(rayt[1], rayt[4], 1)
@@ -307,13 +358,12 @@ def _sample_geometry(samp_c, base0, base1, b0, rayt, *, lo, inv, ns):
     return idx2, (wx, wy, wz)
 
 
-def _gather_planes_dg(mat0, mat1, idx2, weights):
+def _gather_planes_dg(win, idx2, weights):
     """Per-sample (sigma, r, g, b) planes for one chunk, each (R, 128),
-    via ``tpu.dynamic_gather`` over the chunk's 2-bank window.
+    via ``tpu.dynamic_gather`` over each sub-tile's 2-bank window.
 
-    mat0/mat1: (32, 128) loaded bank blocks; idx2: (R, 128) int32
-    window-relative slots; weights from :func:`_sample_geometry` (mask
-    folded into wz).
+    idx2: (R, 128) int32 window-relative slots; weights from
+    :func:`_sample_geometry` (mask folded into wz).
     """
     wx, wy, wz = weights
     planes = []
@@ -323,7 +373,7 @@ def _gather_planes_dg(mat0, mat1, idx2, weights):
             for dy in (0, 1):
                 for dx in (0, 1):
                     col = ch * 8 + dz * 4 + dy * 2 + dx
-                    val = _win_expand(mat0, mat1, col, idx2)
+                    val = win.expand_tab(col, idx2)
                     term = (wz[dz] * wy[dy] * wx[dx]) * val
                     acc = term if acc is None else acc + term
         planes.append(acc)
@@ -367,7 +417,11 @@ def _gather_planes_mxu(mat0, mat1, idx2, weights):
     return [jnp.concatenate(rs, axis=0) for rs in rows]
 
 
-_GATHER_IMPLS = {"dg": _gather_planes_dg, "mxu": _gather_planes_mxu}
+def _chunk_gather(win, idx2, weights, gather):
+    if gather == "mxu":   # MXU one-hot ablation: whole-tile windows only
+        m0, m1 = win.mats[0]
+        return _gather_planes_mxu(m0, m1, idx2, weights)
+    return _gather_planes_dg(win, idx2, weights)
 
 
 def _chunk_geometry(ke, c, consts):
@@ -386,8 +440,8 @@ def _chunk_geometry(ke, c, consts):
 
 
 def _fwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
-                out_ref, *, nc, nb, g_tiles, dt, t_near, t_far, k_max,
-                stop, gather, reduce, lo, inv, ns):
+                out_ref, *, nc, nb, subs, g_tiles, dt, t_near, t_far,
+                k_max, stop, gather, reduce, lo, inv, ns):
     red = _reducer(reduce)
     consts = (dt, t_near, t_far, k_max)
     geom = dict(lo=lo, inv=inv, ns=ns)
@@ -405,13 +459,11 @@ def _fwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
 
         def chunk(c, carry):
             acc_r, acc_g, acc_b, acc_wd, acc_odp, carry_od, carry_t = carry
-            b0 = b0_ref[(tile0 + g) * nc + c]
-            b1 = jnp.minimum(b0 + 1, nb - 1)
-            idx2, weights = _sample_geometry(
-                samp_ref[g, c], base_ref[g, b0], base_ref[g, b1], b0,
-                rayt, **geom)
-            sig, cr, cg, cb = _GATHER_IMPLS[gather](
-                tabs_ref[g, b0], tabs_ref[g, b1], idx2, weights)
+            win = _Windows(tabs_ref, base_ref, g, b0_ref, tile0 + g, c,
+                           nc, nb, subs)
+            idx2, weights = _sample_geometry(samp_ref[g, c], win, rayt,
+                                             **geom)
+            sig, cr, cg, cb = _chunk_gather(win, idx2, weights, gather)
             livef, dta = _chunk_geometry(ke, c, consts)
 
             od = jnp.maximum(sig * dta, 0.0) * livef
@@ -451,8 +503,8 @@ def _fwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
 
 def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
                 gs_ref, dtabs_ref, *rest,
-                nc, nb, g_tiles, dt, t_near, t_far, k_max, stop, gather,
-                reduce, lo, inv, ns, cam):
+                nc, nb, subs, g_tiles, dt, t_near, t_far, k_max, stop,
+                gather, reduce, lo, inv, ns, cam):
     if cam:
         dcam_ref, planes_s, state_s = rest
     else:
@@ -494,19 +546,16 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
                     + ke.astype(jnp.float32) * jnp.float32(dt))
 
         def win(c):
-            b0 = b0_ref[(tile0 + g) * nc + c]
-            b1 = jnp.minimum(b0 + 1, nb - 1)
-            return b0, b1
+            return _Windows(tabs_ref, base_ref, g, b0_ref, tile0 + g, c,
+                            nc, nb, subs)
 
         # Pass 1 (forward): recompute planes and prefix state per chunk.
         def fwd_chunk(c, carry):
             carry_od, carry_t = carry
-            b0, b1 = win(c)
-            idx2, weights = _sample_geometry(
-                samp_ref[g, c], base_ref[g, b0], base_ref[g, b1], b0,
-                rayt, **geom)
-            sig, cr, cg, cb = _GATHER_IMPLS[gather](
-                tabs_ref[g, b0], tabs_ref[g, b1], idx2, weights)
+            w = win(c)
+            idx2, weights = _sample_geometry(samp_ref[g, c], w, rayt,
+                                             **geom)
+            sig, cr, cg, cb = _chunk_gather(w, idx2, weights, gather)
             planes_s[c, 0] = sig
             planes_s[c, 1] = cr
             planes_s[c, 2] = cg
@@ -559,41 +608,47 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
             dsig = dod * livef * tie * dta
             dplanes = (dsig, g_r * w, g_g * w, g_b * w)
 
-            b0, b1 = win(c)
-            idx2, (wx, wy, wz) = _sample_geometry(
-                samp_ref[g, c], base_ref[g, b0], base_ref[g, b1], b0,
-                rayt, **geom)
+            w2 = win(c)
+            idx2, (wx, wy, wz) = _sample_geometry(samp_ref[g, c], w2,
+                                                  rayt, **geom)
 
             slot = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
-            d0 = jnp.zeros((NCH, LANES), jnp.float32)
-            d1 = jnp.zeros((NCH, LANES), jnp.float32)
-            for r in range(ROWS):
-                rows = []
-                for ch in range(4):
-                    dp_r = dplanes[ch][r:r + 1, :]
-                    for dz in (0, 1):
-                        for dy in (0, 1):
-                            for dx in (0, 1):
-                                wc = (wz[dz] * wy[dy] * wx[dx])[r:r + 1, :]
-                                rows.append(wc * dp_r)
-                d_cr = jnp.concatenate(rows, axis=0)          # (32, 128)
-                # one-hot oh[s, l] = [idx2[r, l] == s (+128 bank 1)];
-                # contract both on lanes: d[ch, s] = sum_l d_cr * oh
-                lrow = jnp.broadcast_to(idx2[r:r + 1, :], (LANES, LANES))
-                oh0 = (slot == lrow).astype(jnp.float32)
-                oh1 = (slot + LANES == lrow).astype(jnp.float32)
-                d0 = d0 + jax.lax.dot_general(
-                    d_cr, oh0, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_MASK_PRECISION)
-                d1 = d1 + jax.lax.dot_general(
-                    d_cr, oh1, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_MASK_PRECISION)
-            # In-place bank accumulation; when the window clamps (b1 ==
-            # b0) no idx2 reaches bank-1 slots, so d1 is exactly zero.
-            dtabs_ref[g, b0] = dtabs_ref[g, b0] + d0
-            dtabs_ref[g, b1] = dtabs_ref[g, b1] + d1
+            rps = ROWS // subs
+            for s2 in range(subs):
+                d0 = jnp.zeros((NCH, LANES), jnp.float32)
+                d1 = jnp.zeros((NCH, LANES), jnp.float32)
+                for r in range(s2 * rps, (s2 + 1) * rps):
+                    rows = []
+                    for ch in range(4):
+                        dp_r = dplanes[ch][r:r + 1, :]
+                        for dz in (0, 1):
+                            for dy in (0, 1):
+                                for dx in (0, 1):
+                                    wc = (wz[dz] * wy[dy]
+                                          * wx[dx])[r:r + 1, :]
+                                    rows.append(wc * dp_r)
+                    d_cr = jnp.concatenate(rows, axis=0)      # (32, 128)
+                    # one-hot oh[s, l] = [idx2[r, l] == s (+128 bank 1)];
+                    # contract both on lanes: d[ch, s] = sum_l d_cr * oh
+                    lrow = jnp.broadcast_to(idx2[r:r + 1, :],
+                                            (LANES, LANES))
+                    oh0 = (slot == lrow).astype(jnp.float32)
+                    oh1 = (slot + LANES == lrow).astype(jnp.float32)
+                    d0 = d0 + jax.lax.dot_general(
+                        d_cr, oh0, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_MASK_PRECISION)
+                    d1 = d1 + jax.lax.dot_general(
+                        d_cr, oh1, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_MASK_PRECISION)
+                # In-place bank accumulation into the sub-tile's window;
+                # when a window clamps (b1 == b0) no idx2 reaches bank-1
+                # slots, so its d1 is exactly zero.
+                b0 = w2.b0s[s2]
+                b1 = jnp.minimum(b0 + 1, nb - 1)
+                dtabs_ref[g, b0] = dtabs_ref[g, b0] + d0
+                dtabs_ref[g, b1] = dtabs_ref[g, b1] + d1
 
             if cam:
                 # Camera adjoint: dL/d(trilinear fraction) per axis from
@@ -604,7 +659,6 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
                 # Supersedes the reference's permanent zero dCam stub
                 # (/root/reference/hotpath/src/cpu/diff_cpu.cpp:41-47,74)
                 # ON the fused fast path.
-                mat0, mat1 = tabs_ref[g, b0], tabs_ref[g, b1]
                 packed = pltpu.bitcast(samp_ref[g, c, 1], jnp.int32)
                 m = ((packed >> 15) & 1).astype(jnp.float32)
                 st = samp_ref[g, c, 0]
@@ -615,8 +669,7 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
                     for dz in (0, 1):
                         for dy in (0, 1):
                             for dx_ in (0, 1):
-                                v[(dz, dy, dx_)] = _win_expand(
-                                    mat0, mat1,
+                                v[(dz, dy, dx_)] = w2.expand_tab(
                                     ch * 8 + dz * 4 + dy * 2 + dx_, idx2)
                     for dz in (0, 1):
                         for dy in (0, 1):
@@ -682,8 +735,8 @@ def _pick_g_tiles(t_cnt, nc, nb, bwd_scratch=True,
 
 
 @functools.lru_cache(maxsize=64)
-def _tile_op(nc, nb, g_tiles, dt, t_near, t_far, k_max, stop, interpret,
-             gather, reduce, lo, inv, ns, cam=False):
+def _tile_op(nc, nb, subs, g_tiles, dt, t_near, t_far, k_max, stop,
+             interpret, gather, reduce, lo, inv, ns, cam=False):
     """custom_vjp'd accumulator op for one (chunk count, bank count) group.
 
     (tabs (T,NB,32,128), samp (T,nc,2,16,128), base (T,NB,3,128),
@@ -696,9 +749,9 @@ def _tile_op(nc, nb, g_tiles, dt, t_near, t_far, k_max, stop, interpret,
     long-lived processes rendering many plans would otherwise accumulate
     unbounded custom_vjp objects and their jit caches.
     """
-    kw = dict(nc=nc, nb=nb, g_tiles=g_tiles, dt=dt, t_near=t_near,
-              t_far=t_far, k_max=k_max, stop=stop, gather=gather,
-              reduce=reduce, lo=lo, inv=inv, ns=ns)
+    kw = dict(nc=nc, nb=nb, subs=subs, g_tiles=g_tiles, dt=dt,
+              t_near=t_near, t_far=t_far, k_max=k_max, stop=stop,
+              gather=gather, reduce=reduce, lo=lo, inv=inv, ns=ns)
     kw_bwd = dict(kw, cam=cam)
 
     def in_specs():
@@ -801,7 +854,8 @@ def _tile_op(nc, nb, g_tiles, dt, t_near, t_far, k_max, stop, interpret,
 
 
 def render_tile_group_raw(plan, geom, tabs, samp, base, rayt, k_enter,
-                          bank0, n_chunks, interpret: bool | None = None,
+                          bank0, n_chunks, subs: int = 1,
+                          interpret: bool | None = None,
                           gather: str = "dg", reduce: str = "mxu",
                           cam_grads: bool = False):
     """Fused forward for one tile group, RAW accumulator heads.
@@ -829,7 +883,7 @@ def render_tile_group_raw(plan, geom, tabs, samp, base, rayt, k_enter,
     nb = int(tabs.shape[1])
     t_cnt = int(tabs.shape[0])
     g_tiles = _pick_g_tiles(t_cnt, int(n_chunks), nb)
-    op = _tile_op(int(n_chunks), nb, int(g_tiles),
+    op = _tile_op(int(n_chunks), nb, int(subs), int(g_tiles),
                   float(plan.sampling.dt),
                   float(plan.t_near), float(plan.t_far),
                   int(plan.sampling.max_steps), float(STOP_THRESHOLD),
@@ -853,13 +907,14 @@ def finalize_heads(plan, raw, axis=1):
 
 
 def render_tile_group(plan, geom, tabs, samp, base, rayt, k_enter,
-                      bank0, n_chunks, interpret: bool | None = None,
+                      bank0, n_chunks, subs: int = 1,
+                      interpret: bool | None = None,
                       gather: str = "dg", reduce: str = "mxu"):
     """Per-ray integration outputs for one tile group (flat ray order,
     matching TileGroup.pixel_ids): (radiance (R, 3), transmittance (R,),
     opacity (R,), depth (R,)) with R = n_tiles * 256."""
     out = render_tile_group_raw(plan, geom, tabs, samp, base, rayt,
-                                k_enter, bank0, n_chunks,
+                                k_enter, bank0, n_chunks, subs=subs,
                                 interpret=interpret, gather=gather,
                                 reduce=reduce)
     (r, g, b), t_final, opacity, depth = finalize_heads(plan, out)

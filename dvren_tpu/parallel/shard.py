@@ -158,13 +158,15 @@ def render_tiled_sharded(plan: Plan, field, schedule, mesh: Mesh,
     fn = _make_tiled_sharded_fn(
         plan, mesh, axis, tuple(schedule.grid_shape),
         tuple(map(tuple, schedule.bbox)),
-        tuple((g.n_chunks, g.banks) for g in schedule.groups))
+        tuple((g.n_chunks, g.banks) for g in schedule.groups),
+        schedule.tile_px, schedule.table_kind)
     with mesh:
         return fn(field, shards)
 
 
 def _make_tiled_sharded_fn(plan: Plan, mesh: Mesh, axis: str,
-                           grid_shape, bbox, group_meta):
+                           grid_shape, bbox, group_meta, tile_px=16,
+                           table_kind="dense"):
     """Jittable (field, shards) -> ImagePlanes over the mesh (see
     :func:`render_tiled_sharded`)."""
     from dvren_tpu.ops import fused_tiles
@@ -175,12 +177,14 @@ def _make_tiled_sharded_fn(plan: Plan, mesh: Mesh, axis: str,
 
     geom = (bbox[0], bbox[1], grid_shape)
     roi = plan.roi
-    tx_n = -(-roi.width // TILE_W)
-    ty_n = -(-roi.height // TILE_H)
-    n_tiles_all = tx_n * ty_n
+    n_sub = (16 // tile_px) ** 2
+    sx_n = -(-roi.width // tile_px)
+    sy_n = -(-roi.height // tile_px)
+    n_tiles_all = sx_n * sy_n
 
     def body(packed_flat, shards):
-        tiles5 = jnp.zeros((n_tiles_all, 5, TILE_H, TILE_W), jnp.float32)
+        tiles5 = jnp.zeros((n_tiles_all, 5, tile_px, tile_px),
+                           jnp.float32)
         for (nc, banks), g in zip(group_meta, shards):
             hostmap = g["hostmap"][0].reshape(-1)
             t_loc = g["samp"].shape[1]
@@ -193,8 +197,13 @@ def _make_tiled_sharded_fn(plan: Plan, mesh: Mesh, axis: str,
                 rows.reshape(t_loc, banks, MAX_CELLS, 32), 2, 3)
             raw = fused_tiles.render_tile_group_raw(
                 plan, geom, tabs, g["samp"][0], g["base"][0],
-                g["rayt"][0], g["k_enter"][0], g["bank0"][0], nc)
-            tiles5 = tiles5.at[g["tile_ids"][0]].set(raw, mode="drop")
+                g["rayt"][0], g["k_enter"][0], g["bank0"][0], nc,
+                subs=n_sub)
+            raw = raw.reshape(-1, 5, n_sub, tile_px * tile_px)
+            raw = raw.transpose(0, 2, 1, 3).reshape(
+                -1, 5, tile_px, tile_px)
+            tiles5 = tiles5.at[g["tile_ids"][0].reshape(-1)].set(
+                raw, mode="drop")
         # tiles are disjoint across devices: one psum merges the frame
         return jax.lax.psum(tiles5, axis)
 
@@ -202,17 +211,22 @@ def _make_tiled_sharded_fn(plan: Plan, mesh: Mesh, axis: str,
         return [{k: P(axis) for k in g} for g in shards]
 
     def run(field, shards):
-        packed_flat = grid_ops.build_packed_stencil_fullpitch(
-            field.sigma, field.color,
-            dtype=grid_ops.table_dtype(
-                getattr(field, "packed_dtype", "float32")))
+        if table_kind == "sparse":
+            # brick rows replace packed-stencil rows; the schedule's
+            # hostmap already resolved the two-level indirection
+            packed_flat = field.bricks.reshape(-1, 32)
+        else:
+            packed_flat = grid_ops.build_packed_stencil_fullpitch(
+                field.sigma, field.color,
+                dtype=grid_ops.table_dtype(
+                    getattr(field, "packed_dtype", "float32")))
         in_specs = (P(), shard_specs(shards))
         tiles5 = shard_map(
             body, mesh=mesh, in_specs=in_specs, out_specs=P(),
             **_NO_REP_CHECK)(packed_flat, shards)
-        a = tiles5.reshape(ty_n, tx_n, 5, TILE_H, TILE_W)
+        a = tiles5.reshape(sy_n, sx_n, 5, tile_px, tile_px)
         a = a.transpose(2, 0, 3, 1, 4).reshape(
-            5, ty_n * TILE_H, tx_n * TILE_W)
+            5, sy_n * tile_px, sx_n * tile_px)
         a = a[:, :roi.height, :roi.width]
         (r, gg, b), t_final, opacity, depth = fused_tiles.finalize_heads(
             plan, a, axis=0)
@@ -256,7 +270,8 @@ def make_tile_dp_train_step(plan: Plan, field_template, optimizer,
     fn = _make_tiled_sharded_fn(
         plan, mesh, axis, tuple(schedule.grid_shape),
         tuple(map(tuple, schedule.bbox)),
-        tuple((g.n_chunks, g.banks) for g in schedule.groups))
+        tuple((g.n_chunks, g.banks) for g in schedule.groups),
+        schedule.tile_px, schedule.table_kind)
 
     def loss_fn(params, shards, target):
         f = field_template.with_params(*params)

@@ -455,6 +455,19 @@ class Renderer:
             self._tiled_schedule = tiled_mod.build_tiled_schedule(
                 self._plan, field, jitter=self._jitter_host,
                 occupancy=self._options.use_occupancy)
+            heavy = (self._tiled_schedule.fallback_rays * 10
+                     > self._tiled_schedule.total_rays)
+            if heavy:
+                # Fine-grid rescue (round 3): 8x8 sub-tiles quarter the
+                # cells a slot table must hold - the reference's SDF
+                # scene class (800^2/160^3) and 512^2/128^3 render fully
+                # in-kernel this way where 16px tiles overflow.
+                s8 = tiled_mod.build_tiled_schedule(
+                    self._plan, field, jitter=self._jitter_host,
+                    occupancy=self._options.use_occupancy, tile_px=8)
+                if s8.fallback_rays < self._tiled_schedule.fallback_rays:
+                    self._tiled_schedule = s8
+                    stats.notes.append("tiled_subtiled_8px")
             self._tiled_key = key
             # Keep the schedule's sigma alive so the id() in the cache key
             # cannot be recycled by a later allocation (see
@@ -463,9 +476,9 @@ class Renderer:
                                    if self._options.use_occupancy else None)
             schedule = self._tiled_schedule
             # Auto mode demotes to the windowed path when most rays'
-            # tiles overflowed the slot tables anyway (fine grids under
-            # wide frusta, e.g. 256^3 at 512^2 is 100% fallback): the
-            # fallback IS the windowed path, minus the schedule overhead.
+            # tiles STILL overflow the slot tables (grids finer than
+            # ~2 px/cell): the fallback IS the windowed path, minus the
+            # schedule overhead.
             self._tiled_demoted = (
                 self._options.use_tiles is None
                 and schedule.fallback_rays * 2 > schedule.total_rays)

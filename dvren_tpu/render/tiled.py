@@ -141,7 +141,7 @@ class GatherPlan:
 
 @pytree_dataclass(meta_fields=("total_rays", "tiled_samples",
                                "full_lattice_samples", "fallback_rays",
-                               "grid_shape", "bbox"))
+                               "grid_shape", "bbox", "tile_px"))
 @dataclass(frozen=True)
 class TiledSchedule:
     groups: tuple            # of TileGroup
@@ -161,23 +161,52 @@ class TiledSchedule:
     fallback_rays: int
     grid_shape: tuple        # (nz, ny, nx) the schedule's cell ids index
     bbox: tuple              # ((min), (max)) the windows/cells assume
+    tile_px: int = 16        # compose granularity: 16 or 8 (fine-grid
+    #                          sub-tiled mode; kernel subs = (16/tile_px)^2
+    table_kind: str = "dense"  # "dense": hostmap rows index the full-pitch
+    #                            packed-stencil table; "sparse": rows index
+    #                            the brick table (slot * 512 + local), the
+    #                            two-level indirection resolved at build
 
 
-def _tile_rays(plan: Plan):
-    """Global ray ids per tile, (n_tiles, 256) with -1 padding."""
+def _tile_rays(plan: Plan, tile_px: int = 16):
+    """Global ray ids per 256-ray block, (n_blocks, 256) with -1 padding.
+
+    ``tile_px=16``: one 16x16 image tile per block, row-major ray order.
+    ``tile_px=8`` (fine-grid mode): each block covers a 16x16-pixel
+    region as 2x2 SUB-TILES of 8x8 pixels, rays ordered sub-major
+    (positions s*64..s*64+63 = sub-tile s row-major) so block rows
+    4s..4s+3 belong to sub-tile s - the kernel's per-sub-tile bank
+    windows key on that. Also returns (n_blocks, n_sub) global sub-tile
+    indices over the ceil(roi/tile_px) grid (compose targets).
+    """
     roi = plan.roi
+    per = 16 // tile_px
+    n_sub = per * per
+    sx_n = -(-roi.width // tile_px)
+    sy_n = -(-roi.height // tile_px)
     tx_n = -(-roi.width // TILE_W)
     ty_n = -(-roi.height // TILE_H)
     tiles = []
+    sub_ids = []
     for ty in range(ty_n):
         for tx in range(tx_n):
-            ly = ty * TILE_H + np.arange(TILE_H)
-            lx = tx * TILE_W + np.arange(TILE_W)
-            yy, xx = np.meshgrid(ly, lx, indexing="ij")
-            ids = np.where((yy < roi.height) & (xx < roi.width),
-                           yy * roi.width + xx, -1)
-            tiles.append(ids.reshape(-1))
-    return np.stack(tiles)  # (n_tiles, 256) ray ids in row-major tile order
+            ids = []
+            sids = []
+            for s in range(n_sub):
+                sy, sx = s // per, s % per
+                ly = ty * TILE_H + sy * tile_px + np.arange(tile_px)
+                lx = tx * TILE_W + sx * tile_px + np.arange(tile_px)
+                yy, xx = np.meshgrid(ly, lx, indexing="ij")
+                ids.append(np.where(
+                    (yy < roi.height) & (xx < roi.width),
+                    yy * roi.width + xx, -1).reshape(-1))
+                gy, gx = ty * per + sy, tx * per + sx
+                sids.append(gy * sx_n + gx
+                            if gy < sy_n and gx < sx_n else -1)
+            tiles.append(np.concatenate(ids))
+            sub_ids.append(np.asarray(sids))
+    return np.stack(tiles), np.stack(sub_ids)
 
 
 def _empty_cells(sigma: np.ndarray) -> np.ndarray:
@@ -194,6 +223,45 @@ def _empty_cells(sigma: np.ndarray) -> np.ndarray:
     full = np.ones(s.shape, bool)
     full[:-1, :-1, :-1] = ~occ
     return full.reshape(-1)
+
+
+def _empty_cells_sparse(field) -> np.ndarray:
+    """FULL-pitch flat bool per base cell for a SparseGridField: True iff
+    the cell's packed stencil row (all 8 sigma corners) is exactly 0.
+    Unoccupied bricks map to the shared zero brick (slot 0), so their
+    cells are empty by construction; occupied bricks are tested row-wise
+    (a kept brick can still contain zero cells near its border)."""
+    from dvren_tpu.fields.sparse_grid import BRICK, _SIGMA_CH
+    occ = np.asarray(field.occupancy)
+    bricks = np.asarray(field.bricks, np.float32)
+    nz, ny, nx = (int(v) for v in field.grid_shape)
+    zm, ym, xm = nz - 1, ny - 1, nx - 1
+    bempty = (bricks[:, :, list(_SIGMA_CH)] == 0).all(axis=2)  # (NB, 512)
+    bz, by, bx = occ.shape
+    cells = bempty[occ.reshape(-1)].reshape(
+        bz, by, bx, BRICK, BRICK, BRICK)
+    cells = cells.transpose(0, 3, 1, 4, 2, 5).reshape(
+        bz * BRICK, by * BRICK, bx * BRICK)
+    full = np.ones((nz, ny, nx), bool)
+    full[:zm, :ym, :xm] = cells[:zm, :ym, :xm]
+    return full.reshape(-1)
+
+
+def _sparse_rows_for_cells(cells: np.ndarray, occ: np.ndarray,
+                           grid_shape) -> np.ndarray:
+    """Resolve full-pitch base-cell ids -> brick-table row ids
+    (slot * BRICK^3 + brick-local cell) on the host: the sparse field's
+    two-level indirection costs NOTHING at render time - the device-side
+    table build gathers brick rows exactly like dense packed rows."""
+    from dvren_tpu.fields.sparse_grid import BRICK
+    nz, ny, nx = grid_shape
+    iz = cells // (ny * nx)
+    rem = cells % (ny * nx)
+    iy = rem // nx
+    ix = rem % nx
+    slot = occ[iz // BRICK, iy // BRICK, ix // BRICK].astype(np.int64)
+    local = ((iz % BRICK) * BRICK + (iy % BRICK)) * BRICK + (ix % BRICK)
+    return slot * (BRICK ** 3) + local
 
 
 def _tighten_windows_by_occupancy(plan, o, d, k_enter_ray, k_count_ray,
@@ -257,7 +325,8 @@ def _tighten_windows_by_occupancy(plan, o, d, k_enter_ray, k_count_ray,
 
 def build_tiled_schedule(plan: Plan, field,
                          jitter: np.ndarray | None = None,
-                         occupancy: bool = False) -> TiledSchedule:
+                         occupancy: bool = False,
+                         tile_px: int = 16) -> TiledSchedule:
     """Build the tile-table schedule for (plan, field bbox + resolution).
 
     ``jitter``: the (N, K) host table for stratified plans
@@ -271,7 +340,17 @@ def build_tiled_schedule(plan: Plan, field,
     media (SDF shells, sparse scenes). The schedule then also depends on
     WHERE the field's zeros are: reuse it only while the zero set is
     unchanged (inference / frozen-topology training).
+
+    ``tile_px``: 16 (default) or 8. 8 is the FINE-GRID mode: each kernel
+    block still covers 16x16 pixels but as 2x2 sub-tiles of 8x8 with
+    independent bank windows, quartering the cells a slot table must
+    hold - measured 0% slot overflow at 512^2 over 128^3 (58% of 16px
+    tiles overflow) and at the reference's 800^2/160^3 SDF shell with
+    occupancy (91% overflow at 16px). Overflowing SUB-tiles (not whole
+    blocks) fall back to the windowed path.
     """
+    check(tile_px in (8, 16), "tile_px must be 8 or 16")
+    n_sub = (16 // tile_px) ** 2
     check(getattr(field, "oob", OobPolicy.ZERO) == OobPolicy.ZERO,
           "tiled rendering requires an OOB_ZERO field")
     from dvren_tpu.core.plan import InterpMode
@@ -281,7 +360,12 @@ def build_tiled_schedule(plan: Plan, field,
           "must use the windowed/full paths")
     bbox_min = tuple(float(v) for v in field.bbox_min)
     bbox_max = tuple(float(v) for v in field.bbox_max)
-    nz, ny, nx = (int(v) for v in np.asarray(field.sigma.shape[:3]))
+    sparse = hasattr(field, "bricks")    # SparseGridField protocol
+    if sparse:
+        nz, ny, nx = (int(v) for v in field.grid_shape)
+        occ_host = np.asarray(field.occupancy)
+    else:
+        nz, ny, nx = (int(v) for v in np.asarray(field.sigma.shape[:3]))
     check(min(nx, ny, nz) >= 2, "tiled rendering requires grid dims >= 2")
 
     n = plan.ray_count
@@ -301,13 +385,14 @@ def build_tiled_schedule(plan: Plan, field,
         jitter = np.asarray(jitter, np.float32)
 
     if occupancy:
-        cell_empty = _empty_cells(field.sigma)
+        cell_empty = (_empty_cells_sparse(field) if sparse
+                      else _empty_cells(field.sigma))
         k_enter_ray, k_count_ray = _tighten_windows_by_occupancy(
             plan, o, d, k_enter_ray.astype(np.int64),
             k_count_ray.astype(np.int64), jitter, bbox_min, bbox_max,
             (nz, ny, nx), cell_empty)
 
-    tiles = _tile_rays(plan)                  # (n_tiles, 256)
+    tiles, sub_tile_ids = _tile_rays(plan, tile_px)   # (n_blocks, 256)
     n_tiles_all = tiles.shape[0]
     safe_ids = np.maximum(tiles, 0)
     ray_live = (tiles >= 0) & (k_count_ray[safe_ids] > 0)
@@ -399,8 +484,9 @@ def build_tiled_schedule(plan: Plan, field,
             + [dtn[:, :, i].reshape(t_cnt, 2, 128) for i in range(3)],
             axis=1).astype(np.float32).reshape(t_cnt, 12, 128)
 
-        # unique cells + local slots per (tile, chunk)
-        flat = cell_l.reshape(t_cnt * nc, 16 * 128)
+        # unique cells + local slots per (tile, chunk, sub-tile)
+        sub_cols = (16 // n_sub) * 128
+        flat = cell_l.reshape(t_cnt * nc * n_sub, sub_cols)
         order = np.argsort(flat, axis=1, kind="stable")
         sc = np.take_along_axis(flat, order, 1)
         new = np.ones(flat.shape, bool)
@@ -413,31 +499,44 @@ def build_tiled_schedule(plan: Plan, field,
         lidx = np.empty(flat.shape, np.int32)
         np.put_along_axis(lidx, order, rank.astype(np.int32), 1)
 
-        # Dense bank packing: each chunk's run of nuniq cells lands at the
-        # next free lane offset; runs of <= 128 cells span at most two
-        # consecutive banks from any offset, larger runs (<= 256) align
-        # to a bank boundary. Tiles with a chunk beyond 256 cells fall
-        # back to the windowed path.
-        nuniq2 = nuniq.reshape(t_cnt, nc)
-        overflow = (nuniq2 > 2 * MAX_CELLS).any(axis=1)
-        if overflow.any():
-            fallback_rays.append(ids[overflow][live_r[overflow]])
+        # Dense bank packing: each (chunk, sub-tile) run of nuniq cells
+        # lands at the next free lane offset; runs of <= 128 cells span
+        # at most two consecutive banks from any offset, larger runs
+        # (<= 256) align to a bank boundary. SUB-tiles with a chunk
+        # beyond 256 cells fall back to the windowed path (their block
+        # rows are masked dead); blocks whose sub-tiles ALL overflow are
+        # dropped entirely.
+        nuniq3 = nuniq.reshape(t_cnt, nc, n_sub)
+        sub_bad = (nuniq3 > 2 * MAX_CELLS).any(axis=1)  # (T, n_sub)
+        overflow = sub_bad.all(axis=1)
+        if sub_bad.any():
+            live_rs = live_r.reshape(t_cnt, n_sub, -1)
+            ids_rs = ids.reshape(t_cnt, n_sub, -1)
+            fb = ids_rs[sub_bad][live_rs[sub_bad]]
+            if fb.size:
+                fallback_rays.append(fb)
+            # dead sub-tiles: no runs, no live samples
+            nuniq3 = np.where(sub_bad[:, None, :], 0, nuniq3)
+            m_l = (m_l.reshape(t_cnt, nc, n_sub, sub_cols)
+                   * ~sub_bad[:, None, :, None]).reshape(
+                t_cnt, nc, 16, 128)
 
-        off = np.zeros((t_cnt, nc), np.int64)
+        off = np.zeros((t_cnt, nc, n_sub), np.int64)
         nb_tile = np.zeros(t_cnt, np.int64)
         for t in np.nonzero(~overflow)[0]:
             cur = 0
             for c in range(nc):
-                n_c = int(nuniq2[t, c])
-                if n_c > MAX_CELLS:
-                    cur = -(-cur // MAX_CELLS) * MAX_CELLS
-                # Empty chunks anchor at lane 0: their samples are all
-                # masked (weight 0) but must still index a VALID lane -
-                # ``cur`` can equal the tile's total lane count here, one
-                # past the bank space (OOB bank read in the kernel, NaN
-                # fill in the jnp consumer).
-                off[t, c] = cur if n_c > 0 else 0
-                cur += n_c
+                for s2 in range(n_sub):
+                    n_c = int(nuniq3[t, c, s2])
+                    if n_c > MAX_CELLS:
+                        cur = -(-cur // MAX_CELLS) * MAX_CELLS
+                    # Empty runs anchor at lane 0: their samples are all
+                    # masked (weight 0) but must still index a VALID
+                    # lane - ``cur`` can equal the block's total lane
+                    # count here, one past the bank space (OOB bank read
+                    # in the kernel, NaN fill in the jnp consumer).
+                    off[t, c, s2] = cur if n_c > 0 else 0
+                    cur += n_c
             nb_tile[t] = max(-(-cur // MAX_CELLS), 1)
 
         for nb in sorted(set(nb_tile[~overflow].tolist())):
@@ -447,25 +546,28 @@ def build_tiled_schedule(plan: Plan, field,
             nb = int(nb)
             lanes = nb * MAX_CELLS
             t_kept = int(keep.sum())
-            rowsel = np.repeat(keep, nc)
+            rowsel = np.repeat(keep, nc * n_sub)
             sc_k = sc[rowsel]
             new_k = new[rowsel]
             rank_k = rank[rowsel]
-            off_k = off[keep].reshape(-1)             # (t_kept*nc,)
+            off_k = off[keep].reshape(-1)        # (t_kept*nc*n_sub,)
 
             hostmap = np.zeros((t_kept, lanes), np.int64)
             rws, cls = np.nonzero(new_k & (sc_k != _SENTINEL))
-            hostmap[rws // nc, off_k[rws] + rank_k[rws, cls]] = \
+            hostmap[rws // (nc * n_sub), off_k[rws] + rank_k[rws, cls]] = \
                 sc_k[rws, cls]
 
-            # Tile-local lane ids; masked samples point at their chunk's
+            # Block-local lane ids; masked samples point at their run's
             # window start (any in-window lane works: their weight is 0).
-            rank_s = lidx.reshape(t_cnt, nc, 16, 128)[keep].astype(np.int64)
-            m_k = m_l[keep] > 0
-            off_bc = off[keep][:, :, None, None]
-            lidx_local = np.where(m_k, off_bc + np.minimum(
-                rank_s, np.maximum(nuniq2[keep][:, :, None, None] - 1, 0)),
-                off_bc).astype(np.int32)
+            rank_s = lidx.reshape(t_cnt, nc, n_sub, sub_cols)[keep].astype(
+                np.int64)
+            m_k4 = m_l.reshape(t_cnt, nc, n_sub, sub_cols)[keep] > 0
+            off_bc = off[keep][:, :, :, None]
+            nuq_bc = nuniq3[keep][:, :, :, None]
+            lidx_local = np.where(m_k4, off_bc + np.minimum(
+                rank_s, np.maximum(nuq_bc - 1, 0)),
+                off_bc).astype(np.int32).reshape(t_kept, nc, 16, 128)
+            m_k = m_k4.reshape(t_kept, nc, 16, 128)
 
             # Slim schedule: sample_t + (lane | mask << 15) bitcast to f32.
             # The kernel recomputes fractions from these + the per-lane
@@ -489,6 +591,7 @@ def build_tiled_schedule(plan: Plan, field,
                 0, 2, 1, 3)                           # (T, nb, 3, 128)
             rayt = rayt_all[keep]
             bank0 = (off[keep] // MAX_CELLS).astype(np.int32)
+            #        (T, nc, n_sub) -> the kernel's flat (t*nc + c)*subs + s
 
             ids_k = ids[keep]
             ray_ids_k = np.maximum(ids_k, 0).astype(np.int32)
@@ -508,9 +611,21 @@ def build_tiled_schedule(plan: Plan, field,
             # block several tiles per grid step. Pad tiles are fully dead:
             # m == 0 everywhere, lane 0, packed row 0, throwaway pixels.
             t_pad = -(-t_kept // 8) * 8
-            uniq_r = hostmap.astype(np.int32)         # (T, lanes)
+            if sparse:
+                # two-level indirection resolved HERE: lanes name brick
+                # rows; the cell-coordinate ``base`` above already baked
+                # the geometric cell ids.
+                uniq_r = _sparse_rows_for_cells(
+                    hostmap, occ_host, (nz, ny, nx)).astype(np.int32)
+            else:
+                uniq_r = hostmap.astype(np.int32)     # (T, lanes)
             ke_k = ke_t[keep].astype(np.int32)
-            tile_ids_k = sel[keep].astype(np.int32)
+            # compose targets: global sub-tile ids; overflowed/ROI-dead
+            # sub-tiles -> drop sentinel
+            tile_ids_k = np.where(
+                sub_bad[keep] | (sub_tile_ids[sel][keep] < 0),
+                np.int32(1 << 30),
+                sub_tile_ids[sel][keep]).astype(np.int32)  # (T, n_sub)
             pids = pids.reshape(t_kept, RAYS_PER_TILE)
             if t_pad != t_kept:
                 extra = t_pad - t_kept
@@ -526,14 +641,14 @@ def build_tiled_schedule(plan: Plan, field,
                 uniq_r = np.concatenate(
                     [uniq_r, np.zeros((extra, lanes), np.int32)])
                 bank0 = np.concatenate(
-                    [bank0, np.zeros((extra, nc), np.int32)])
+                    [bank0, np.zeros((extra, nc, n_sub), np.int32)])
                 ray_ids_k = np.concatenate(
                     [ray_ids_k,
                      np.zeros((extra, RAYS_PER_TILE), np.int32)])
                 ke_k = np.concatenate([ke_k, np.zeros(extra, np.int32)])
                 tile_ids_k = np.concatenate(
                     [tile_ids_k,
-                     np.full(extra, n_tiles_all, np.int32)])  # dropped
+                     np.full((extra, n_sub), 1 << 30, np.int32)])  # dropped
                 pad_ids = (pad_pid_base + np.arange(
                     extra * RAYS_PER_TILE)).reshape(extra, RAYS_PER_TILE)
                 pad_pid_base += extra * RAYS_PER_TILE
@@ -567,18 +682,24 @@ def build_tiled_schedule(plan: Plan, field,
 
     hostmap_all = (np.concatenate(host_rows) if host_rows
                    else np.zeros(0, np.int32))
+    if sparse:
+        from dvren_tpu.fields.sparse_grid import BRICK as _BRICK
+        n_rows = int(field.bricks.shape[0]) * _BRICK ** 3
+    else:
+        n_rows = grid_ops.fullpitch_rows((nz, ny, nx))
     return TiledSchedule(
         groups=tuple(groups),
         fallback=fb,
         hostmap_all=jax.device_put(hostmap_all),
-        gather_plan=_build_gather_plan(
-            hostmap_all, grid_ops.fullpitch_rows((nz, ny, nx))),
+        gather_plan=_build_gather_plan(hostmap_all, n_rows),
         total_rays=n,
         tiled_samples=tiled_samples,
         full_lattice_samples=full_samples,
         fallback_rays=fb_count,
         grid_shape=(nz, ny, nx),
         bbox=(bbox_min, bbox_max),
+        tile_px=tile_px,
+        table_kind="sparse" if sparse else "dense",
     )
 
 
@@ -694,6 +815,27 @@ def _gather_bank_tables_bwd(group_shapes, res, cts):
 
 _gather_bank_tables.defvjp(_gather_bank_tables_fwd,
                            _gather_bank_tables_bwd)
+
+
+def _schedule_table(field, schedule: "TiledSchedule") -> jnp.ndarray:
+    """The flat (rows, 32) table the schedule's hostmap lanes index:
+    the full-pitch packed-stencil build for dense grids, or the brick
+    table reshaped flat for sparse fields (no build at all - the
+    schedule already resolved cell ids to brick rows)."""
+    if schedule.table_kind == "sparse":
+        check(hasattr(field, "bricks"),
+              "schedule was built for a sparse brick field")
+        check(tuple(int(v) for v in field.grid_shape)
+              == tuple(schedule.grid_shape),
+              "schedule was built for a different grid resolution")
+        return field.bricks.reshape(-1, 32)
+    check(tuple(int(v) for v in np.asarray(field.sigma.shape[:3]))
+          == tuple(schedule.grid_shape),
+          "schedule was built for a different grid resolution")
+    return grid_ops.build_packed_stencil_fullpitch(
+        field.sigma, field.color,
+        dtype=grid_ops.table_dtype(
+            getattr(field, "packed_dtype", "float32")))
 
 
 def _group_tables(packed_flat: jnp.ndarray, group: TileGroup) -> jnp.ndarray:
@@ -832,9 +974,6 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
     the windowed path, evaluating at a materially different camera would
     use a stale schedule - rebuild instead. Kernel path only.
     """
-    check(tuple(int(v) for v in np.asarray(field.sigma.shape[:3]))
-          == tuple(schedule.grid_shape),
-          "schedule was built for a different grid resolution")
     check(tuple(float(v) for v in field.bbox_min) == tuple(schedule.bbox[0])
           and tuple(float(v) for v in field.bbox_max)
           == tuple(schedule.bbox[1]),
@@ -843,10 +982,7 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
     check(getattr(field, "oob", OobPolicy.ZERO) == OobPolicy.ZERO,
           "tiled rendering requires an OOB_ZERO field")
 
-    packed_flat = grid_ops.build_packed_stencil_fullpitch(
-        field.sigma, field.color,
-        dtype=grid_ops.table_dtype(
-            getattr(field, "packed_dtype", "float32")))
+    packed_flat = _schedule_table(field, schedule)
 
     geom = (schedule.bbox[0], schedule.bbox[1], schedule.grid_shape)
     with_cam = k is not None or c2w is not None
@@ -904,10 +1040,12 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
                     axis=1).reshape(nt, 12, 128)
             raws.append(fused_tiles.render_tile_group_raw(
                 plan, geom, tabs, group.samp, group.base, rayt,
-                group.k_enter, group.bank0, group.n_chunks, gather=gather,
+                group.k_enter, group.bank0, group.n_chunks,
+                subs=(16 // schedule.tile_px) ** 2, gather=gather,
                 reduce=reduce, cam_grads=with_cam))
             ids.append(group.tile_ids)
-        return _compose_tiles(plan, raws, ids, fallback_parts)
+        return _compose_tiles(plan, raws, ids, fallback_parts,
+                              tile_px=schedule.tile_px)
 
     parts = [_group_outputs_reference(plan, packed_flat, group, geom)
              for group in schedule.groups] + fallback_parts
@@ -936,10 +1074,7 @@ def render_tiled_phases(plan: Plan, schedule: TiledSchedule,
     geom = (schedule.bbox[0], schedule.bbox[1], schedule.grid_shape)
 
     def tables_fn(field):
-        packed_flat = grid_ops.build_packed_stencil_fullpitch(
-            field.sigma, field.color,
-            dtype=grid_ops.table_dtype(
-                getattr(field, "packed_dtype", "float32")))
+        packed_flat = _schedule_table(field, schedule)
         if (packed_flat.dtype == jnp.float32
                 and schedule.gather_plan is not None
                 and schedule.hostmap_all.size):
@@ -954,7 +1089,9 @@ def render_tiled_phases(plan: Plan, schedule: TiledSchedule,
         return tuple(
             fused_tiles.render_tile_group_raw(
                 plan, geom, tb, g.samp, g.base, g.rayt, g.k_enter,
-                g.bank0, g.n_chunks, gather=gather, reduce=reduce)
+                g.bank0, g.n_chunks,
+                subs=(16 // schedule.tile_px) ** 2,
+                gather=gather, reduce=reduce)
             for g, tb in zip(schedule.groups, tabs))
 
     def compose_fn(field, raws):
@@ -966,33 +1103,41 @@ def render_tiled_phases(plan: Plan, schedule: TiledSchedule,
                     plan, budget, field, ids_dev, ke_dev, jit_rows))
         return _compose_tiles(plan, list(raws),
                               [g.tile_ids for g in schedule.groups],
-                              fallback_parts)
+                              fallback_parts,
+                              tile_px=schedule.tile_px)
 
     return tables_fn, kernel_fn, compose_fn
 
 
-def _compose_tiles(plan: Plan, raws, tile_ids, fallback_parts):
+def _compose_tiles(plan: Plan, raws, tile_ids, fallback_parts,
+                   tile_px: int = 16):
     """Compose the kernel's per-tile raw heads into image planes by TILE:
-    each (16, 16) output block IS its image tile (row = pixel y, lane =
-    pixel x), so composition is a ~n_tiles-start row scatter plus one
-    relayout - instead of a per-ray pixel scatter (1.3M scatter starts
-    ~4 ms/frame at 512^2). Dead rays/tiles carry the exact background
-    (odp = 0 -> T = 1, wd = 0 -> depth = t_far)."""
+    each (16, 16) output block IS its image region (row = pixel y, lane =
+    pixel x; in 8px sub-tiled mode the block's four contiguous 64-ray
+    spans are its 8x8 sub-tiles), so composition is a ~n_tiles-start row
+    scatter plus one relayout - instead of a per-ray pixel scatter (1.3M
+    scatter starts ~4 ms/frame at 512^2). Dead rays/tiles carry the exact
+    background (odp = 0 -> T = 1, wd = 0 -> depth = t_far)."""
     from dvren_tpu.ops import fused_tiles
     from dvren_tpu.ops.compose import ImagePlanes
 
     roi = plan.roi
-    tx_n = -(-roi.width // TILE_W)
-    ty_n = -(-roi.height // TILE_H)
-    n_tiles = tx_n * ty_n
+    n_sub = (16 // tile_px) ** 2
+    sx_n = -(-roi.width // tile_px)
+    sy_n = -(-roi.height // tile_px)
+    n_tiles = sx_n * sy_n
 
-    tiles5 = jnp.zeros((n_tiles, 5, TILE_H, TILE_W), jnp.float32)
+    tiles5 = jnp.zeros((n_tiles, 5, tile_px, tile_px), jnp.float32)
     if raws:
-        tiles5 = tiles5.at[jnp.concatenate(tile_ids)].set(
-            jnp.concatenate(raws), mode="drop")
-    a = tiles5.reshape(ty_n, tx_n, 5, TILE_H, TILE_W)
+        raw = jnp.concatenate(raws)               # (T, 5, 16, 16)
+        ids = jnp.concatenate(tile_ids).reshape(-1)
+        raw = raw.reshape(-1, 5, n_sub, tile_px * tile_px)
+        raw = raw.transpose(0, 2, 1, 3).reshape(
+            -1, 5, tile_px, tile_px)              # (T*n_sub, 5, px, px)
+        tiles5 = tiles5.at[ids].set(raw, mode="drop")
+    a = tiles5.reshape(sy_n, sx_n, 5, tile_px, tile_px)
     a = a.transpose(2, 0, 3, 1, 4).reshape(
-        5, ty_n * TILE_H, tx_n * TILE_W)
+        5, sy_n * tile_px, sx_n * tile_px)
     a = a[:, :roi.height, :roi.width]
     (r, g, b), t_final, opacity, depth = fused_tiles.finalize_heads(
         plan, a, axis=0)

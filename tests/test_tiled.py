@@ -203,3 +203,74 @@ def test_occupancy_all_empty_background():
     full = render(plan, zero).planes
     out = render_tiled(plan, zero, sched, use_kernel=False)
     assert_planes_close(out, full)
+
+
+def test_subtiled_8px_matches_full():
+    """Fine-grid mode (round 3): 8x8 sub-tiled schedules render
+    identically to the full pipeline through BOTH consumers."""
+    plan, field = scene(mode=SamplingMode.STRATIFIED)
+    jitter = plan_jitter_table(plan)
+    schedule = build_tiled_schedule(plan, field, jitter=jitter, tile_px=8)
+    assert schedule.tile_px == 8
+    full = render(plan, field, jitter=jnp.asarray(jitter)).planes
+    out = render_tiled(plan, field, schedule, use_kernel=False)
+    assert_planes_close(out, full)
+    out_k = render_tiled(plan, field, schedule, use_kernel=True)
+    assert_planes_close(out_k, full)
+
+
+def test_subtiled_rescues_fine_grid_overflow():
+    """A grid fine enough that 16px tiles overflow their slot tables
+    renders fully in-kernel with 8px sub-tiles (the reference's SDF
+    scene class, test_sdf_sphere.cpp:130-346, is exactly this regime)."""
+    rng = np.random.default_rng(9)
+    n = 32
+    w = 96
+    plan = Plan.create(PlanConfig(
+        width=w, height=w, t_near=0.2, t_far=2.2, seed=3,
+        camera=CameraConfig(
+            k=(w * 1.2, 0, w / 2, 0, w * 1.2, w / 2, 0, 0, 1),
+            c2w=(1, 0, 0, 0.5, 0, 1, 0, 0.5, 0, 0, 1, -1.0)),
+        sampling=SamplingConfig(dt=2.0 / 64, max_steps=64)))
+    field = DenseGridField.create(DenseGridConfig(
+        resolution=(n, n, n),
+        sigma=rng.uniform(0.5, 8.0, n ** 3),
+        color=rng.uniform(0, 1, 3 * n ** 3)))
+    s16 = build_tiled_schedule(plan, field, tile_px=16)
+    s8 = build_tiled_schedule(plan, field, tile_px=8)
+    assert s16.fallback_rays > 0, "scene no longer overflows 16px tiles"
+    assert s8.fallback_rays == 0, s8.fallback_rays
+
+    full = render(plan, field).planes
+    assert_planes_close(render_tiled(plan, field, s8, use_kernel=False),
+                        full)
+    assert_planes_close(render_tiled(plan, field, s8, use_kernel=True),
+                        full)
+    # the 16px schedule must also stay correct (partial sub-tile fallback)
+    assert_planes_close(render_tiled(plan, field, s16, use_kernel=False),
+                        full)
+
+
+def test_subtiled_gradients_match_full():
+    plan, field = scene()
+    schedule = build_tiled_schedule(plan, field, tile_px=8)
+    target = jnp.zeros((plan.height, plan.width, 3))
+
+    def loss_full(params):
+        f = field.with_params(*params)
+        return jnp.mean((render(plan, f).planes.image - target) ** 2)
+
+    def loss_tiled(params):
+        f = field.with_params(*params)
+        img = render_tiled(plan, f, schedule, use_kernel=True).image
+        return jnp.mean((img - target) ** 2)
+
+    params = (field.sigma, field.color)
+    g_full = jax.grad(loss_full)(params)
+    g_tiled = jax.grad(loss_tiled)(params)
+    np.testing.assert_allclose(np.asarray(g_tiled[0]),
+                               np.asarray(g_full[0]),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g_tiled[1]),
+                               np.asarray(g_full[1]),
+                               rtol=1e-4, atol=1e-7)
