@@ -36,8 +36,11 @@ from dvren_tpu.ops.grid import _axis_local
 from dvren_tpu.utils.pytree import pytree_dataclass
 
 BRICK = 8
-_CHANNELS = 32  # 8 corners x (sigma, r, g, b)
-_SIGMA_CH = tuple(range(0, 32, 4))
+_CHANNELS = 32  # channel-major: col = ch * 8 + corner (dz*4 + dy*2 + dx),
+#                 ch in (sigma, r, g, b) - the SAME layout as
+#                 ops/grid.py::build_packed_stencil_chmajor, so the fused
+#                 tile path consumes the brick table with zero relayout.
+_SIGMA_CH = tuple(range(8))
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -92,17 +95,22 @@ class SparseGridField:
             slab_sigma = sigma[z0:z_hi + 1]
             slab_color = color[z0:z_hi + 1]
             zc = z_hi - z0
-            # packed stencil for this slab of base cells
-            parts = []
+            # packed stencil for this slab of base cells, channel-major
+            # (col = ch * 8 + corner, matching build_packed_stencil_chmajor)
+            parts = [[], [], [], []]
             for dz in (0, 1):
                 for dy in (0, 1):
                     for dx in (0, 1):
-                        parts.append(
+                        parts[0].append(
                             slab_sigma[dz:dz + zc, dy:dy + ym,
                                        dx:dx + xm, None])
-                        parts.append(
-                            slab_color[dz:dz + zc, dy:dy + ym, dx:dx + xm, :])
-            packed = np.concatenate(parts, axis=-1)       # (zc, ym, xm, 32)
+                        for ch in range(3):
+                            parts[ch + 1].append(
+                                slab_color[dz:dz + zc, dy:dy + ym,
+                                           dx:dx + xm, ch:ch + 1])
+            packed = np.concatenate(
+                parts[0] + parts[1] + parts[2] + parts[3],
+                axis=-1)                                  # (zc, ym, xm, 32)
             packed = np.pad(
                 packed,
                 ((0, BRICK - zc), (0, pad_y - ym), (0, pad_x - xm), (0, 0)))
@@ -129,6 +137,16 @@ class SparseGridField:
             bbox_max=field.bbox_max,
             oob=field.oob,
         )
+
+    def with_params(self, bricks: jnp.ndarray) -> "SparseGridField":
+        """Same topology (occupancy, shape, bbox), new brick table - the
+        traced-parameter hook the Renderer's replay backward drives
+        (dense grids: with_params(sigma, color); sparse: the brick table
+        IS the parameter set, topology is static)."""
+        return SparseGridField(
+            bricks=bricks, occupancy=self.occupancy,
+            grid_shape=self.grid_shape, bbox_min=self.bbox_min,
+            bbox_max=self.bbox_max, oob=self.oob)
 
     # -- stats ----------------------------------------------------------------
 
@@ -201,7 +219,7 @@ class SparseGridField:
             w = w * (~outside)[:, None]
 
         s = cube.shape[0]
-        outs = jnp.einsum("sc,sck->ks", w, cube.reshape(s, 8, 4))
+        outs = jnp.einsum("sc,skc->ks", w, cube.reshape(s, 4, 8))
         return tuple(outs[c].reshape(shape) for c in range(4))
 
     # parity protocol used by tests / generic callers

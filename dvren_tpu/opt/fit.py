@@ -30,6 +30,13 @@ class FitConfig:
     target_psnr: float | None = 35.0
     log_every: int = 50
     sigma_min: float = 0.0       # project sigma to >= 0 after each step
+    sync_every: int = 1          # steps per device round trip: > 1 runs
+    #                              lax.scan blocks of K optimizer steps
+    #                              inside ONE dispatch (the tunnel costs
+    #                              ~36 ms/dispatch + a loss fetch per
+    #                              sync; the per-step loss history is
+    #                              still complete). Target-PSNR stop is
+    #                              checked per block.
 
 
 @dataclass
@@ -136,6 +143,62 @@ def make_train_step_scheduled(plan: Plan, cameras: Sequence[CameraConfig],
     return step
 
 
+def make_train_block_scheduled(plan: Plan, cameras: Sequence[CameraConfig],
+                               field, optimizer, k: int,
+                               mode: str = "tiled",
+                               sigma_min: float = 0.0):
+    """K optimizer steps per dispatch: ``lax.scan`` over the scheduled
+    step (one executable, one device round trip, K per-step losses).
+    Amortizes the tunnel's ~36 ms/dispatch + per-sync loss fetch across
+    K steps - the fit analogue of bench.py's K-frames-per-jit rule."""
+    from dvren_tpu.render.pipeline import plan_jitter_table
+
+    plans = view_plans(plan, cameras)
+    jitter = plan_jitter_table(plan)
+    if mode == "tiled":
+        from dvren_tpu.render.tiled import build_tiled_schedule, render_tiled
+        scheds = tuple(build_tiled_schedule(p, field, jitter=jitter)
+                       for p in plans)
+
+        def render_view(v, f, scheds):
+            return render_tiled(plans[v], f, scheds[v]).image
+    elif mode == "windowed":
+        from dvren_tpu.render.windowed import (build_schedule,
+                                               render_windowed_traced)
+        scheds = tuple(build_schedule(p, field.bbox_min, field.bbox_max,
+                                      jitter=jitter) for p in plans)
+
+        def render_view(v, f, scheds):
+            return render_windowed_traced(plans[v], f, scheds[v]).image
+    else:
+        raise ValueError(f"unknown scheduled mode: {mode}")
+
+    def loss_fn(params, field, targets, scheds):
+        f = field.with_params(*params) if isinstance(params, tuple) \
+            else field.with_params(params)
+        per_view = [mse(render_view(v, f, scheds), targets[v])
+                    for v in range(len(plans))]
+        return jnp.mean(jnp.stack(per_view))
+
+    @jax.jit
+    def raw_block(params, field, opt_state, targets, scheds):
+        def body(carry, _):
+            p, o = carry
+            loss, grads = jax.value_and_grad(loss_fn)(
+                p, field, targets, scheds)
+            updates, o = optimizer.update(grads, o, p)
+            p = _project(optax.apply_updates(p, updates), sigma_min)
+            return (p, o), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=k)
+        return params, opt_state, losses
+
+    def block(params, field, opt_state, targets):
+        return raw_block(params, field, opt_state, targets, scheds)
+
+    return block
+
+
 def scheduled_mode_for(field) -> str | None:
     """Pick the fastest applicable schedule mode for a field (None when
     only the plain dense-lattice path applies)."""
@@ -207,9 +270,15 @@ def fit_dense_grid(plan: Plan, field, cameras: Sequence[CameraConfig],
     opt_state = optimizer.init(params)
     if mode is None:
         mode = scheduled_mode_for(field) or "plain"
+    k = max(int(config.sync_every), 1)
     if mode == "plain":
+        k = 1
         step = make_train_step(plan, cameras, optimizer,
                                sigma_min=config.sigma_min)
+    elif k > 1:
+        step = make_train_block_scheduled(plan, cameras, field, optimizer,
+                                          k, mode=mode,
+                                          sigma_min=config.sigma_min)
     else:
         step = make_train_step_scheduled(plan, cameras, field, optimizer,
                                          mode=mode,
@@ -218,27 +287,30 @@ def fit_dense_grid(plan: Plan, field, cameras: Sequence[CameraConfig],
 
     result = FitResult(field=field)
     t0 = time.perf_counter()
-    for i in range(config.steps):
+    n_blocks = -(-config.steps // k)
+    for i in range(n_blocks):
         # The (sigma >= 0, color in [0,1]) projection runs inside the
         # jitted step (host-side it cost 2 extra dispatches per step).
         params, opt_state, loss = step(params, field, opt_state, targets)
         if i == 0:
             jax.block_until_ready(loss)
             result.first_step_s = time.perf_counter() - t0
-        loss_f = float(loss)
-        p = float(psnr(loss))
-        result.loss_history.append(loss_f)
-        result.psnr_history.append(p)
-        result.steps_run = i + 1
+        losses = (np.asarray(loss, np.float64).reshape(-1) if k > 1
+                  else np.asarray([float(loss)]))
+        ps = [float(psnr(jnp.float32(lf))) for lf in losses]
+        result.loss_history.extend(float(lf) for lf in losses)
+        result.psnr_history.extend(ps)
+        result.steps_run = (i + 1) * k
         if checkpoint_cb is not None and (i + 1) % max(config.log_every, 1) == 0:
-            checkpoint_cb(field.with_params(*params), i + 1, p)
-        if config.target_psnr is not None and p >= config.target_psnr:
+            checkpoint_cb(field.with_params(*params), result.steps_run,
+                          ps[-1])
+        if config.target_psnr is not None and ps[-1] >= config.target_psnr:
             result.reached_target = True
             break
     result.wall_clock_s = time.perf_counter() - t0
-    if result.steps_run > 1:
+    if result.steps_run > k:
         result.steady_step_ms = (
             (result.wall_clock_s - result.first_step_s)
-            / (result.steps_run - 1) * 1e3)
+            / (result.steps_run - k) * 1e3)
     result.field = field.with_params(*params)
     return result

@@ -142,6 +142,9 @@ class BackwardResult:
     color: np.ndarray           # (3*voxel_count,) float32
     camera: np.ndarray          # (3, 4) float32 = dL/d(c2w)
     camera_k: np.ndarray | None = None        # (3, 3) dL/dK
+    bricks: np.ndarray | None = None  # sparse fields: dL/d(brick table),
+    #                                   (n_bricks, 512, 32); sigma/color
+    #                                   are then empty
     sample_count: int = 0
 
 
@@ -376,6 +379,13 @@ class Renderer:
         """The tile-table path handles dense OOB_ZERO trilinear grids with
         generated rays (the schedule precomputes cells + fractions)."""
         from dvren_tpu.core.plan import InterpMode, OobPolicy
+        if hasattr(field, "bricks") and hasattr(field, "occupancy"):
+            # SparseGridField: implicitly trilinear OOB_ZERO; the
+            # scheduler resolves the brick indirection at build time so
+            # the kernel path is identical to dense (round 3).
+            shape = tuple(int(v) for v in field.grid_shape)
+            return (getattr(field, "oob", None) == OobPolicy.ZERO
+                    and len(shape) == 3 and min(shape) >= 2)
         try:
             shape = tuple(int(v) for v in np.asarray(field.sigma.shape[:3]))
         except Exception:
@@ -403,17 +413,22 @@ class Renderer:
                 and self._tile_eligible(field))
 
     def _tiled_schedule_key(self, field) -> tuple:
+        sparse = hasattr(field, "bricks")
+        shape = (tuple(int(v) for v in field.grid_shape) if sparse
+                 else tuple(int(v)
+                            for v in np.asarray(field.sigma.shape[:3])))
         key = (tuple(np.asarray(field.bbox_min, np.float64).tolist()),
                tuple(np.asarray(field.bbox_max, np.float64).tolist()),
-               tuple(int(v) for v in np.asarray(field.sigma.shape[:3])))
+               shape, sparse)
         if self._options.use_occupancy:
             # Occupancy windows depend on the zero set: rebuild when the
             # sigma array OBJECT changes. The Renderer holds a strong
-            # reference to the schedule's sigma (``_occ_sigma_ref``, set
-            # at build time), so this id can never be a recycled address
-            # of a dead array (ADVICE r2: a bare id-keyed cache could
-            # silently replay a stale occupancy schedule after GC).
-            key = key + (id(field.sigma),)
+            # reference to the schedule's arrays (``_occ_sigma_ref``, set
+            # at build time), so these ids can never be recycled
+            # addresses of dead arrays (ADVICE r2: a bare id-keyed cache
+            # could silently replay a stale occupancy schedule after GC).
+            key = key + ((id(field.bricks), id(field.occupancy)) if sparse
+                         else (id(field.sigma),))
         return key
 
 
@@ -423,7 +438,7 @@ class Renderer:
         bound (graph_cuda.cu:151-168); here "capture" = jit AOT, so the
         training-step replay never hits a cold compile."""
         try:
-            params = (field.sigma, field.color)
+            params = self._grad_params(field)
             dl0 = jnp.zeros((self._plan.height, self._plan.width, 3),
                             jnp.float32)
             k0 = jnp.asarray(self._plan.camera.k, jnp.float32).reshape(3, 3)
@@ -455,25 +470,30 @@ class Renderer:
             self._tiled_schedule = tiled_mod.build_tiled_schedule(
                 self._plan, field, jitter=self._jitter_host,
                 occupancy=self._options.use_occupancy)
-            heavy = (self._tiled_schedule.fallback_rays * 10
-                     > self._tiled_schedule.total_rays)
-            if heavy:
-                # Fine-grid rescue (round 3): 8x8 sub-tiles quarter the
-                # cells a slot table must hold - the reference's SDF
-                # scene class (800^2/160^3) and 512^2/128^3 render fully
-                # in-kernel this way where 16px tiles overflow.
-                s8 = tiled_mod.build_tiled_schedule(
+            # Fine-grid rescue (round 3): sub-tiles divide the cells a
+            # slot table must hold - the reference's SDF scene class
+            # (800^2/160^3) and 512^2/128^3 render fully in-kernel at
+            # 8px where 16px tiles overflow; ~2 px/cell scenes
+            # (256^3 under 512^2) need 4px.
+            for px in (8, 4):
+                if (self._tiled_schedule.fallback_rays * 10
+                        <= self._tiled_schedule.total_rays):
+                    break
+                s_fine = tiled_mod.build_tiled_schedule(
                     self._plan, field, jitter=self._jitter_host,
-                    occupancy=self._options.use_occupancy, tile_px=8)
-                if s8.fallback_rays < self._tiled_schedule.fallback_rays:
-                    self._tiled_schedule = s8
-                    stats.notes.append("tiled_subtiled_8px")
+                    occupancy=self._options.use_occupancy, tile_px=px)
+                if (s_fine.fallback_rays
+                        < self._tiled_schedule.fallback_rays):
+                    self._tiled_schedule = s_fine
+                    stats.notes.append(f"tiled_subtiled_{px}px")
             self._tiled_key = key
-            # Keep the schedule's sigma alive so the id() in the cache key
+            # Keep the schedule's arrays alive so the ids in the cache key
             # cannot be recycled by a later allocation (see
             # _tiled_schedule_key).
-            self._occ_sigma_ref = (field.sigma
-                                   if self._options.use_occupancy else None)
+            self._occ_sigma_ref = (
+                ((field.bricks, field.occupancy)
+                 if hasattr(field, "bricks") else field.sigma)
+                if self._options.use_occupancy else None)
             schedule = self._tiled_schedule
             # Auto mode demotes to the windowed path when most rays'
             # tiles STILL overflow the slot tables (grids finer than
@@ -687,12 +707,17 @@ class Renderer:
         mode = self._last_mode
         # The streamed/windowed backward drives field.with_params + the
         # dense sigma/color params; the in-memory path needs the explicit
-        # scatter hook. Either way, only dense voxel grids are supported.
-        dense_like = (hasattr(field, "accumulate_sample_gradients")
-                      if mode in ("fused", "override")
-                      else (hasattr(field, "with_params")
-                            and hasattr(field, "sigma")
-                            and hasattr(field, "color")))
+        # scatter hook. Voxel grids only - except the tiled replay, which
+        # also differentiates sparse brick fields (the brick table is the
+        # parameter set; round 3).
+        sparse_tiled = (mode == "tiled" and hasattr(field, "bricks")
+                        and hasattr(field, "with_params"))
+        dense_like = sparse_tiled or (
+            hasattr(field, "accumulate_sample_gradients")
+            if mode in ("fused", "override")
+            else (hasattr(field, "with_params")
+                  and hasattr(field, "sigma")
+                  and hasattr(field, "color")))
         if not dense_like:
             raise DvrenError.unsupported(
                 "Renderer.backward targets dense voxel grids (the reference "
@@ -751,6 +776,15 @@ class Renderer:
         return jnp.asarray(dl_img)
 
     @staticmethod
+    def _grad_params(field) -> tuple:
+        """Traced parameter leaves for ``field.with_params`` on the
+        replay backward paths: (sigma, color) for dense grids, (bricks,)
+        for sparse brick fields."""
+        if hasattr(field, "bricks"):
+            return (field.bricks,)
+        return (field.sigma, field.color)
+
+    @staticmethod
     def _field_meta_key(field) -> tuple:
         """Static facts a cached backward executable was traced against;
         a later call with different field *metadata* (same array shapes)
@@ -760,10 +794,19 @@ class Renderer:
                 getattr(field, "packed_dtype", None))
 
     def _finish_backward(self, grads, out: BackwardResult | None):
-        (sigma_g, color_g), dc2w, dk = grads
+        params_g, dc2w, dk = grads
         result = out or BackwardResult(
             sigma=np.empty(0), color=np.empty(0),
             camera=np.zeros((3, 4), np.float32))
+        if len(params_g) == 1:      # sparse brick field: (bricks,)
+            result.bricks = np.asarray(params_g[0], np.float32)
+            result.sigma = np.empty(0, np.float32)
+            result.color = np.empty(0, np.float32)
+            result.camera = np.asarray(dc2w, np.float32)
+            result.camera_k = np.asarray(dk, np.float32)
+            result.sample_count = self._analytic_sample_count()
+            return result
+        sigma_g, color_g = params_g
         result.sigma = np.asarray(sigma_g, np.float32).reshape(-1)
         result.color = np.asarray(color_g, np.float32).reshape(-1)
         result.camera = np.asarray(dc2w, np.float32)
@@ -847,11 +890,11 @@ class Renderer:
 
         aot = self._bwd_aot.get("tiled")
         if aot is not None and aot[1] == self._field_meta_key(field):
-            grads = aot[0]((field.sigma, field.color), c2w0, k0, dl_dev,
+            grads = aot[0](self._grad_params(field), c2w0, k0, dl_dev,
                            schedule)
         else:
             grads = self._get_tiled_bwd(field)(
-                (field.sigma, field.color), c2w0, k0, dl_dev, schedule)
+                self._grad_params(field), c2w0, k0, dl_dev, schedule)
         return self._finish_backward(grads, out)
 
     def _get_window_bwd(self, field):

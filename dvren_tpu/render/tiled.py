@@ -141,7 +141,8 @@ class GatherPlan:
 
 @pytree_dataclass(meta_fields=("total_rays", "tiled_samples",
                                "full_lattice_samples", "fallback_rays",
-                               "grid_shape", "bbox", "tile_px"))
+                               "grid_shape", "bbox", "tile_px",
+                               "table_kind"))
 @dataclass(frozen=True)
 class TiledSchedule:
     groups: tuple            # of TileGroup
@@ -161,8 +162,8 @@ class TiledSchedule:
     fallback_rays: int
     grid_shape: tuple        # (nz, ny, nx) the schedule's cell ids index
     bbox: tuple              # ((min), (max)) the windows/cells assume
-    tile_px: int = 16        # compose granularity: 16 or 8 (fine-grid
-    #                          sub-tiled mode; kernel subs = (16/tile_px)^2
+    tile_px: int = 16        # compose granularity: 16, 8 or 4 (fine-grid
+    #                          sub-tiled modes; kernel subs = (16/tile_px)^2
     table_kind: str = "dense"  # "dense": hostmap rows index the full-pitch
     #                            packed-stencil table; "sparse": rows index
     #                            the brick table (slot * 512 + local), the
@@ -341,15 +342,16 @@ def build_tiled_schedule(plan: Plan, field,
     WHERE the field's zeros are: reuse it only while the zero set is
     unchanged (inference / frozen-topology training).
 
-    ``tile_px``: 16 (default) or 8. 8 is the FINE-GRID mode: each kernel
-    block still covers 16x16 pixels but as 2x2 sub-tiles of 8x8 with
-    independent bank windows, quartering the cells a slot table must
-    hold - measured 0% slot overflow at 512^2 over 128^3 (58% of 16px
-    tiles overflow) and at the reference's 800^2/160^3 SDF shell with
-    occupancy (91% overflow at 16px). Overflowing SUB-tiles (not whole
-    blocks) fall back to the windowed path.
+    ``tile_px``: 16 (default), 8, or 4 - the FINE-GRID modes: each
+    kernel block still covers 16x16 pixels but as (16/tile_px)^2
+    sub-tiles with independent bank windows, dividing the cells a slot
+    table must hold. 8px: 0% slot overflow at 512^2 over 128^3 (58% of
+    16px tiles overflow) and at the reference's 800^2/160^3 SDF shell
+    with occupancy (91% overflow at 16px). 4px (one block row per
+    sub-tile) reaches ~2 px/cell scenes: 256^3 under 512^2. Overflowing
+    SUB-tiles (not whole blocks) fall back to the windowed path.
     """
-    check(tile_px in (8, 16), "tile_px must be 8 or 16")
+    check(tile_px in (4, 8, 16), "tile_px must be 4, 8 or 16")
     n_sub = (16 // tile_px) ** 2
     check(getattr(field, "oob", OobPolicy.ZERO) == OobPolicy.ZERO,
           "tiled rendering requires an OOB_ZERO field")
@@ -515,11 +517,17 @@ def build_tiled_schedule(plan: Plan, field,
             fb = ids_rs[sub_bad][live_rs[sub_bad]]
             if fb.size:
                 fallback_rays.append(fb)
-            # dead sub-tiles: no runs, no live samples
+            # dead sub-tiles: no runs, no live samples, and NO hostmap
+            # writes - without clearing ``new`` their unique cells would
+            # still fill hostmap lanes at their zeroed offset, clobbering
+            # the live runs anchored at lane 0.
             nuniq3 = np.where(sub_bad[:, None, :], 0, nuniq3)
             m_l = (m_l.reshape(t_cnt, nc, n_sub, sub_cols)
                    * ~sub_bad[:, None, :, None]).reshape(
                 t_cnt, nc, 16, 128)
+            row_bad = np.broadcast_to(
+                sub_bad[:, None, :], (t_cnt, nc, n_sub)).reshape(-1)
+            new[row_bad] = False
 
         off = np.zeros((t_cnt, nc, n_sub), np.int64)
         nb_tile = np.zeros(t_cnt, np.int64)

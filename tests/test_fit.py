@@ -63,6 +63,30 @@ def test_fit_recovers_views():
     assert float(result.field.color.max()) <= 1.0
 
 
+def test_fit_blocked_sync_matches_per_step():
+    """sync_every=K runs K optimizer steps per dispatch (lax.scan inside
+    one jit); the per-step loss trajectory must match the per-step loop."""
+    plan = make_plan()
+    cams = cameras()
+    truth = truth_field()
+    targets = np.asarray(render_views(plan, truth, cams))
+    init = truth.with_params(
+        jnp.full_like(truth.sigma, 0.5), jnp.full_like(truth.color, 0.5))
+    a = fit_dense_grid(plan, init, cams, targets,
+                       FitConfig(learning_rate=5e-2, steps=12,
+                                 target_psnr=None))
+    b = fit_dense_grid(plan, init, cams, targets,
+                       FitConfig(learning_rate=5e-2, steps=12,
+                                 target_psnr=None, sync_every=4))
+    assert b.steps_run == 12
+    np.testing.assert_allclose(np.asarray(b.loss_history),
+                               np.asarray(a.loss_history),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(b.field.sigma),
+                               np.asarray(a.field.sigma),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_psnr_definition():
     assert float(psnr(jnp.asarray(1e-3))) == pytest.approx(30.0)
 

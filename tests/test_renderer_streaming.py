@@ -7,6 +7,7 @@ from dvren_tpu import (
     CameraConfig, Context, DenseGridConfig, DenseGridField, DvrenError,
     Plan, PlanConfig, Renderer, RenderOptions, SamplingConfig, SamplingMode,
 )
+from dvren_tpu.render.pipeline import render
 
 
 def scene(mode=SamplingMode.STRATIFIED):
@@ -177,13 +178,16 @@ def test_explicit_use_window_beats_auto_tiles(monkeypatch):
     assert r2._use_tiles(field)
 
 
-def test_auto_tiles_demotes_on_heavy_fallback(monkeypatch):
-    """Fine grids under wide frusta overflow the tile slot tables (256^3 at
-    512^2 is 100% fallback); auto mode must demote to the windowed path
-    instead of paying the tiled machinery for nothing."""
+def test_auto_tiles_rescues_fine_grid(monkeypatch):
+    """Fine grids under wide frusta overflow the 16px/8px slot tables
+    (round 2 demoted exactly this class to the windowed path); auto mode
+    now rescues them with 4px sub-tiles - one block row per sub-tile,
+    <= 128 samples so a run can never exceed the 256-cell limit - and
+    stays on the kernel with real camera gradients."""
     import jax
+    from dvren_tpu.ops import fused_tiles, packed_transpose
     rng = np.random.default_rng(4)
-    n = 96  # fine grid against a tiny image -> every tile overflows
+    n = 96  # fine grid against a tiny image: 16px/8px tiles all overflow
     plan = Plan.create(PlanConfig(
         width=32, height=32, t_near=0.3, t_far=2.3, seed=5,
         camera=CameraConfig(
@@ -196,13 +200,49 @@ def test_auto_tiles_demotes_on_heavy_fallback(monkeypatch):
         color=rng.uniform(0, 1, 3 * n ** 3)))
     r = Renderer(Context.create(), plan)  # auto mode
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # the faked TPU backend must not reach Mosaic on the CPU test host
+    monkeypatch.setattr(fused_tiles, "_interpret_default", lambda: True)
+    monkeypatch.setattr(packed_transpose, "_interpret_default",
+                        lambda: True)
+    fr = r.forward(field)
+    notes = " ".join(fr.stats.notes)
+    assert "tiled_subtiled_4px" in notes
+    assert "tiled_path" in notes
+    assert "tiled_demoted_to_windowed" not in notes
+    full = render(plan, field).planes
+    np.testing.assert_allclose(
+        np.asarray(fr.image).reshape(plan.height, plan.width, 3),
+        np.asarray(full.image), atol=1e-4)
+    # backward rides the tiled replay, with REAL camera grads
+    br = r.backward(field, np.ones(plan.ray_count * 3, np.float32))
+    assert br.sigma.shape == (n ** 3,)
+    assert np.abs(br.camera).sum() > 0
+
+
+def test_auto_tiles_demotes_on_heavy_fallback(monkeypatch):
+    """The demotion safety net: when even the finest rescue schedule
+    leaves most rays in fallback, auto mode runs the windowed path
+    instead of paying the tiled machinery for nothing."""
+    import dataclasses
+    import jax
+    from dvren_tpu.render import tiled as tiled_mod
+    plan, field = windowed_scene()
+    real_build = tiled_mod.build_tiled_schedule
+
+    def heavy_build(*a, **kw):
+        s = real_build(*a, **kw)
+        return dataclasses.replace(s, fallback_rays=s.total_rays)
+
+    monkeypatch.setattr(tiled_mod, "build_tiled_schedule", heavy_build)
+    r = Renderer(Context.create(), plan)  # auto mode
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     fr = r.forward(field)
     notes = " ".join(fr.stats.notes)
     assert "tiled_demoted_to_windowed" in notes
     assert "windowed_path" in notes
     # backward must route through the windowed schedule, with camera grads
     br = r.backward(field, np.ones(plan.ray_count * 3, np.float32))
-    assert br.sigma.shape == (n ** 3,)
+    assert br.sigma.shape == np.asarray(field.sigma).reshape(-1).shape
     assert np.abs(br.camera).sum() > 0
 
 

@@ -251,6 +251,66 @@ def test_subtiled_rescues_fine_grid_overflow():
                         full)
 
 
+def test_subtiled_4px_rescues_2px_per_cell():
+    """~2 px/cell (the 256^3-under-512^2 class scaled down: 48^3 under
+    96^2): 8px sub-tiles still overflow, 4px (one block row per
+    sub-tile) renders fully in-kernel."""
+    rng = np.random.default_rng(11)
+    n = 48
+    w = 96
+    plan = Plan.create(PlanConfig(
+        width=w, height=w, t_near=0.2, t_far=2.2, seed=5,
+        camera=CameraConfig(
+            k=(w * 1.2, 0, w / 2, 0, w * 1.2, w / 2, 0, 0, 1),
+            c2w=(1, 0, 0, 0.5, 0, 1, 0, 0.5, 0, 0, 1, -1.0)),
+        sampling=SamplingConfig(dt=2.0 / 96, max_steps=96)))
+    field = DenseGridField.create(DenseGridConfig(
+        resolution=(n, n, n),
+        sigma=rng.uniform(0.5, 8.0, n ** 3),
+        color=rng.uniform(0, 1, 3 * n ** 3)))
+    s8 = build_tiled_schedule(plan, field, tile_px=8)
+    s4 = build_tiled_schedule(plan, field, tile_px=4)
+    assert s8.fallback_rays > 0, "scene no longer overflows 8px tiles"
+    assert s4.fallback_rays == 0, s4.fallback_rays
+    full = render(plan, field).planes
+    assert_planes_close(render_tiled(plan, field, s4, use_kernel=False),
+                        full)
+    assert_planes_close(render_tiled(plan, field, s4, use_kernel=True),
+                        full)
+
+
+def test_subtiled_partial_fallback():
+    """8px blocks where SOME sub-tiles overflow: the overflowed subs'
+    rays ride the windowed fallback while the live subs stay in-kernel.
+    Regression: bad-sub rows used to clobber hostmap lane 0 (their
+    offsets are zeroed), corrupting every live sub-tile in the block."""
+    rng = np.random.default_rng(2)
+    n = 20
+    w = 32
+    plan = Plan.create(PlanConfig(
+        width=w, height=w, t_near=0.2, t_far=2.6,
+        camera=CameraConfig(
+            k=(w * 1.25, 0, w / 2, 0, w * 1.25, w / 2, 0, 0, 1),
+            c2w=(1, 0, 0, 0.3, 0, 1, 0, 0.3, 0, 0, 1, -1.0)),
+        sampling=SamplingConfig(dt=0.04, max_steps=60)))
+    zs, ys, xs = np.meshgrid(*([np.linspace(0, 1, n)] * 3), indexing="ij")
+    r2 = (xs - 0.3) ** 2 + (ys - 0.3) ** 2 + (zs - 0.3) ** 2
+    sigma = 15.0 * np.exp(-r2 / 0.1)
+    sigma[sigma < 1e-3] = 0.0
+    color = np.stack([xs, ys, zs], axis=-1)
+    field = DenseGridField.create(DenseGridConfig(
+        resolution=(n, n, n), sigma=sigma.astype(np.float32).reshape(-1),
+        color=color.astype(np.float32).reshape(-1)))
+    s8 = build_tiled_schedule(plan, field, tile_px=8)
+    assert s8.fallback_rays > 0, "scene no longer partially overflows"
+    assert s8.fallback_rays < s8.total_rays
+    full = render(plan, field).planes
+    assert_planes_close(render_tiled(plan, field, s8, use_kernel=False),
+                        full)
+    assert_planes_close(render_tiled(plan, field, s8, use_kernel=True),
+                        full)
+
+
 def test_subtiled_gradients_match_full():
     plan, field = scene()
     schedule = build_tiled_schedule(plan, field, tile_px=8)

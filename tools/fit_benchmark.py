@@ -29,6 +29,7 @@ def main() -> int:
     parser.add_argument("--psnr", type=float, default=35.0)
     parser.add_argument("--max-steps", type=int, default=2000)
     parser.add_argument("--lr", type=float, default=5e-2)
+    parser.add_argument("--sync-every", type=int, default=8)
     args = parser.parse_args()
 
     import numpy as np
@@ -84,7 +85,8 @@ def main() -> int:
     result = fit_dense_grid(
         plan, init, cams, targets,
         FitConfig(learning_rate=args.lr, steps=args.max_steps,
-                  target_psnr=args.psnr, log_every=100))
+                  target_psnr=args.psnr, log_every=100,
+                  sync_every=args.sync_every))
 
     out = {
         "metric": "grid_fit_s_to_psnr",
@@ -100,6 +102,7 @@ def main() -> int:
         # ~36 ms/dispatch on this harness, not the chip.
         "first_step_s": round(result.first_step_s, 2),
         "steady_step_ms": round(result.steady_step_ms, 1),
+        "sync_every": args.sync_every,
         "device": str(jax.devices()[0]),
         "config": f"{g}^3 grid, {args.views} views @ {w}x{h}",
     }
