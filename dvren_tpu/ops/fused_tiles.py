@@ -259,6 +259,13 @@ def _win_expand(m0, m1, col, idx2):
     rejects broadcast from a re-sliced intermediate, "Invalid input
     layout")."""
     rows = idx2.shape[0]
+    if rows == 1:
+        # Mosaic's dynamic_gather lowering rejects single-sublane
+        # shapes ("Shape mismatch in input, indices and output");
+        # broadcast to a full 8-sublane vreg (free on the VPU - (1, 128)
+        # ops occupy a vreg anyway) and slice the first row back.
+        return _win_expand(m0, m1, col,
+                           jnp.broadcast_to(idx2, (8, LANES)))[0:1]
     r0 = jnp.broadcast_to(m0[col:col + 1, :], (rows, LANES))
     r1 = jnp.broadcast_to(m1[col:col + 1, :], (rows, LANES))
     v0 = jnp.take_along_axis(r0, jnp.clip(idx2, 0, LANES - 1), axis=1)

@@ -85,6 +85,40 @@ def _project(params, sigma_min: float):
     return (jnp.maximum(params[0], sigma_min), jnp.clip(params[1], 0.0, 1.0))
 
 
+def _scheduled_views(plan: Plan, cameras: Sequence[CameraConfig], field,
+                     mode: str):
+    """Per-view plans + host-built schedules + a traced view renderer.
+
+    Tiled schedules use the fine-grid auto cascade (16 -> 8 -> 4 px
+    sub-tiles, render/tiled.py::build_tiled_schedule_auto): training
+    views are often coarser than the grid (e.g. 96^2 views of a 64^3
+    grid are ~1.5 px/cell), where fixed 16px tables overflow and every
+    step would pay the slow fallback path."""
+    from dvren_tpu.render.pipeline import plan_jitter_table
+
+    plans = view_plans(plan, cameras)
+    jitter = plan_jitter_table(plan)
+    if mode == "tiled":
+        from dvren_tpu.render.tiled import (build_tiled_schedule_auto,
+                                            render_tiled)
+        scheds = tuple(build_tiled_schedule_auto(p, field, jitter=jitter)[0]
+                       for p in plans)
+
+        def render_view(v, f, scheds):
+            return render_tiled(plans[v], f, scheds[v]).image
+    elif mode == "windowed":
+        from dvren_tpu.render.windowed import (build_schedule,
+                                               render_windowed_traced)
+        scheds = tuple(build_schedule(p, field.bbox_min, field.bbox_max,
+                                      jitter=jitter) for p in plans)
+
+        def render_view(v, f, scheds):
+            return render_windowed_traced(plans[v], f, scheds[v]).image
+    else:
+        raise ValueError(f"unknown scheduled mode: {mode}")
+    return plans, scheds, render_view
+
+
 def make_train_step_scheduled(plan: Plan, cameras: Sequence[CameraConfig],
                               field, optimizer, mode: str = "tiled",
                               sigma_min: float = 0.0):
@@ -100,25 +134,8 @@ def make_train_step_scheduled(plan: Plan, cameras: Sequence[CameraConfig],
     """
     from dvren_tpu.render.pipeline import plan_jitter_table
 
-    plans = view_plans(plan, cameras)
-    jitter = plan_jitter_table(plan)
-    if mode == "tiled":
-        from dvren_tpu.render.tiled import build_tiled_schedule, render_tiled
-        scheds = tuple(build_tiled_schedule(p, field, jitter=jitter)
-                       for p in plans)
-
-        def render_view(v, f, scheds):
-            return render_tiled(plans[v], f, scheds[v]).image
-    elif mode == "windowed":
-        from dvren_tpu.render.windowed import (build_schedule,
-                                               render_windowed_traced)
-        scheds = tuple(build_schedule(p, field.bbox_min, field.bbox_max,
-                                      jitter=jitter) for p in plans)
-
-        def render_view(v, f, scheds):
-            return render_windowed_traced(plans[v], f, scheds[v]).image
-    else:
-        raise ValueError(f"unknown scheduled mode: {mode}")
+    plans, scheds, render_view = _scheduled_views(plan, cameras, field,
+                                                  mode)
 
     def loss_fn(params, field, targets, scheds):
         f = field.with_params(*params) if isinstance(params, tuple) \
@@ -151,27 +168,8 @@ def make_train_block_scheduled(plan: Plan, cameras: Sequence[CameraConfig],
     step (one executable, one device round trip, K per-step losses).
     Amortizes the tunnel's ~36 ms/dispatch + per-sync loss fetch across
     K steps - the fit analogue of bench.py's K-frames-per-jit rule."""
-    from dvren_tpu.render.pipeline import plan_jitter_table
-
-    plans = view_plans(plan, cameras)
-    jitter = plan_jitter_table(plan)
-    if mode == "tiled":
-        from dvren_tpu.render.tiled import build_tiled_schedule, render_tiled
-        scheds = tuple(build_tiled_schedule(p, field, jitter=jitter)
-                       for p in plans)
-
-        def render_view(v, f, scheds):
-            return render_tiled(plans[v], f, scheds[v]).image
-    elif mode == "windowed":
-        from dvren_tpu.render.windowed import (build_schedule,
-                                               render_windowed_traced)
-        scheds = tuple(build_schedule(p, field.bbox_min, field.bbox_max,
-                                      jitter=jitter) for p in plans)
-
-        def render_view(v, f, scheds):
-            return render_windowed_traced(plans[v], f, scheds[v]).image
-    else:
-        raise ValueError(f"unknown scheduled mode: {mode}")
+    plans, scheds, render_view = _scheduled_views(plan, cameras, field,
+                                                  mode)
 
     def loss_fn(params, field, targets, scheds):
         f = field.with_params(*params) if isinstance(params, tuple) \

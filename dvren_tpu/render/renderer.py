@@ -467,25 +467,17 @@ class Renderer:
         key = self._tiled_schedule_key(field)
         if self._tiled_schedule is None or self._tiled_key != key:
             t0 = time.perf_counter()
-            self._tiled_schedule = tiled_mod.build_tiled_schedule(
-                self._plan, field, jitter=self._jitter_host,
-                occupancy=self._options.use_occupancy)
             # Fine-grid rescue (round 3): sub-tiles divide the cells a
             # slot table must hold - the reference's SDF scene class
             # (800^2/160^3) and 512^2/128^3 render fully in-kernel at
             # 8px where 16px tiles overflow; ~2 px/cell scenes
             # (256^3 under 512^2) need 4px.
-            for px in (8, 4):
-                if (self._tiled_schedule.fallback_rays * 10
-                        <= self._tiled_schedule.total_rays):
-                    break
-                s_fine = tiled_mod.build_tiled_schedule(
+            self._tiled_schedule, note = \
+                tiled_mod.build_tiled_schedule_auto(
                     self._plan, field, jitter=self._jitter_host,
-                    occupancy=self._options.use_occupancy, tile_px=px)
-                if (s_fine.fallback_rays
-                        < self._tiled_schedule.fallback_rays):
-                    self._tiled_schedule = s_fine
-                    stats.notes.append(f"tiled_subtiled_{px}px")
+                    occupancy=self._options.use_occupancy)
+            if note:
+                stats.notes.append(note)
             self._tiled_key = key
             # Keep the schedule's arrays alive so the ids in the cache key
             # cannot be recycled by a later allocation (see

@@ -170,6 +170,28 @@ class TiledSchedule:
     #                            two-level indirection resolved at build
 
 
+def build_tiled_schedule_auto(plan: Plan, field,
+                              jitter: np.ndarray | None = None,
+                              occupancy: bool = False):
+    """Build the schedule at the coarsest tile_px whose slot tables hold
+    the scene: 16px, then the 8px / 4px fine-grid rescues when >10% of
+    rays fall back (finer sub-tiles divide the cells a table must hold;
+    4px can never overflow - <= 128 samples per run). Returns
+    (schedule, note_or_None)."""
+    sched = build_tiled_schedule(plan, field, jitter=jitter,
+                                 occupancy=occupancy)
+    note = None
+    for px in (8, 4):
+        if sched.fallback_rays * 10 <= sched.total_rays:
+            break
+        s_fine = build_tiled_schedule(plan, field, jitter=jitter,
+                                      occupancy=occupancy, tile_px=px)
+        if s_fine.fallback_rays < sched.fallback_rays:
+            sched = s_fine
+            note = f"tiled_subtiled_{px}px"
+    return sched, note
+
+
 def _tile_rays(plan: Plan, tile_px: int = 16):
     """Global ray ids per 256-ray block, (n_blocks, 256) with -1 padding.
 
