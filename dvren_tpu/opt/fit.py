@@ -87,36 +87,51 @@ def _project(params, sigma_min: float):
 
 def _scheduled_views(plan: Plan, cameras: Sequence[CameraConfig], field,
                      mode: str):
-    """Per-view plans + host-built schedules + a traced view renderer.
+    """Per-view plans + host-built schedules + a traced stack renderer
+    (``render_stack(f, scheds) -> (V, H, W, 3)``).
 
     Tiled schedules use the fine-grid auto cascade (16 -> 8 -> 4 px
     sub-tiles, render/tiled.py::build_tiled_schedule_auto): training
     views are often coarser than the grid (e.g. 96^2 views of a 64^3
     grid are ~1.5 px/cell), where fixed 16px tables overflow and every
-    step would pay the slow fallback path."""
+    step would pay the slow fallback path. All views build at ONE
+    tile_px with quantized group shapes and merge into a single
+    :class:`MergedViewSchedule` - one kernel call per (nc, nb) class
+    serves every view, and the Mosaic variant set is shared (unmerged,
+    8 views at 96^2/4px meant ~50 kernel calls over ~100 variants and
+    >17 min of client trace+lowering per process)."""
     from dvren_tpu.render.pipeline import plan_jitter_table
 
     plans = view_plans(plan, cameras)
     jitter = plan_jitter_table(plan)
     if mode == "tiled":
-        from dvren_tpu.render.tiled import (build_tiled_schedule_auto,
-                                            render_tiled)
-        scheds = tuple(build_tiled_schedule_auto(p, field, jitter=jitter)[0]
-                       for p in plans)
+        from dvren_tpu.render.tiled import (build_tiled_schedule,
+                                            build_tiled_schedule_auto,
+                                            merge_view_schedules,
+                                            render_tiled_stack)
+        s0, _ = build_tiled_schedule_auto(plans[0], field, jitter=jitter,
+                                          quantize=True)
+        per_view = (s0,) + tuple(
+            build_tiled_schedule(p, field, jitter=jitter,
+                                 tile_px=s0.tile_px, quantize=True)
+            for p in plans[1:])
+        scheds = merge_view_schedules(per_view)
 
-        def render_view(v, f, scheds):
-            return render_tiled(plans[v], f, scheds[v]).image
+        def render_stack(f, scheds):
+            return render_tiled_stack(plan, f, scheds)
     elif mode == "windowed":
         from dvren_tpu.render.windowed import (build_schedule,
                                                render_windowed_traced)
         scheds = tuple(build_schedule(p, field.bbox_min, field.bbox_max,
                                       jitter=jitter) for p in plans)
 
-        def render_view(v, f, scheds):
-            return render_windowed_traced(plans[v], f, scheds[v]).image
+        def render_stack(f, scheds):
+            return jnp.stack(
+                [render_windowed_traced(plans[v], f, scheds[v]).image
+                 for v in range(len(plans))])
     else:
         raise ValueError(f"unknown scheduled mode: {mode}")
-    return plans, scheds, render_view
+    return plans, scheds, render_stack
 
 
 def make_train_step_scheduled(plan: Plan, cameras: Sequence[CameraConfig],
@@ -132,17 +147,13 @@ def make_train_step_scheduled(plan: Plan, cameras: Sequence[CameraConfig],
     on the field's bbox + resolution only, so they stay valid across
     parameter updates.
     """
-    from dvren_tpu.render.pipeline import plan_jitter_table
-
-    plans, scheds, render_view = _scheduled_views(plan, cameras, field,
-                                                  mode)
+    plans, scheds, render_stack = _scheduled_views(plan, cameras, field,
+                                                   mode)
 
     def loss_fn(params, field, targets, scheds):
         f = field.with_params(*params) if isinstance(params, tuple) \
             else field.with_params(params)
-        per_view = [mse(render_view(v, f, scheds), targets[v])
-                    for v in range(len(plans))]
-        return jnp.mean(jnp.stack(per_view))
+        return mse(render_stack(f, scheds), targets)
 
     # schedules cross the jit boundary as pytree ARGUMENTS (embedding them
     # as closure constants bloats the HLO past remote-compile limits)
@@ -168,15 +179,13 @@ def make_train_block_scheduled(plan: Plan, cameras: Sequence[CameraConfig],
     step (one executable, one device round trip, K per-step losses).
     Amortizes the tunnel's ~36 ms/dispatch + per-sync loss fetch across
     K steps - the fit analogue of bench.py's K-frames-per-jit rule."""
-    plans, scheds, render_view = _scheduled_views(plan, cameras, field,
-                                                  mode)
+    plans, scheds, render_stack = _scheduled_views(plan, cameras, field,
+                                                   mode)
 
     def loss_fn(params, field, targets, scheds):
         f = field.with_params(*params) if isinstance(params, tuple) \
             else field.with_params(params)
-        per_view = [mse(render_view(v, f, scheds), targets[v])
-                    for v in range(len(plans))]
-        return jnp.mean(jnp.stack(per_view))
+        return mse(render_stack(f, scheds), targets)
 
     @jax.jit
     def raw_block(params, field, opt_state, targets, scheds):

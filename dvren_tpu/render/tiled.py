@@ -172,20 +172,22 @@ class TiledSchedule:
 
 def build_tiled_schedule_auto(plan: Plan, field,
                               jitter: np.ndarray | None = None,
-                              occupancy: bool = False):
+                              occupancy: bool = False,
+                              quantize: bool = False):
     """Build the schedule at the coarsest tile_px whose slot tables hold
     the scene: 16px, then the 8px / 4px fine-grid rescues when >10% of
     rays fall back (finer sub-tiles divide the cells a table must hold;
     4px can never overflow - <= 128 samples per run). Returns
     (schedule, note_or_None)."""
     sched = build_tiled_schedule(plan, field, jitter=jitter,
-                                 occupancy=occupancy)
+                                 occupancy=occupancy, quantize=quantize)
     note = None
     for px in (8, 4):
         if sched.fallback_rays * 10 <= sched.total_rays:
             break
         s_fine = build_tiled_schedule(plan, field, jitter=jitter,
-                                      occupancy=occupancy, tile_px=px)
+                                      occupancy=occupancy, tile_px=px,
+                                      quantize=quantize)
         if s_fine.fallback_rays < sched.fallback_rays:
             sched = s_fine
             note = f"tiled_subtiled_{px}px"
@@ -346,10 +348,32 @@ def _tighten_windows_by_occupancy(plan, o, d, k_enter_ray, k_count_ray,
     return new_ke.astype(np.int32), new_cnt.astype(np.int32)
 
 
+# Kernel-variant quantization series: group shapes (chunk counts, bank
+# counts) round UP to the nearest member, so every (nc, nb) pair maps to
+# a small shared set of Pallas kernel instantiations. Ratio <= 1.34 bounds
+# the padding waste; padded chunks are fully masked samples (exact zeros
+# in every sum) and padded banks are never indexed (b1 clamps at nb - 1),
+# so quantized schedules render BIT-IDENTICAL images. Multi-view training
+# is the motivating case: 8 views at 96^2/4px produced ~100 distinct
+# (nc, nb) pairs = ~100 Mosaic kernel compiles inside one train step
+# (measured: >17 min of client-side trace+lowering); quantized they share
+# <= a dozen.
+_QUANT = (1, 2, 3, 4, 5, 6, 8, 10, 13, 16, 20, 26, 32, 42, 52, 64, 84,
+          104, 128, 168, 208, 256)
+
+
+def _quant_up(v: int, cap: int | None = None) -> int:
+    for q in _QUANT:
+        if q >= v:
+            return q if cap is None else min(q, cap)
+    return v
+
+
 def build_tiled_schedule(plan: Plan, field,
                          jitter: np.ndarray | None = None,
                          occupancy: bool = False,
-                         tile_px: int = 16) -> TiledSchedule:
+                         tile_px: int = 16,
+                         quantize: bool = False) -> TiledSchedule:
     """Build the tile-table schedule for (plan, field bbox + resolution).
 
     ``jitter``: the (N, K) host table for stratified plans
@@ -372,6 +396,11 @@ def build_tiled_schedule(plan: Plan, field,
     with occupancy (91% overflow at 16px). 4px (one block row per
     sub-tile) reaches ~2 px/cell scenes: 256^3 under 512^2. Overflowing
     SUB-tiles (not whole blocks) fall back to the windowed path.
+
+    ``quantize=True`` rounds each group's (chunk count, bank count) up to
+    the ``_QUANT`` series so kernel variants are shared across schedules
+    - use for multi-view training where every view otherwise instantiates
+    its own kernel shapes (bit-identical output; <= ~30% padded work).
     """
     check(tile_px in (4, 8, 16), "tile_px must be 4, 8 or 16")
     n_sub = (16 // tile_px) ** 2
@@ -429,6 +458,12 @@ def build_tiled_schedule(plan: Plan, field,
     budget = np.maximum(tile_kx - tile_ke, 0)
     budget = np.minimum(-(-budget // CHUNK) * CHUNK, -(-k_max // CHUNK) * CHUNK)
     n_chunks_tile = (budget // CHUNK).astype(np.int64)
+    if quantize:
+        nc_cap = -(-k_max // CHUNK)
+        lut = np.array([_quant_up(v, nc_cap)
+                        for v in range(int(n_chunks_tile.max()) + 1)]
+                       if n_chunks_tile.size else [0], np.int64)
+        n_chunks_tile = lut[n_chunks_tile]
 
     roi = plan.roi
     full_samples = n * k_max
@@ -568,6 +603,9 @@ def build_tiled_schedule(plan: Plan, field,
                     off[t, c, s2] = cur if n_c > 0 else 0
                     cur += n_c
             nb_tile[t] = max(-(-cur // MAX_CELLS), 1)
+        if quantize:
+            for t in np.nonzero(~overflow)[0]:
+                nb_tile[t] = _quant_up(int(nb_tile[t]))
 
         for nb in sorted(set(nb_tile[~overflow].tolist())):
             keep = (~overflow) & (nb_tile == nb)
@@ -1084,6 +1122,177 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
             plan, *windowed_mod._empty_parts())
     return windowed_mod._compose_planes(
         plan, *(jnp.concatenate([p[i] for p in parts]) for i in range(5)))
+
+
+@pytree_dataclass(meta_fields=("view_slices", "n_views"))
+@dataclass(frozen=True)
+class MergedViewSchedule:
+    """All views' tile groups merged by (chunk count, bank count) class.
+
+    Multi-view training renders V views per optimizer step; per-view
+    schedules issue ~V x groups kernel calls and (before shape
+    quantization) instantiate per-view kernel variants. Tiles are
+    independent, so tiles from DIFFERENT views sharing a (nc, nb) class
+    merge into one group: one kernel call and ONE planned table gather
+    cover every view. Measured at the fit flagship (8 views @ 96^2, 4px):
+    ~50 kernel calls -> ~6, with the quantized variant set shared.
+
+    ``view_slices``: static, per merged group, tuple of
+    (view, t_start, t_count) tile-axis runs (view-major order).
+    """
+
+    sched: TiledSchedule         # merged groups; fallback=None
+    view_fallbacks: tuple        # per view: windowed schedule | None
+    view_slices: tuple
+    n_views: int
+
+
+def merge_view_schedules(scheds) -> MergedViewSchedule:
+    """Merge per-view TiledSchedules (same plan geometry, same field,
+    same tile_px) into a :class:`MergedViewSchedule`."""
+    base = scheds[0]
+    for s in scheds[1:]:
+        check(s.tile_px == base.tile_px
+              and s.grid_shape == base.grid_shape
+              and s.bbox == base.bbox
+              and s.table_kind == base.table_kind,
+              "merge_view_schedules: schedules must share tile_px, grid "
+              "and bbox (build all views at one tile_px)")
+    keys = sorted({(g.n_chunks, g.banks)
+                   for s in scheds for g in s.groups})
+    merged, slices_all, host_parts = [], [], []
+    t_samples = 0
+    for key in keys:
+        parts, slices, t_off = [], [], 0
+        for v, s in enumerate(scheds):
+            for g in s.groups:
+                if (g.n_chunks, g.banks) == key:
+                    parts.append(g)
+                    slices.append((v, t_off, g.n_tiles))
+                    t_off += g.n_tiles
+        t_samples += sum(p.samples for p in parts)
+
+        def cat(name):
+            if len(parts) == 1:
+                return getattr(parts[0], name)
+            return jnp.concatenate([getattr(p, name) for p in parts])
+
+        host_parts.extend(np.asarray(p.hostmap) for p in parts)
+        merged.append(TileGroup(
+            n_chunks=key[0], n_tiles=t_off, banks=key[1],
+            hostmap=cat("hostmap"), samp=cat("samp"), base=cat("base"),
+            rayt=cat("rayt"), bank0=cat("bank0"), ray_ids=cat("ray_ids"),
+            k_enter=cat("k_enter"), pixel_ids=cat("pixel_ids"),
+            tile_ids=cat("tile_ids"),
+            samples=sum(p.samples for p in parts)))
+        slices_all.append(tuple(slices))
+
+    hostmap_all = (np.concatenate(host_parts) if host_parts
+                   else np.zeros(0, np.int32))
+    n_rows = (int(base.gather_plan.inv_map.shape[0])
+              if base.gather_plan is not None
+              else next((int(s.gather_plan.inv_map.shape[0])
+                         for s in scheds
+                         if s.gather_plan is not None), 1))
+    sched = TiledSchedule(
+        groups=tuple(merged), fallback=None,
+        hostmap_all=jax.device_put(hostmap_all),
+        gather_plan=_build_gather_plan(hostmap_all, n_rows),
+        total_rays=sum(s.total_rays for s in scheds),
+        tiled_samples=t_samples,
+        full_lattice_samples=sum(s.full_lattice_samples for s in scheds),
+        fallback_rays=sum(s.fallback_rays for s in scheds),
+        grid_shape=base.grid_shape, bbox=base.bbox,
+        tile_px=base.tile_px, table_kind=base.table_kind)
+    return MergedViewSchedule(
+        sched=sched,
+        view_fallbacks=tuple(s.fallback for s in scheds),
+        view_slices=tuple(slices_all),
+        n_views=len(scheds))
+
+
+def render_tiled_stack(plan: Plan, field, merged: MergedViewSchedule,
+                       use_kernel: bool = True, gather: str = "dg",
+                       reduce: str = "mxu") -> jnp.ndarray:
+    """Render every merged view in one pass -> (V, H, W, 3) image stack.
+
+    One packed-table build + ONE planned bank-table gather + one kernel
+    call per merged (nc, nb) group serve all views; per-view composition
+    slices each group's output rows by ``view_slices``. Traceable in the
+    field (the multi-view train-step hot path)."""
+    sched = merged.sched
+    check(tuple(float(v) for v in field.bbox_min) == tuple(sched.bbox[0])
+          and tuple(float(v) for v in field.bbox_max)
+          == tuple(sched.bbox[1]),
+          "merged schedule was built for a different field bbox")
+    packed_flat = _schedule_table(field, sched)
+    geom = (sched.bbox[0], sched.bbox[1], sched.grid_shape)
+    subs = (16 // sched.tile_px) ** 2
+
+    if use_kernel:
+        from dvren_tpu.ops import fused_tiles
+
+        group_tabs = None
+        if (packed_flat.dtype == jnp.float32
+                and sched.gather_plan is not None
+                and sched.hostmap_all.size):
+            group_tabs = _gather_bank_tables(
+                packed_flat, sched.hostmap_all, sched.gather_plan,
+                tuple((g.n_tiles, g.banks) for g in sched.groups))
+        raws = []
+        for gi, group in enumerate(sched.groups):
+            tabs = (group_tabs[gi] if group_tabs is not None
+                    else _group_tables(packed_flat, group))
+            raws.append(fused_tiles.render_tile_group_raw(
+                plan, geom, tabs, group.samp, group.base, group.rayt,
+                group.k_enter, group.bank0, group.n_chunks,
+                subs=subs, gather=gather, reduce=reduce))
+    else:
+        parts = [_group_outputs_reference(plan, packed_flat, group, geom)
+                 for group in sched.groups]
+
+    images = []
+    for v in range(merged.n_views):
+        fallback_parts = []
+        fb = merged.view_fallbacks[v]
+        if fb is not None:
+            for (budget, ids_dev, ke_dev, jit_rows) in fb.groups:
+                fallback_parts.append(windowed_mod._group_outputs(
+                    plan, budget, field, ids_dev, ke_dev, jit_rows))
+        if use_kernel:
+            raws_v, ids_v = [], []
+            for gi, group in enumerate(sched.groups):
+                for (vv, t0, cnt) in merged.view_slices[gi]:
+                    if vv != v:
+                        continue
+                    raws_v.append(raws[gi][t0:t0 + cnt])
+                    ids_v.append(group.tile_ids[t0:t0 + cnt])
+            planes = _compose_tiles(plan, raws_v, ids_v, fallback_parts,
+                                    tile_px=sched.tile_px)
+        else:
+            parts_v = []
+            for gi, group in enumerate(sched.groups):
+                pix = parts[gi][0].reshape(group.n_tiles, RAYS_PER_TILE)
+                heads = [p.reshape((group.n_tiles, RAYS_PER_TILE)
+                                   + p.shape[1:])
+                         for p in parts[gi][1:]]
+                for (vv, t0, cnt) in merged.view_slices[gi]:
+                    if vv != v:
+                        continue
+                    parts_v.append(
+                        (pix[t0:t0 + cnt].reshape(-1),)
+                        + tuple(h[t0:t0 + cnt].reshape((-1,) + h.shape[2:])
+                                for h in heads))
+            parts_v = parts_v + fallback_parts
+            if not parts_v:
+                planes = windowed_mod._compose_planes(
+                    plan, *windowed_mod._empty_parts())
+            else:
+                planes = windowed_mod._compose_planes(
+                    plan, *(jnp.concatenate([p[i] for p in parts_v])
+                            for i in range(5)))
+        images.append(planes.image)
+    return jnp.stack(images)
 
 
 def render_tiled_phases(plan: Plan, schedule: TiledSchedule,
