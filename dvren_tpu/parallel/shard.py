@@ -114,6 +114,8 @@ def shard_tiled_schedule(schedule, n_dev: int):
                 a = np.concatenate([a, pad_block])
             return a.reshape((n_dev, tp // n_dev) + a.shape[1:])
 
+        # pad tiles' lanes are dead: -1 marks clamp to row 0 in the
+        # device gather (same as the schedule's own dead lanes)
         hostmap = np.asarray(g.hostmap).reshape(t, -1)
         groups.append(dict(
             samp=jnp.asarray(pad(g.samp)),
@@ -121,7 +123,7 @@ def shard_tiled_schedule(schedule, n_dev: int):
             rayt=jnp.asarray(pad(g.rayt)),
             bank0=jnp.asarray(pad(g.bank0)),
             k_enter=jnp.asarray(pad(g.k_enter)),
-            hostmap=jnp.asarray(pad(hostmap)),
+            hostmap=jnp.asarray(pad(hostmap, fill=-1)),
             # pad tiles scatter to a huge id -> dropped by mode="drop"
             tile_ids=jnp.asarray(pad(g.tile_ids, fill=1 << 30)),
         ))

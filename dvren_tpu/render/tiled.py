@@ -620,7 +620,13 @@ def build_tiled_schedule(plan: Plan, field,
             rank_k = rank[rowsel]
             off_k = off[keep].reshape(-1)        # (t_kept*nc*n_sub,)
 
-            hostmap = np.zeros((t_kept, lanes), np.int64)
+            # Dead lanes (bank-space rounding, pad tiles, empty-run
+            # anchors) carry -1: the device gathers clamp them to row 0
+            # (take mode="clip", same bytes as before), but the backward's
+            # gather plan EXCLUDES them - at the 512^2/64^3 headline they
+            # were 19% of all slot rows, all funneled into one
+            # pathological 123k-row count class for cell 0.
+            hostmap = np.full((t_kept, lanes), -1, np.int64)
             rws, cls = np.nonzero(new_k & (sc_k != _SENTINEL))
             hostmap[rws // (nc * n_sub), off_k[rws] + rank_k[rws, cls]] = \
                 sc_k[rws, cls]
@@ -649,9 +655,11 @@ def build_tiled_schedule(plan: Plan, field,
                 axis=2).astype(np.float32)  # (T, nc, 2, 16, 128)
 
             # Per-lane cell base coordinates (the host's clipped floor
-            # indices, exactly - recovered from the lane's cell id).
-            iz_u = hostmap // (ny * nx)
-            rem_u = hostmap % (ny * nx)
+            # indices, exactly - recovered from the lane's cell id; dead
+            # -1 lanes clamp to cell 0 like the device gather does).
+            hm_c = np.maximum(hostmap, 0)
+            iz_u = hm_c // (ny * nx)
+            rem_u = hm_c % (ny * nx)
             base = np.stack(
                 [(rem_u % nx), (rem_u // nx), iz_u],
                 axis=1).astype(np.float32)            # (T, 3, lanes)
@@ -683,10 +691,13 @@ def build_tiled_schedule(plan: Plan, field,
                 # two-level indirection resolved HERE: lanes name brick
                 # rows; the cell-coordinate ``base`` above already baked
                 # the geometric cell ids.
-                uniq_r = _sparse_rows_for_cells(
-                    hostmap, occ_host, (nz, ny, nx)).astype(np.int32)
+                uniq_r = np.where(
+                    hostmap >= 0,
+                    _sparse_rows_for_cells(hm_c, occ_host,
+                                           (nz, ny, nx)).astype(np.int64),
+                    np.int64(-1)).astype(np.int32)
             else:
-                uniq_r = hostmap.astype(np.int32)     # (T, lanes)
+                uniq_r = hostmap.astype(np.int32)     # (T, lanes), -1 dead
             ke_k = ke_t[keep].astype(np.int32)
             # compose targets: global sub-tile ids; overflowed/ROI-dead
             # sub-tiles -> drop sentinel
@@ -707,7 +718,7 @@ def build_tiled_schedule(plan: Plan, field,
                     [rayt, np.zeros((extra,) + rayt.shape[1:],
                                     np.float32)])
                 uniq_r = np.concatenate(
-                    [uniq_r, np.zeros((extra, lanes), np.int32)])
+                    [uniq_r, np.full((extra, lanes), -1, np.int32)])
                 bank0 = np.concatenate(
                     [bank0, np.zeros((extra, nc, n_sub), np.int32)])
                 ray_ids_k = np.concatenate(
@@ -788,7 +799,14 @@ def _build_gather_plan(hostmap_all: np.ndarray, n_cells: int) -> tuple:
     s_total = int(hostmap_all.size)
     if s_total == 0:
         return None
-    order = np.argsort(hostmap_all, kind="stable").astype(np.int64)
+    # Dead lanes are marked -1 (pad tiles, bank-space rounding, empty-run
+    # anchors): their cotangents are exact zeros, so they are EXCLUDED
+    # from the transpose (19% of all slot rows at the headline config,
+    # previously one pathological 123k-row class on cell 0).
+    valid = np.nonzero(hostmap_all >= 0)[0].astype(np.int64)
+    if valid.size == 0:
+        return None
+    order = valid[np.argsort(hostmap_all[valid], kind="stable")]
     sorted_cells = hostmap_all[order]
     cells, first, counts = np.unique(
         sorted_cells, return_index=True, return_counts=True)

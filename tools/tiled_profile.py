@@ -47,7 +47,8 @@ def main():
     from dvren_tpu.ops import fused_tiles
     from dvren_tpu.render.pipeline import plan_jitter_table
     from dvren_tpu.render.tiled import (
-        build_tiled_schedule, render_tiled, _group_tables)
+        build_tiled_schedule, render_tiled, _group_tables,
+        _gather_bank_tables, _schedule_table)
 
     def log(msg):
         print(f"[prof] {msg}", file=_sys.stderr, flush=True)
@@ -84,27 +85,26 @@ def main():
         log(f"{name}: {s * 1e3:.2f} ms/frame")
         return s
 
-    # 1. packed-table build only
+    shapes = tuple((g.n_tiles, g.banks) for g in sched.groups)
+
+    # 1. packed-table build only (the PRODUCTION full-pitch build)
     def packed_only(f, sched):
-        packed = grid_ops.build_packed_stencil_chmajor(f.sigma, f.color)
+        packed = _schedule_table(f, sched)
         return packed.reshape(-1)[::65537].sum()
     t_packed = timed("packed build", packed_only)
 
-    # 2. packed build + gather all group tables (isolates the row gather)
+    # 2. packed build + the ONE planned bank-table gather (production)
     def gather_only(f, sched):
-        packed = grid_ops.build_packed_stencil_chmajor(f.sigma, f.color)
-        flat = packed.reshape(-1, 32)
-        acc = jnp.float32(0)
-        for g in sched.groups:
-            tabs = _group_tables(flat, g)
-            acc += tabs[..., ::31].sum()
-        return acc
+        packed = _schedule_table(f, sched)
+        tabs = _gather_bank_tables(packed, sched.hostmap_all,
+                                   sched.gather_plan, shapes)
+        return sum(t[..., ::31].sum() for t in tabs)
     t_gather = timed("packed+gather", gather_only)
 
     # 3. kernel only: pre-gathered tabs as scan carry-independent args
-    packed0 = grid_ops.build_packed_stencil_chmajor(field.sigma, field.color)
-    flat0 = packed0.reshape(-1, 32)
-    tabs0 = tuple(_group_tables(flat0, g) for g in sched.groups)
+    flat0 = _schedule_table(field, sched)
+    tabs0 = tuple(_gather_bank_tables(flat0, sched.hostmap_all,
+                                      sched.gather_plan, shapes))
 
     geom = (sched.bbox[0], sched.bbox[1], sched.grid_shape)
 
@@ -131,14 +131,14 @@ def main():
     # 3b. packed + gather + kernel (production chain, no compose): clean
     # kernel attribution without the tabs-scaling copies of phase 3.
     def pgk(f, sched):
-        packed = grid_ops.build_packed_stencil_chmajor(f.sigma, f.color)
-        flat = packed.reshape(-1, 32)
+        flat = _schedule_table(f, sched)
         geom2 = (sched.bbox[0], sched.bbox[1], sched.grid_shape)
+        tabs = _gather_bank_tables(flat, sched.hostmap_all,
+                                   sched.gather_plan, shapes)
         acc = jnp.float32(0)
-        for g in sched.groups:
-            tabs = _group_tables(flat, g)
+        for gi, g in enumerate(sched.groups):
             out = fused_tiles.render_tile_group(
-                plan, geom2, tabs, g.samp, g.base, g.rayt,
+                plan, geom2, tabs[gi], g.samp, g.base, g.rayt,
                 g.k_enter, g.bank0, g.n_chunks)
             acc += out[0][::513].sum()
         return acc
@@ -180,16 +180,17 @@ def main():
         # b. grad of gather+kernel wrt the packed table: adds the
         # hostmap scatter (take_rows_exact vjp).
         def loss_pk(flat, sched):
+            tabs = _gather_bank_tables(flat, sched.hostmap_all,
+                                       sched.gather_plan, shapes)
             acc = jnp.float32(0)
-            for g in sched.groups:
-                tabs = _group_tables(flat, g)
+            for gi, g in enumerate(sched.groups):
                 out = fused_tiles.render_tile_group(
-                    plan, geom, tabs, g.samp, g.base, g.rayt,
+                    plan, geom, tabs[gi], g.samp, g.base, g.rayt,
                     g.k_enter, g.bank0, g.n_chunks)
                 acc += (out[0] ** 2).sum()
             return acc
 
-        flat0j = jnp.asarray(flat0)
+        flat0j = flat0
 
         def pk_reps(scales, sched, flat):
             def one(carry, s):
