@@ -341,14 +341,20 @@ def _build_fullpitch_bwd(dtype_name, res, ct):
     d_planes = []
     i = 0
     for _ in range(4):
-        acc = jnp.zeros((p + pad,), jnp.float32)
+        # Sum of 8 STATICALLY padded shifts: each corner's cotangent row
+        # lands at [off, off + n_rows) of the (p + pad)-long plane. The
+        # previous .at[off:].add chain emitted 32 SERIALIZED window
+        # scatters (each pass reads+writes the full accumulator); static
+        # pads fuse with the add into one parallel elementwise pass.
+        shifted = []
         for dz in (0, 1):
             for dy in (0, 1):
                 for dx in (0, 1):
                     off = dz * y * x + dy * x + dx
-                    acc = acc.at[off:off + n_rows].add(t[i])
+                    shifted.append(jnp.pad(
+                        t[i], (off, p + pad - n_rows - off)))
                     i += 1
-        d_planes.append(acc[:p])
+        d_planes.append(sum(shifted)[:p])
     d_sigma = d_planes[0].reshape(sigma_shape)
     d_color = jnp.stack([d.reshape(sigma_shape) for d in d_planes[1:]],
                         axis=-1)
