@@ -93,6 +93,9 @@ def _group_matrices():
 # Mosaic; Precision.HIGH raises NotImplementedError.
 _MASK_PRECISION = jax.lax.Precision.HIGHEST
 
+# Production group-reduction strategy (tools/kernel_ablate.py picks it).
+DEFAULT_REDUCE = "mxu"
+
 
 def _mask_dot(x, m):
     return jnp.dot(x, m, preferred_element_type=jnp.float32,
@@ -119,6 +122,24 @@ def _mask_dot3(x, m_bf16):
     acc = None
     for part in _split3_bf16(x):
         d = jnp.dot(part, m_bf16, preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    return acc
+
+
+def _scatter_dot_hi(x, oh):
+    """sum_l x[., l] * oh[s, l] at HIGHEST (6 MXU passes)."""
+    return jax.lax.dot_general(x, oh, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_MASK_PRECISION)
+
+
+def _scatter_dot3(x, oh_bf16):
+    """Same contraction as :func:`_scatter_dot_hi` in THREE bf16 passes
+    (the one-hot is bf16-exact; see _mask_dot3)."""
+    acc = None
+    for part in _split3_bf16(x):
+        d = jax.lax.dot_general(part, oh_bf16, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
         acc = d if acc is None else acc + d
     return acc
 
@@ -164,6 +185,9 @@ def _group_sum_roll(x):
 class _MxuReduce:
     """Group reductions on the MXU (the production default)."""
 
+    onehot_dtype = jnp.float32
+    scatter_dot = staticmethod(_scatter_dot_hi)
+
     def __init__(self):
         self.m_excl, self.m_all, self.m_suf = _group_matrices()
 
@@ -187,6 +211,9 @@ class _MxuReduce:
 class _Mxu3Reduce:
     """Group reductions as 3-pass bf16-split mask matmuls (see
     :func:`_mask_dot3`): same sums as HIGHEST at half the MXU passes."""
+
+    onehot_dtype = jnp.bfloat16
+    scatter_dot = staticmethod(_scatter_dot3)
 
     def __init__(self):
         m_excl, m_all, m_suf = _group_matrices()
@@ -212,6 +239,9 @@ class _Mxu3Reduce:
 
 class _RollReduce:
     """Group reductions as VPU butterflies (probe ablation)."""
+
+    onehot_dtype = jnp.float32
+    scatter_dot = staticmethod(_scatter_dot_hi)
 
     prefix_excl = staticmethod(_prefix_excl_roll)
     suffix_excl = staticmethod(_suffix_excl_roll)
@@ -339,14 +369,18 @@ def _sample_geometry(samp_c, win, rayt, *, lo, inv, ns):
     device positions only perturbs a fraction continuously - it can never
     flip a sample to a different cell or into/out of the mask.
 
-    samp_c: (2, R, 128) = sample_t f32, bitcast(tile-local lidx | m << 15).
+    samp_c: (3, R, 128) u16 = [sample_t hi16, sample_t lo16,
+    tile-local lidx | m << 15] (6 B/sample; sample_t's exact f32 bits
+    reassemble as (hi << 16) | lo).
     win: the chunk's :class:`_Windows` (per-sub-tile bank windows).
     rayt: six (R, 128) planes ox, oy, oz, dx, dy, dz (from _expand_rayt).
     Returns (idx2 (R,128) window-relative i32, weights
     ((wx0,wx1),(wy..),(wz..)) with m folded into wz).
     """
-    st = samp_c[0]
-    packed = pltpu.bitcast(samp_c[1], jnp.int32)
+    st = pltpu.bitcast(
+        (samp_c[0].astype(jnp.uint32) << 16)
+        | samp_c[1].astype(jnp.uint32), jnp.float32)
+    packed = samp_c[2].astype(jnp.int32)
     m = ((packed >> 15) & 1).astype(jnp.float32)
     idx2 = win.idx2(packed & 0x7FFF)
 
@@ -639,16 +673,10 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
                     # contract both on lanes: d[ch, s] = sum_l d_cr * oh
                     lrow = jnp.broadcast_to(idx2[r:r + 1, :],
                                             (LANES, LANES))
-                    oh0 = (slot == lrow).astype(jnp.float32)
-                    oh1 = (slot + LANES == lrow).astype(jnp.float32)
-                    d0 = d0 + jax.lax.dot_general(
-                        d_cr, oh0, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=_MASK_PRECISION)
-                    d1 = d1 + jax.lax.dot_general(
-                        d_cr, oh1, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=_MASK_PRECISION)
+                    oh0 = (slot == lrow).astype(red.onehot_dtype)
+                    oh1 = (slot + LANES == lrow).astype(red.onehot_dtype)
+                    d0 = d0 + red.scatter_dot(d_cr, oh0)
+                    d1 = d1 + red.scatter_dot(d_cr, oh1)
                 # In-place bank accumulation into the sub-tile's window;
                 # when a window clamps (b1 == b0) no idx2 reaches bank-1
                 # slots, so its d1 is exactly zero.
@@ -666,9 +694,11 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
                 # Supersedes the reference's permanent zero dCam stub
                 # (/root/reference/hotpath/src/cpu/diff_cpu.cpp:41-47,74)
                 # ON the fused fast path.
-                packed = pltpu.bitcast(samp_ref[g, c, 1], jnp.int32)
+                packed = samp_ref[g, c, 2].astype(jnp.int32)
                 m = ((packed >> 15) & 1).astype(jnp.float32)
-                st = samp_ref[g, c, 0]
+                st = pltpu.bitcast(
+                    (samp_ref[g, c, 0].astype(jnp.uint32) << 16)
+                    | samp_ref[g, c, 1].astype(jnp.uint32), jnp.float32)
                 dtx = dty = dtz = 0.0
                 for ch in range(4):
                     dp = dplanes[ch]
@@ -728,9 +758,9 @@ def _pick_g_tiles(t_cnt, nc, nb, bwd_scratch=True,
     schedule pads every group to a multiple of 8, so any power-of-two
     choice <= 8 divides t_cnt."""
     per_tile = (nb * NCH * LANES                     # tabs
-                + nc * 2 * ROWS * LANES              # samp
                 + nb * 3 * LANES                     # base
                 + 16 * LANES) * 4                    # rayt (12 -> 16 pad)
+    per_tile += nc * 3 * ROWS * LANES * 2            # samp (u16 planes)
     scratch = nc * 6 * ROWS * LANES * 4 if bwd_scratch else 0
     if bwd_scratch:
         per_tile += nb * NCH * LANES * 4             # dtabs out block
@@ -746,7 +776,7 @@ def _tile_op(nc, nb, subs, g_tiles, dt, t_near, t_far, k_max, stop,
              interpret, gather, reduce, lo, inv, ns, cam=False):
     """custom_vjp'd accumulator op for one (chunk count, bank count) group.
 
-    (tabs (T,NB,32,128), samp (T,nc,2,16,128), base (T,NB,3,128),
+    (tabs (T,NB,32,128), samp (T,nc,3,16,128) u16, base (T,NB,3,128),
      rayt (T,12,128), ke (T,) int32, bank0 (T*nc,) int32) ->
     out (T,5,16,16): per-ray sums: radiance r/g/b, weighted mid-segment
     depth, processed optical depth (T_final = exp(-odp)). Each grid step
@@ -765,7 +795,7 @@ def _tile_op(nc, nb, subs, g_tiles, dt, t_near, t_far, k_max, stop,
         return [
             pl.BlockSpec((g_tiles, nb, NCH, LANES),
                          lambda i, ke, b0: (i, 0, 0, 0)),
-            pl.BlockSpec((g_tiles, nc, 2, ROWS, LANES),
+            pl.BlockSpec((g_tiles, nc, 3, ROWS, LANES),
                          lambda i, ke, b0: (i, 0, 0, 0, 0)),
             pl.BlockSpec((g_tiles, nb, 3, LANES),
                          lambda i, ke, b0: (i, 0, 0, 0)),
@@ -853,7 +883,9 @@ def _tile_op(nc, nb, subs, g_tiles, dt, t_near, t_far, k_max, stop,
         else:
             dtabs = out
             d_rayt = jnp.zeros_like(rayt)
-        return (dtabs, jnp.zeros_like(samp), jnp.zeros_like(base),
+        # samp is integer data (u16 planes): its cotangent type is float0
+        d_samp = np.zeros(samp.shape, jax.dtypes.float0)
+        return (dtabs, d_samp, jnp.zeros_like(base),
                 d_rayt, None, None)
 
     op.defvjp(op_fwd, op_bwd)
@@ -863,7 +895,7 @@ def _tile_op(nc, nb, subs, g_tiles, dt, t_near, t_far, k_max, stop,
 def render_tile_group_raw(plan, geom, tabs, samp, base, rayt, k_enter,
                           bank0, n_chunks, subs: int = 1,
                           interpret: bool | None = None,
-                          gather: str = "dg", reduce: str = "mxu",
+                          gather: str = "dg", reduce: str = DEFAULT_REDUCE,
                           cam_grads: bool = False):
     """Fused forward for one tile group, RAW accumulator heads.
 
@@ -916,7 +948,7 @@ def finalize_heads(plan, raw, axis=1):
 def render_tile_group(plan, geom, tabs, samp, base, rayt, k_enter,
                       bank0, n_chunks, subs: int = 1,
                       interpret: bool | None = None,
-                      gather: str = "dg", reduce: str = "mxu"):
+                      gather: str = "dg", reduce: str = DEFAULT_REDUCE):
     """Per-ray integration outputs for one tile group (flat ray order,
     matching TileGroup.pixel_ids): (radiance (R, 3), transmittance (R,),
     opacity (R,), depth (R,)) with R = n_tiles * 256."""

@@ -51,6 +51,7 @@ from dvren_tpu.core.plan import OobPolicy, Plan
 from dvren_tpu.core.status import check
 from dvren_tpu.ops import grid as grid_ops
 from dvren_tpu.ops.compose import ImagePlanes
+from dvren_tpu.ops.fused_tiles import DEFAULT_REDUCE
 from dvren_tpu.ops.integrate import integrate
 from dvren_tpu.render import windowed as windowed_mod
 from dvren_tpu.utils.pytree import pytree_dataclass
@@ -86,20 +87,20 @@ class TileGroup:
     n_tiles: int             # padded to a multiple of 8 (kernel DMA blocks)
     banks: int               # table banks per TILE (lanes = banks*128)
     hostmap: jnp.ndarray     # (T*banks*128,) int32 packed row per lane
-    samp: jnp.ndarray        # (T, nc, 2, 16, 128) f32: sample_t,
-    #                          bitcast(tile-local lane | mask << 15).
-    #                          INVARIANT (ADVICE r2): plane 1 carries raw
-    #                          integer bits as denormal f32 patterns so
-    #                          both planes ship in ONE dense DMA block -
-    #                          nothing may apply float arithmetic or an
-    #                          FTZ-ing copy to it; only bitcast/DMA touch
-    #                          it (host pack here, pltpu.bitcast in
-    #                          ops/fused_tiles.py::_sample_geometry). The
-    #                          kernel recomputes trilinear fractions from
-    #                          these + base + rayt (shipping fractions
-    #                          costs 2.5x the DMA bytes; the kernel is
-    #                          bound by this chip's ~100 GB/s effective
-    #                          HBM rate)
+    samp: jnp.ndarray        # (T, nc, 3, 16, 128) u16, 6 B/sample:
+    #                          planes [sample_t hi16, sample_t lo16,
+    #                          tile-local lane | mask << 15]. INVARIANT
+    #                          (ADVICE r2, tightened round 3): this is
+    #                          INTEGER data - sample_t's exact f32 bits
+    #                          split in half plus packed slot bits; only
+    #                          bit ops and DMA may touch it (host pack
+    #                          here; (hi << 16 | lo) bitcast + bit masks
+    #                          in ops/fused_tiles.py::_sample_geometry).
+    #                          The kernel recomputes trilinear fractions
+    #                          from these + base + rayt (f32 planes cost
+    #                          8 B/sample, shipped fractions 2.5x more;
+    #                          the kernel is bound by this chip's
+    #                          ~100 GB/s effective HBM rate)
     base: jnp.ndarray        # (T, banks, 3, 128) f32 cell base coords
     rayt: jnp.ndarray        # (T, 12, 128) f32 compact ray planes: row
     #                          ax*2 + half, lane = ray % 128 for axes
@@ -643,16 +644,24 @@ def build_tiled_schedule(plan: Plan, field,
                 off_bc).astype(np.int32).reshape(t_kept, nc, 16, 128)
             m_k = m_k4.reshape(t_kept, nc, 16, 128)
 
-            # Slim schedule: sample_t + (lane | mask << 15) bitcast to f32.
-            # The kernel recomputes fractions from these + the per-lane
-            # cell bases + the compact ray planes (fused_tiles is
-            # bandwidth-bound; fractions would cost 2.5x the bytes).
+            # Slim schedule, 6 bytes/sample in ONE u16 array: planes
+            # [sample_t hi16, sample_t lo16, lane | mask << 15]. The
+            # kernel reassembles sample_t's exact f32 bits ((hi << 16) |
+            # lo, bitcast) and recomputes fractions from it + the
+            # per-lane cell bases + the compact ray planes (fused_tiles
+            # is bandwidth-bound; f32 planes cost 8 B/sample, shipped
+            # fractions 2.5x more). Only bit ops and DMA may touch this
+            # array - it is integer data, not numbers.
+            check(nb <= 255, "bank space exceeds the 15-bit lane id")
             packed_bits = (lidx_local
                            | (m_k.astype(np.int32) << 15))
+            st_bits = np.ascontiguousarray(
+                st_l[keep].astype(np.float32)).view(np.uint32)
             samp = np.stack(
-                [st_l[keep],
-                 np.ascontiguousarray(packed_bits).view(np.float32)],
-                axis=2).astype(np.float32)  # (T, nc, 2, 16, 128)
+                [(st_bits >> 16).astype(np.uint16),
+                 (st_bits & np.uint32(0xFFFF)).astype(np.uint16),
+                 packed_bits.astype(np.uint16)],
+                axis=2)                     # (T, nc, 3, 16, 128) u16
 
             # Per-lane cell base coordinates (the host's clipped floor
             # indices, exactly - recovered from the lane's cell id; dead
@@ -710,7 +719,7 @@ def build_tiled_schedule(plan: Plan, field,
                 extra = t_pad - t_kept
                 samp = np.concatenate(
                     [samp, np.zeros((extra,) + samp.shape[1:],
-                                    np.float32)])
+                                    samp.dtype)])
                 base = np.concatenate(
                     [base, np.zeros((extra,) + base.shape[1:],
                                     np.float32)])
@@ -946,10 +955,12 @@ def _group_reference_planes(plan: Plan, tabs, group: TileGroup, geom):
     fraction recompute (ops/fused_tiles.py::_sample_geometry)."""
     bbox_min, bbox_max, (gnz, gny, gnx) = geom
     t_cnt, nc = group.n_tiles, group.n_chunks
-    packed = jax.lax.bitcast_convert_type(group.samp[:, :, 1], jnp.int32)
+    packed = group.samp[:, :, 2].astype(jnp.int32)
     m = ((packed >> 15) & 1).astype(jnp.float32)
     lidx = packed & 0x7FFF                        # tile-local bank lane
-    st = group.samp[:, :, 0]
+    st = jax.lax.bitcast_convert_type(
+        (group.samp[:, :, 0].astype(jnp.uint32) << 16)
+        | group.samp[:, :, 1].astype(jnp.uint32), jnp.float32)
 
     # Expand the compact (12, 128) ray planes to per-sample layout:
     # sample (row r, lane l) belongs to ray r*16 + l//8.
@@ -1042,7 +1053,7 @@ def _group_outputs_reference(plan: Plan, packed_flat, group: TileGroup,
 
 def render_tiled(plan: Plan, field, schedule: TiledSchedule,
                  use_kernel: bool = True, gather: str = "dg",
-                 reduce: str = "mxu", k=None, c2w=None) -> ImagePlanes:
+                 reduce: str = DEFAULT_REDUCE, k=None, c2w=None) -> ImagePlanes:
     """Tile-table forward render (traceable; jit/grad over the field).
 
     ``use_kernel=False`` runs the pure-jnp reference consumer (any
@@ -1231,7 +1242,7 @@ def merge_view_schedules(scheds) -> MergedViewSchedule:
 
 def render_tiled_stack(plan: Plan, field, merged: MergedViewSchedule,
                        use_kernel: bool = True, gather: str = "dg",
-                       reduce: str = "mxu") -> jnp.ndarray:
+                       reduce: str = DEFAULT_REDUCE) -> jnp.ndarray:
     """Render every merged view in one pass -> (V, H, W, 3) image stack.
 
     One packed-table build + ONE planned bank-table gather + one kernel
@@ -1314,7 +1325,7 @@ def render_tiled_stack(plan: Plan, field, merged: MergedViewSchedule,
 
 
 def render_tiled_phases(plan: Plan, schedule: TiledSchedule,
-                        gather: str = "dg", reduce: str = "mxu"):
+                        gather: str = "dg", reduce: str = DEFAULT_REDUCE):
     """Three jittable phase functions whose chained application equals
     :func:`render_tiled` with ``use_kernel=True`` - the Renderer's
     per-stage stats probe (reference parity: ``Renderer::Forward`` times

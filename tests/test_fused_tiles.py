@@ -111,6 +111,32 @@ def test_kernel_gradients_all_heads():
                                    atol=2e-6 * scale)
 
 
+def test_kernel_reduce_mxu3_backward_matches():
+    """reduce="mxu3" also swaps the backward's one-hot scatter dots to
+    3-pass bf16-split matmuls; gradients must match the HIGHEST path
+    (exact partial products, only f32 reassociation differs)."""
+    plan, field = scene(mode=SamplingMode.STRATIFIED)
+    jitter = plan_jitter_table(plan)
+    schedule = build_tiled_schedule(plan, field, jitter=jitter)
+    target = jnp.zeros((plan.height, plan.width, 3))
+
+    def loss(params, reduce):
+        f = field.with_params(*params)
+        pls = render_tiled(plan, f, schedule, use_kernel=True,
+                           reduce=reduce)
+        return (jnp.mean((pls.image - target) ** 2)
+                + 0.1 * jnp.mean(pls.opacity)
+                + 0.01 * jnp.mean(pls.depth))
+
+    params = (field.sigma, field.color)
+    g_ref = jax.grad(lambda p: loss(p, "mxu"))(params)
+    g_out = jax.grad(lambda p: loss(p, "mxu3"))(params)
+    for a, b in zip(g_out, g_ref):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-12)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-6 * scale)
+
+
 def test_kernel_early_termination_thick():
     """Optically thick scene exercises the processed-prefix early-out."""
     plan, field = scene()

@@ -181,7 +181,7 @@ def test_empty_chunk_lanes_in_range():
     schedule = build_tiled_schedule(plan, field)
     saw_empty = False
     for g in schedule.groups:
-        packed = np.asarray(g.samp)[:, :, 1].view(np.int32)
+        packed = np.asarray(g.samp)[:, :, 2].astype(np.int32)
         lidx = packed & 0x7FFF
         m = (packed >> 15) & 1
         lanes = g.banks * 128
