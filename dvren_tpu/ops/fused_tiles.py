@@ -466,7 +466,17 @@ def _chunk_gather(win, idx2, weights, gather):
 
 
 def _chunk_geometry(ke, c, consts):
-    """(live mask f32, dt_actual) for chunk c of a tile starting at ke."""
+    """(live mask f32, dt_actual, t cursor) for chunk c of a tile at ke.
+
+    The t cursor (sum of every upstream step's dt_actual, the depth
+    head's segment start) is CLOSED-FORM: dta depends only on the step
+    index, never on field data, so its running sum telescopes to
+    max(0, min(base_t, t_stop) - min(t_origin, t_stop)) with
+    t_stop = min(t_far, t_near + k_max*dt). This deletes a 6-pass
+    HIGHEST MXU prefix per chunk plus the cross-chunk carry in both the
+    forward and the backward (the jnp referee integrates by cumsum and
+    compares at ~5e-6; the closed form is the exact real-arithmetic
+    value, at least as close)."""
     dt, t_near, t_far, k_max = consts
     lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
     k = ke + c * GROUP + lane % GROUP
@@ -477,7 +487,13 @@ def _chunk_geometry(ke, c, consts):
         live,
         jnp.minimum(base_t + jnp.float32(dt), jnp.float32(t_far)) - base_t,
         0.0)
-    return livef, dta
+    t_origin = (jnp.float32(t_near)
+                + ke.astype(jnp.float32) * jnp.float32(dt))
+    t_stop = jnp.float32(min(float(t_far),
+                             float(t_near) + float(k_max) * float(dt)))
+    tcur = t_origin + jnp.maximum(
+        jnp.minimum(base_t, t_stop) - jnp.minimum(t_origin, t_stop), 0.0)
+    return livef, dta, tcur
 
 
 def _fwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
@@ -491,21 +507,18 @@ def _fwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
     def tile(g, _):
         ke = ke_ref[tile0 + g]
         rayt = _expand_rayt(rayt_ref[g])
-        t_origin = (jnp.float32(t_near)
-                    + ke.astype(jnp.float32) * jnp.float32(dt))
         zeros = jnp.zeros((ROWS, LANES), jnp.float32)
         init = (zeros, zeros, zeros, zeros, zeros,   # acc r, g, b, wd, odp
-                zeros,                               # carry: sum of live od
-                jnp.full((ROWS, LANES), t_origin, jnp.float32))  # t cursor
+                zeros)                               # carry: sum of live od
 
         def chunk(c, carry):
-            acc_r, acc_g, acc_b, acc_wd, acc_odp, carry_od, carry_t = carry
+            acc_r, acc_g, acc_b, acc_wd, acc_odp, carry_od = carry
             win = _Windows(tabs_ref, base_ref, g, b0_ref, tile0 + g, c,
                            nc, nb, subs)
             idx2, weights = _sample_geometry(samp_ref[g, c], win, rayt,
                                              **geom)
             sig, cr, cg, cb = _chunk_gather(win, idx2, weights, gather)
-            livef, dta = _chunk_geometry(ke, c, consts)
+            livef, dta, tcur = _chunk_geometry(ke, c, consts)
 
             od = jnp.maximum(sig * dta, 0.0) * livef
             s_pre = carry_od + red.prefix_excl(od)
@@ -514,16 +527,15 @@ def _fwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
             procf = (livef * (tb > jnp.float32(stop)).astype(jnp.float32))
             w = (tb - p) * procf
 
-            tcur = carry_t + red.prefix_excl(dta)
             mid = tcur + 0.5 * dta
 
             sums = red.group_sum_many(
-                [w * cr, w * cg, w * cb, w * mid, od * procf, od, dta])
+                [w * cr, w * cg, w * cb, w * mid, od * procf, od])
             return (acc_r + sums[0], acc_g + sums[1], acc_b + sums[2],
                     acc_wd + sums[3], acc_odp + sums[4],
-                    carry_od + sums[5], carry_t + sums[6])
+                    carry_od + sums[5])
 
-        acc_r, acc_g, acc_b, acc_wd, acc_odp, _, _ = jax.lax.fori_loop(
+        acc_r, acc_g, acc_b, acc_wd, acc_odp, _ = jax.lax.fori_loop(
             0, nc, chunk, init)
         # Compact the group-replicated (16, 128) accumulators to one value
         # per ray in lanes 0..15: the consumer then reads a contiguous
@@ -583,16 +595,12 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
         g_r, g_g, g_b, g_wd, g_odp = (
             expand(gs_ref[g, i]) for i in range(5))
 
-        t_origin = (jnp.float32(t_near)
-                    + ke.astype(jnp.float32) * jnp.float32(dt))
-
         def win(c):
             return _Windows(tabs_ref, base_ref, g, b0_ref, tile0 + g, c,
                             nc, nb, subs)
 
         # Pass 1 (forward): recompute planes and prefix state per chunk.
-        def fwd_chunk(c, carry):
-            carry_od, carry_t = carry
+        def fwd_chunk(c, carry_od):
             w = win(c)
             idx2, weights = _sample_geometry(samp_ref[g, c], w, rayt,
                                              **geom)
@@ -601,17 +609,13 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
             planes_s[c, 1] = cr
             planes_s[c, 2] = cg
             planes_s[c, 3] = cb
-            livef, dta = _chunk_geometry(ke, c, consts)
+            livef, dta, _ = _chunk_geometry(ke, c, consts)
             od = jnp.maximum(sig * dta, 0.0) * livef
             state_s[c, 0] = carry_od + red.prefix_excl(od)   # S (excl)
-            state_s[c, 1] = carry_t + red.prefix_excl(dta)   # t cursor
-            sums = red.group_sum_many([od, dta])
-            return (carry_od + sums[0], carry_t + sums[1])
+            return carry_od + red.group_sum(od)
 
-        jax.lax.fori_loop(
-            0, nc, fwd_chunk,
-            (jnp.zeros((ROWS, LANES), jnp.float32),
-             jnp.full((ROWS, LANES), t_origin, jnp.float32)))
+        jax.lax.fori_loop(0, nc, fwd_chunk,
+                          jnp.zeros((ROWS, LANES), jnp.float32))
 
         # Pass 2 (reverse): adjoint of the telescoped-weight integration.
         zero_p = jnp.zeros((ROWS, LANES), jnp.float32)
@@ -624,8 +628,7 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
             cg = planes_s[c, 2]
             cb = planes_s[c, 3]
             s_pre = state_s[c, 0]
-            tcur = state_s[c, 1]
-            livef, dta = _chunk_geometry(ke, c, consts)
+            livef, dta, tcur = _chunk_geometry(ke, c, consts)
 
             x = sig * dta
             od = jnp.maximum(x, 0.0) * livef
@@ -761,7 +764,7 @@ def _pick_g_tiles(t_cnt, nc, nb, bwd_scratch=True,
                 + nb * 3 * LANES                     # base
                 + 16 * LANES) * 4                    # rayt (12 -> 16 pad)
     per_tile += nc * 3 * ROWS * LANES * 2            # samp (u16 planes)
-    scratch = nc * 6 * ROWS * LANES * 4 if bwd_scratch else 0
+    scratch = nc * 5 * ROWS * LANES * 4 if bwd_scratch else 0
     if bwd_scratch:
         per_tile += nb * NCH * LANES * 4             # dtabs out block
     g = 8
@@ -847,7 +850,7 @@ def _tile_op(nc, nb, subs, g_tiles, dt, t_near, t_far, k_max, stop,
             out_specs=out_specs if cam else out_specs[0],
             scratch_shapes=[
                 pltpu.VMEM((nc, 4, ROWS, LANES), jnp.float32),
-                pltpu.VMEM((nc, 2, ROWS, LANES), jnp.float32),
+                pltpu.VMEM((nc, 1, ROWS, LANES), jnp.float32),
             ],
         )
         return pl.pallas_call(
