@@ -87,6 +87,14 @@ class TileGroup:
     n_tiles: int             # padded to a multiple of 8 (kernel DMA blocks)
     banks: int               # table banks per TILE (lanes = banks*128)
     hostmap: jnp.ndarray     # (T*banks*128,) int32 packed row per lane
+    gathermap: jnp.ndarray   # pitch 1: the same array as ``hostmap``;
+    #                          pitch 2: (T*banks*64,) int32 packed-row
+    #                          PAIR id per slot pair - the forward table
+    #                          gather fetches two consecutive packed rows
+    #                          per start (u16 row gathers are start-paced
+    #                          and width-flat to 128 elements, so pairing
+    #                          halves the dominant start count; see
+    #                          build_tiled_schedule(pitch=2))
     samp: jnp.ndarray        # (T, nc, 3, 16, 128) u16, 6 B/sample:
     #                          planes [sample_t hi16, sample_t lo16,
     #                          tile-local lane | mask << 15]. INVARIANT
@@ -143,12 +151,15 @@ class GatherPlan:
 @pytree_dataclass(meta_fields=("total_rays", "tiled_samples",
                                "full_lattice_samples", "fallback_rays",
                                "grid_shape", "bbox", "tile_px",
-                               "table_kind"))
+                               "table_kind", "pitch"))
 @dataclass(frozen=True)
 class TiledSchedule:
     groups: tuple            # of TileGroup
     fallback: object         # windowed.WindowedSchedule | None (overflow rays)
     hostmap_all: jnp.ndarray  # (S,) int32: all groups' packed rows, concat
+    gathermap_all: jnp.ndarray  # (S // pitch,) int32: the forward table
+    #                          gather's row (pitch 1) / row-pair (pitch 2)
+    #                          ids, concat of the groups' gathermaps
     gather_plan: object      # GatherPlan | None: the backward's
     #                          gather-transpose - d(table) is computed by
     #                          gathering each cell's slot cotangents,
@@ -169,26 +180,33 @@ class TiledSchedule:
     #                            packed-stencil table; "sparse": rows index
     #                            the brick table (slot * 512 + local), the
     #                            two-level indirection resolved at build
+    pitch: int = 1           # cells per forward-gather start (1 or 2);
+    #                          pitch 2 packs runs at cell-PAIR granularity
+    #                          (lane of cell = 2*pairrank + (cell & 1)),
+    #                          halving gather starts for ~1.33x lane
+    #                          inflation measured at the headline config
 
 
 def build_tiled_schedule_auto(plan: Plan, field,
                               jitter: np.ndarray | None = None,
                               occupancy: bool = False,
-                              quantize: bool = False):
+                              quantize: bool = False,
+                              pitch: int = 1):
     """Build the schedule at the coarsest tile_px whose slot tables hold
     the scene: 16px, then the 8px / 4px fine-grid rescues when >10% of
     rays fall back (finer sub-tiles divide the cells a table must hold;
-    4px can never overflow - <= 128 samples per run). Returns
-    (schedule, note_or_None)."""
+    4px can never overflow - <= 128 samples per run, <= 256 lanes even
+    at pitch 2). Returns (schedule, note_or_None)."""
     sched = build_tiled_schedule(plan, field, jitter=jitter,
-                                 occupancy=occupancy, quantize=quantize)
+                                 occupancy=occupancy, quantize=quantize,
+                                 pitch=pitch)
     note = None
     for px in (8, 4):
         if sched.fallback_rays * 10 <= sched.total_rays:
             break
         s_fine = build_tiled_schedule(plan, field, jitter=jitter,
                                       occupancy=occupancy, tile_px=px,
-                                      quantize=quantize)
+                                      quantize=quantize, pitch=pitch)
         if s_fine.fallback_rays < sched.fallback_rays:
             sched = s_fine
             note = f"tiled_subtiled_{px}px"
@@ -374,7 +392,8 @@ def build_tiled_schedule(plan: Plan, field,
                          jitter: np.ndarray | None = None,
                          occupancy: bool = False,
                          tile_px: int = 16,
-                         quantize: bool = False) -> TiledSchedule:
+                         quantize: bool = False,
+                         pitch: int = 1) -> TiledSchedule:
     """Build the tile-table schedule for (plan, field bbox + resolution).
 
     ``jitter``: the (N, K) host table for stratified plans
@@ -402,8 +421,20 @@ def build_tiled_schedule(plan: Plan, field,
     the ``_QUANT`` series so kernel variants are shared across schedules
     - use for multi-view training where every view otherwise instantiates
     its own kernel shapes (bit-identical output; <= ~30% padded work).
+
+    ``pitch=2`` packs runs at cell-PAIR granularity: the lane of a cell
+    is 2*pairrank + (cell & 1), so the forward table gather fetches TWO
+    consecutive packed rows per start (a 128-element u16 row - row
+    gathers are start-paced and width-flat to 128 elements, measured in
+    tools/gather_probe.py). Halves the dominant gather-start count for a
+    measured ~1.33x lane inflation at 512^2/64^3 (isolated cells waste
+    their partner lane; partner lanes are never indexed by samples,
+    carry exact-zero cotangents, and stay -1 in ``hostmap`` so the
+    backward's gather plan excludes them). Output is bit-identical to
+    pitch 1 - only lane placement changes.
     """
     check(tile_px in (4, 8, 16), "tile_px must be 4, 8 or 16")
+    check(pitch in (1, 2), "pitch must be 1 or 2")
     n_sub = (16 // tile_px) ** 2
     check(getattr(field, "oob", OobPolicy.ZERO) == OobPolicy.ZERO,
           "tiled rendering requires an OOB_ZERO field")
@@ -470,6 +501,7 @@ def build_tiled_schedule(plan: Plan, field,
     full_samples = n * k_max
     groups = []
     host_rows: list[np.ndarray] = []
+    gmap_rows: list[np.ndarray] = []
     fallback_rays: list[np.ndarray] = []
     tiled_samples = 0
     pad_pid_base = plan.width * plan.height
@@ -556,8 +588,21 @@ def build_tiled_schedule(plan: Plan, field,
         # slot - masked samples may point anywhere (their weight is 0).
         has_sent = sc[:, -1] == _SENTINEL
         nuniq = rank[:, -1] + 1 - has_sent
+        if pitch == 2:
+            # Cell-pair packing: lane = 2*pairrank + (cell & 1). pcs is
+            # sorted because sc is and >> 1 is monotone (the sentinel
+            # stays the largest value).
+            pcs = np.where(sc == _SENTINEL, _SENTINEL, sc >> 1)
+            new_p = np.ones(flat.shape, bool)
+            new_p[:, 1:] = pcs[:, 1:] != pcs[:, :-1]
+            prank = np.cumsum(new_p, axis=1) - 1
+            lane_sorted = (2 * prank + (sc & 1)).astype(np.int32)
+            lanes_run = 2 * (prank[:, -1] + 1 - has_sent)
+        else:
+            lane_sorted = rank.astype(np.int32)
+            lanes_run = nuniq
         lidx = np.empty(flat.shape, np.int32)
-        np.put_along_axis(lidx, order, rank.astype(np.int32), 1)
+        np.put_along_axis(lidx, order, lane_sorted, 1)
 
         # Dense bank packing: each (chunk, sub-tile) run of nuniq cells
         # lands at the next free lane offset; runs of <= 128 cells span
@@ -566,8 +611,8 @@ def build_tiled_schedule(plan: Plan, field,
         # beyond 256 cells fall back to the windowed path (their block
         # rows are masked dead); blocks whose sub-tiles ALL overflow are
         # dropped entirely.
-        nuniq3 = nuniq.reshape(t_cnt, nc, n_sub)
-        sub_bad = (nuniq3 > 2 * MAX_CELLS).any(axis=1)  # (T, n_sub)
+        lanes3 = lanes_run.reshape(t_cnt, nc, n_sub)
+        sub_bad = (lanes3 > 2 * MAX_CELLS).any(axis=1)  # (T, n_sub)
         overflow = sub_bad.all(axis=1)
         if sub_bad.any():
             live_rs = live_r.reshape(t_cnt, n_sub, -1)
@@ -579,13 +624,15 @@ def build_tiled_schedule(plan: Plan, field,
             # writes - without clearing ``new`` their unique cells would
             # still fill hostmap lanes at their zeroed offset, clobbering
             # the live runs anchored at lane 0.
-            nuniq3 = np.where(sub_bad[:, None, :], 0, nuniq3)
+            lanes3 = np.where(sub_bad[:, None, :], 0, lanes3)
             m_l = (m_l.reshape(t_cnt, nc, n_sub, sub_cols)
                    * ~sub_bad[:, None, :, None]).reshape(
                 t_cnt, nc, 16, 128)
             row_bad = np.broadcast_to(
                 sub_bad[:, None, :], (t_cnt, nc, n_sub)).reshape(-1)
             new[row_bad] = False
+            if pitch == 2:
+                new_p[row_bad] = False
 
         off = np.zeros((t_cnt, nc, n_sub), np.int64)
         nb_tile = np.zeros(t_cnt, np.int64)
@@ -593,7 +640,7 @@ def build_tiled_schedule(plan: Plan, field,
             cur = 0
             for c in range(nc):
                 for s2 in range(n_sub):
-                    n_c = int(nuniq3[t, c, s2])
+                    n_c = int(lanes3[t, c, s2])
                     if n_c > MAX_CELLS:
                         cur = -(-cur // MAX_CELLS) * MAX_CELLS
                     # Empty runs anchor at lane 0: their samples are all
@@ -618,7 +665,7 @@ def build_tiled_schedule(plan: Plan, field,
             rowsel = np.repeat(keep, nc * n_sub)
             sc_k = sc[rowsel]
             new_k = new[rowsel]
-            rank_k = rank[rowsel]
+            lane_k = lane_sorted[rowsel]
             off_k = off[keep].reshape(-1)        # (t_kept*nc*n_sub,)
 
             # Dead lanes (bank-space rounding, pad tiles, empty-run
@@ -629,8 +676,23 @@ def build_tiled_schedule(plan: Plan, field,
             # pathological 123k-row count class for cell 0.
             hostmap = np.full((t_kept, lanes), -1, np.int64)
             rws, cls = np.nonzero(new_k & (sc_k != _SENTINEL))
-            hostmap[rws // (nc * n_sub), off_k[rws] + rank_k[rws, cls]] = \
+            hostmap[rws // (nc * n_sub), off_k[rws] + lane_k[rws, cls]] = \
                 sc_k[rws, cls]
+            if pitch == 2:
+                # Forward gather map: one packed-row PAIR per slot pair.
+                # Untouched partner lanes stay -1 in ``hostmap`` (the
+                # backward's gather plan excludes them) but the pair slot
+                # still names the pair - the gather fetches both rows in
+                # one start.
+                gmap = np.full((t_kept, lanes // 2), -1, np.int64)
+                pcs_k = pcs[rowsel]
+                newp_k = new_p[rowsel]
+                prank_k = prank[rowsel]
+                prs, pcl = np.nonzero(newp_k & (pcs_k != _SENTINEL))
+                gmap[prs // (nc * n_sub),
+                     off_k[prs] // 2 + prank_k[prs, pcl]] = pcs_k[prs, pcl]
+            else:
+                gmap = None                       # aliases hostmap below
 
             # Block-local lane ids; masked samples point at their run's
             # window start (any in-window lane works: their weight is 0).
@@ -638,7 +700,7 @@ def build_tiled_schedule(plan: Plan, field,
                 np.int64)
             m_k4 = m_l.reshape(t_cnt, nc, n_sub, sub_cols)[keep] > 0
             off_bc = off[keep][:, :, :, None]
-            nuq_bc = nuniq3[keep][:, :, :, None]
+            nuq_bc = lanes3[keep][:, :, :, None]
             lidx_local = np.where(m_k4, off_bc + np.minimum(
                 rank_s, np.maximum(nuq_bc - 1, 0)),
                 off_bc).astype(np.int32).reshape(t_kept, nc, 16, 128)
@@ -707,6 +769,16 @@ def build_tiled_schedule(plan: Plan, field,
                     np.int64(-1)).astype(np.int32)
             else:
                 uniq_r = hostmap.astype(np.int32)     # (T, lanes), -1 dead
+            if gmap is not None and sparse:
+                # pair id in BRICK-row space: rows are x-minor within a
+                # brick (BRICK even), so the even geometric cell of a pair
+                # maps to an even brick row and its partner to row+1.
+                gmap = np.where(
+                    gmap >= 0,
+                    _sparse_rows_for_cells(
+                        np.maximum(gmap, 0) * 2, occ_host,
+                        (nz, ny, nx)).astype(np.int64) >> 1,
+                    np.int64(-1))
             ke_k = ke_t[keep].astype(np.int32)
             # compose targets: global sub-tile ids; overflowed/ROI-dead
             # sub-tiles -> drop sentinel
@@ -728,6 +800,10 @@ def build_tiled_schedule(plan: Plan, field,
                                     np.float32)])
                 uniq_r = np.concatenate(
                     [uniq_r, np.full((extra, lanes), -1, np.int32)])
+                if gmap is not None:
+                    gmap = np.concatenate(
+                        [gmap, np.full((extra, lanes // 2), -1,
+                                       gmap.dtype)])
                 bank0 = np.concatenate(
                     [bank0, np.zeros((extra, nc, n_sub), np.int32)])
                 ray_ids_k = np.concatenate(
@@ -744,11 +820,19 @@ def build_tiled_schedule(plan: Plan, field,
 
             tiled_samples += int(m_l[keep].sum())
             host_rows.append(uniq_r.reshape(-1))
+            hm_dev = jax.device_put(uniq_r.reshape(-1))
+            if gmap is None:
+                gm_flat, gm_dev = uniq_r.reshape(-1), hm_dev
+            else:
+                gm_flat = gmap.astype(np.int32).reshape(-1)
+                gm_dev = jax.device_put(gm_flat)
+            gmap_rows.append(gm_flat)
             groups.append(TileGroup(
                 n_chunks=nc,
                 n_tiles=t_pad,
                 banks=nb,
-                hostmap=jax.device_put(uniq_r.reshape(-1)),
+                hostmap=hm_dev,
+                gathermap=gm_dev,
                 samp=jax.device_put(samp),
                 base=jax.device_put(base),
                 rayt=jax.device_put(rayt),
@@ -770,6 +854,8 @@ def build_tiled_schedule(plan: Plan, field,
 
     hostmap_all = (np.concatenate(host_rows) if host_rows
                    else np.zeros(0, np.int32))
+    gathermap_all = (np.concatenate(gmap_rows) if gmap_rows
+                     else np.zeros(0, np.int32))
     if sparse:
         from dvren_tpu.fields.sparse_grid import BRICK as _BRICK
         n_rows = int(field.bricks.shape[0]) * _BRICK ** 3
@@ -779,6 +865,7 @@ def build_tiled_schedule(plan: Plan, field,
         groups=tuple(groups),
         fallback=fb,
         hostmap_all=jax.device_put(hostmap_all),
+        gathermap_all=jax.device_put(gathermap_all),
         gather_plan=_build_gather_plan(hostmap_all, n_rows),
         total_rays=n,
         tiled_samples=tiled_samples,
@@ -788,6 +875,7 @@ def build_tiled_schedule(plan: Plan, field,
         bbox=(bbox_min, bbox_max),
         tile_px=tile_px,
         table_kind="sparse" if sparse else "dense",
+        pitch=pitch,
     )
 
 
@@ -842,10 +930,18 @@ def _build_gather_plan(hostmap_all: np.ndarray, n_cells: int) -> tuple:
 # ----------------------------------------------------------------- consume
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _gather_bank_tables(table, hostmap_all, plan, group_shapes):
+def _gather_bank_tables(table, gathermap_all, plan, static):
     """Bit-exact u16 row gather of ALL groups' bank lanes straight into
     the kernel's bank-block layout, split per group ((T, NB, 32, 128)
     tuple), with a gather-transpose backward (:func:`_build_gather_plan`).
+
+    ``static`` = (pitch, group_shapes). At pitch 2 ``gathermap_all`` has
+    one entry per slot PAIR naming a packed-row pair: each start fetches
+    a 128-element u16 row covering two consecutive cells (row gathers
+    are start-paced and width-flat to 128 elements - half the starts of
+    the per-lane gather). The backward is identical for both pitches: it
+    rides the per-LANE gather plan, and untouched partner lanes carry
+    exact-zero cotangents and are excluded from it.
 
     Three deliberate layout choices (all measured on the tunnel chip):
     - the lane->column transpose happens in the u16 DOMAIN and the hi|lo
@@ -862,9 +958,22 @@ def _gather_bank_tables(table, hostmap_all, plan, group_shapes):
       rows/s), ~10x slower than this gather-transpose.
 
     ``group_shapes``: static tuple of (n_tiles, banks) per group."""
-    r16 = jnp.take(grid_ops._split_u16(table), hostmap_all, axis=0,
-                   mode="clip")                       # (S, 64) u16
-    g3 = jnp.swapaxes(r16.reshape(-1, MAX_CELLS, 64), 1, 2)
+    pitch, group_shapes = static
+    t16 = grid_ops._split_u16(table)                  # (rows, 64) u16
+    if pitch == 2:
+        # (rows//2, 128): row j = cells 2j | 2j+1, each [hi(32) lo(32)].
+        # Table row counts are even by construction (fullpitch_rows is a
+        # multiple of 2048; brick tables are n_bricks * 512).
+        r16 = jnp.take(t16.reshape(-1, 2 * 64), gathermap_all, axis=0,
+                       mode="clip")                   # (S/2, 128) u16
+        # bank assembly: gathered row p covers lanes 2p (cols 0:64) and
+        # 2p+1 (cols 64:128) -> (B, ch, pairpos, e) -> (B, 64, 128)
+        g4 = r16.reshape(-1, MAX_CELLS // 2, 2, 64)
+        g3 = g4.transpose(0, 3, 1, 2).reshape(-1, 64, MAX_CELLS)
+    else:
+        r16 = jnp.take(t16, gathermap_all, axis=0,
+                       mode="clip")                   # (S, 64) u16
+        g3 = jnp.swapaxes(r16.reshape(-1, MAX_CELLS, 64), 1, 2)
     hi = g3[:, :32].astype(jnp.uint32) << 16          # (B, 32, 128)
     lo = g3[:, 32:].astype(jnp.uint32)
     banks_all = jax.lax.bitcast_convert_type(hi | lo, jnp.float32)
@@ -876,12 +985,12 @@ def _gather_bank_tables(table, hostmap_all, plan, group_shapes):
     return tuple(out)
 
 
-def _gather_bank_tables_fwd(table, hostmap_all, plan, group_shapes):
-    return (_gather_bank_tables(table, hostmap_all, plan, group_shapes),
+def _gather_bank_tables_fwd(table, gathermap_all, plan, static):
+    return (_gather_bank_tables(table, gathermap_all, plan, static),
             (plan, table.shape))
 
 
-def _gather_bank_tables_bwd(group_shapes, res, cts):
+def _gather_bank_tables_bwd(static, res, cts):
     plan, tshape = res
     all_idx, meta, inv_map = plan.all_idx, plan.meta, plan.inv_map
     w = tshape[1]
@@ -1104,8 +1213,9 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
                 and schedule.gather_plan is not None
                 and schedule.hostmap_all.size):
             group_tabs = _gather_bank_tables(
-                packed_flat, schedule.hostmap_all, schedule.gather_plan,
-                tuple((g.n_tiles, g.banks) for g in schedule.groups))
+                packed_flat, schedule.gathermap_all, schedule.gather_plan,
+                (schedule.pitch,
+                 tuple((g.n_tiles, g.banks) for g in schedule.groups)))
 
         traced_rays = None
         if with_cam:
@@ -1184,12 +1294,13 @@ def merge_view_schedules(scheds) -> MergedViewSchedule:
         check(s.tile_px == base.tile_px
               and s.grid_shape == base.grid_shape
               and s.bbox == base.bbox
-              and s.table_kind == base.table_kind,
-              "merge_view_schedules: schedules must share tile_px, grid "
-              "and bbox (build all views at one tile_px)")
+              and s.table_kind == base.table_kind
+              and s.pitch == base.pitch,
+              "merge_view_schedules: schedules must share tile_px, pitch, "
+              "grid and bbox (build all views at one tile_px)")
     keys = sorted({(g.n_chunks, g.banks)
                    for s in scheds for g in s.groups})
-    merged, slices_all, host_parts = [], [], []
+    merged, slices_all, host_parts, gmap_parts = [], [], [], []
     t_samples = 0
     for key in keys:
         parts, slices, t_off = [], [], 0
@@ -1207,9 +1318,11 @@ def merge_view_schedules(scheds) -> MergedViewSchedule:
             return jnp.concatenate([getattr(p, name) for p in parts])
 
         host_parts.extend(np.asarray(p.hostmap) for p in parts)
+        gmap_parts.extend(np.asarray(p.gathermap) for p in parts)
         merged.append(TileGroup(
             n_chunks=key[0], n_tiles=t_off, banks=key[1],
-            hostmap=cat("hostmap"), samp=cat("samp"), base=cat("base"),
+            hostmap=cat("hostmap"), gathermap=cat("gathermap"),
+            samp=cat("samp"), base=cat("base"),
             rayt=cat("rayt"), bank0=cat("bank0"), ray_ids=cat("ray_ids"),
             k_enter=cat("k_enter"), pixel_ids=cat("pixel_ids"),
             tile_ids=cat("tile_ids"),
@@ -1218,6 +1331,8 @@ def merge_view_schedules(scheds) -> MergedViewSchedule:
 
     hostmap_all = (np.concatenate(host_parts) if host_parts
                    else np.zeros(0, np.int32))
+    gathermap_all = (np.concatenate(gmap_parts) if gmap_parts
+                     else np.zeros(0, np.int32))
     n_rows = (int(base.gather_plan.inv_map.shape[0])
               if base.gather_plan is not None
               else next((int(s.gather_plan.inv_map.shape[0])
@@ -1226,13 +1341,15 @@ def merge_view_schedules(scheds) -> MergedViewSchedule:
     sched = TiledSchedule(
         groups=tuple(merged), fallback=None,
         hostmap_all=jax.device_put(hostmap_all),
+        gathermap_all=jax.device_put(gathermap_all),
         gather_plan=_build_gather_plan(hostmap_all, n_rows),
         total_rays=sum(s.total_rays for s in scheds),
         tiled_samples=t_samples,
         full_lattice_samples=sum(s.full_lattice_samples for s in scheds),
         fallback_rays=sum(s.fallback_rays for s in scheds),
         grid_shape=base.grid_shape, bbox=base.bbox,
-        tile_px=base.tile_px, table_kind=base.table_kind)
+        tile_px=base.tile_px, table_kind=base.table_kind,
+        pitch=base.pitch)
     return MergedViewSchedule(
         sched=sched,
         view_fallbacks=tuple(s.fallback for s in scheds),
@@ -1266,8 +1383,9 @@ def render_tiled_stack(plan: Plan, field, merged: MergedViewSchedule,
                 and sched.gather_plan is not None
                 and sched.hostmap_all.size):
             group_tabs = _gather_bank_tables(
-                packed_flat, sched.hostmap_all, sched.gather_plan,
-                tuple((g.n_tiles, g.banks) for g in sched.groups))
+                packed_flat, sched.gathermap_all, sched.gather_plan,
+                (sched.pitch,
+                 tuple((g.n_tiles, g.banks) for g in sched.groups)))
         raws = []
         for gi, group in enumerate(sched.groups):
             tabs = (group_tabs[gi] if group_tabs is not None
@@ -1347,8 +1465,9 @@ def render_tiled_phases(plan: Plan, schedule: TiledSchedule,
                 and schedule.gather_plan is not None
                 and schedule.hostmap_all.size):
             return _gather_bank_tables(
-                packed_flat, schedule.hostmap_all, schedule.gather_plan,
-                tuple((g.n_tiles, g.banks) for g in schedule.groups))
+                packed_flat, schedule.gathermap_all, schedule.gather_plan,
+                (schedule.pitch,
+                 tuple((g.n_tiles, g.banks) for g in schedule.groups)))
         return tuple(_group_tables(packed_flat, g)
                      for g in schedule.groups)
 

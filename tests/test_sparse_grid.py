@@ -174,3 +174,28 @@ def test_bf16_bricks():
     assert np.abs(s16 - s32).max() < 0.1  # bf16 field precision
     assert sparse16.memory_bytes() < SparseGridField.from_dense(
         dense, threshold=0.0).memory_bytes()
+
+
+def test_tiled_sparse_pair_pitch_bit_identical():
+    """pitch=2 over a brick table: pairs are formed on GEOMETRIC cell ids
+    and resolve to brick-row pairs (rows are x-minor within a brick and
+    BRICK is even, so the even member of a pair maps to an even row and
+    its partner to row+1). Bit-identical to pitch=1."""
+    dense = blob_field(compact=False)
+    sparse = SparseGridField.from_dense(dense, threshold=0.0)
+    plan = _tiled_plan()
+    s1 = build_tiled_schedule(plan, sparse)
+    s2 = build_tiled_schedule(plan, sparse, pitch=2)
+    gm = np.asarray(s2.gathermap_all)
+    hm = np.asarray(s2.hostmap_all)
+    valid = hm >= 0
+    # every touched lane's brick row == its pair's row pair * 2 + (lane & 1)
+    lane_par = (np.arange(hm.size) & 1)
+    np.testing.assert_array_equal(
+        hm[valid], gm[np.arange(hm.size)[valid] // 2] * 2
+        + lane_par[valid])
+    for uk in (False, True):
+        a = render_tiled(plan, sparse, s1, use_kernel=uk)
+        b = render_tiled(plan, sparse, s2, use_kernel=uk)
+        np.testing.assert_array_equal(np.asarray(a.image),
+                                      np.asarray(b.image))

@@ -409,3 +409,79 @@ def test_merged_view_schedule_matches_per_view():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gm[1]), np.asarray(gp[1]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_pair_pitch_bit_identical():
+    """pitch=2 packs runs at cell-PAIR granularity so the forward table
+    gather fetches two consecutive packed rows per start (half the
+    starts, the measured gather ceiling being start-paced). Only lane
+    PLACEMENT changes - images, aux heads and gradients are bit-identical
+    to pitch=1 through both consumers."""
+    plan, field = scene(mode=SamplingMode.STRATIFIED)
+    jitter = plan_jitter_table(plan)
+    s1 = build_tiled_schedule(plan, field, jitter=jitter)
+    s2 = build_tiled_schedule(plan, field, jitter=jitter, pitch=2)
+    assert s2.pitch == 2
+    assert s2.gathermap_all.size * 2 == s2.hostmap_all.size
+    # untouched partner lanes are -1 in hostmap (excluded from the
+    # backward's gather plan) but their pair slot is still gathered
+    assert int((np.asarray(s2.hostmap_all) >= 0).sum()) \
+        >= int((np.asarray(s1.hostmap_all) >= 0).sum())
+    for uk in (False, True):
+        a = render_tiled(plan, field, s1, use_kernel=uk)
+        b = render_tiled(plan, field, s2, use_kernel=uk)
+        np.testing.assert_array_equal(np.asarray(a.image),
+                                      np.asarray(b.image))
+        np.testing.assert_array_equal(np.asarray(a.depth),
+                                      np.asarray(b.depth))
+        np.testing.assert_array_equal(np.asarray(a.transmittance),
+                                      np.asarray(b.transmittance))
+
+    def loss(params, sched):
+        f = field.with_params(*params)
+        return (render_tiled(plan, f, sched).image ** 2).sum()
+
+    params = (field.sigma, field.color)
+    g1 = jax.grad(loss)(params, s1)
+    g2 = jax.grad(loss)(params, s2)
+    np.testing.assert_array_equal(np.asarray(g1[0]), np.asarray(g2[0]))
+    np.testing.assert_array_equal(np.asarray(g1[1]), np.asarray(g2[1]))
+
+
+def test_pair_pitch_subtiled_and_merged():
+    """pitch=2 composes with the fine-grid sub-tiled windows, shape
+    quantization and the multi-view merge (the fit path). 4px sub-tiles
+    can NEVER overflow at pitch 2 (a run holds <= 128 samples -> <= 128
+    pairs = 256 lanes, exactly the 2-bank window); at 8px, pair-lane
+    inflation can push runs past the cap - those sub-tiles demote to the
+    windowed fallback honestly (counted, not silently wrong)."""
+    from dvren_tpu.opt.fit import view_plans
+    from dvren_tpu.render.tiled import (merge_view_schedules,
+                                        render_tiled_stack)
+
+    plan, field = scene(mode=SamplingMode.STRATIFIED, n=24)
+    jitter = plan_jitter_table(plan)
+    s8_1 = build_tiled_schedule(plan, field, jitter=jitter, tile_px=8)
+    s8_2 = build_tiled_schedule(plan, field, jitter=jitter, tile_px=8,
+                                pitch=2)
+    assert s8_2.fallback_rays >= s8_1.fallback_rays  # inflation demotes
+    s1 = build_tiled_schedule(plan, field, jitter=jitter, tile_px=4)
+    s2 = build_tiled_schedule(plan, field, jitter=jitter, tile_px=4,
+                              pitch=2)
+    assert s2.fallback_rays == s1.fallback_rays == 0
+    a = render_tiled(plan, field, s1)
+    b = render_tiled(plan, field, s2)
+    np.testing.assert_array_equal(np.asarray(a.image), np.asarray(b.image))
+
+    cams = [CameraConfig(c2w=(1, 0, 0, 0.5 + dx, 0, 1, 0, 0.5,
+                              0, 0, 1, -1.0)) for dx in (0.0, 0.1)]
+    plans = view_plans(plan, cams)
+    merged2 = merge_view_schedules(
+        [build_tiled_schedule(p, field, jitter=jitter, tile_px=4,
+                              quantize=True, pitch=2) for p in plans])
+    merged1 = merge_view_schedules(
+        [build_tiled_schedule(p, field, jitter=jitter, tile_px=4,
+                              quantize=True) for p in plans])
+    np.testing.assert_array_equal(
+        np.asarray(render_tiled_stack(plan, field, merged2)),
+        np.asarray(render_tiled_stack(plan, field, merged1)))

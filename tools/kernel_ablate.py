@@ -32,8 +32,8 @@ def main():
     shapes = tuple((g.n_tiles, g.banks) for g in sched.groups)
     geom = (sched.bbox[0], sched.bbox[1], sched.grid_shape)
     flat0 = _schedule_table(field, sched)
-    tabs0 = _gather_bank_tables(flat0, sched.hostmap_all, sched.gather_plan,
-                                shapes)
+    tabs0 = _gather_bank_tables(flat0, sched.gathermap_all, sched.gather_plan,
+                                (sched.pitch, shapes))
     KF = 8
     scales = jnp.linspace(1.0, 1.01, KF)
     log(f"device={jax.devices()[0]} groups={len(sched.groups)}")

@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--grid", type=int, default=64)
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--kf", type=int, default=8)
+    ap.add_argument("--pitch", type=int, default=1,
+                    help="table gather pitch (2 = cell-pair rows, half the starts)")
     ap.add_argument("--parity", action="store_true",
                     help="also check kernel vs jnp-consumer vs windowed")
     ap.add_argument("--bwd", action="store_true",
@@ -56,7 +58,8 @@ def main():
     plan, field = _scene(args.width, args.width, args.grid, args.steps)
     n_rays = plan.ray_count
     jitter = plan_jitter_table(plan)
-    sched = build_tiled_schedule(plan, field, jitter=jitter)
+    sched = build_tiled_schedule(plan, field, jitter=jitter,
+                                 pitch=args.pitch)
 
     slots = sum(g.hostmap.size for g in sched.groups)
     chunks = sum(g.n_tiles * g.n_chunks for g in sched.groups)
@@ -96,15 +99,15 @@ def main():
     # 2. packed build + the ONE planned bank-table gather (production)
     def gather_only(f, sched):
         packed = _schedule_table(f, sched)
-        tabs = _gather_bank_tables(packed, sched.hostmap_all,
-                                   sched.gather_plan, shapes)
+        tabs = _gather_bank_tables(packed, sched.gathermap_all,
+                                   sched.gather_plan, (sched.pitch, shapes))
         return sum(t[..., ::31].sum() for t in tabs)
     t_gather = timed("packed+gather", gather_only)
 
     # 3. kernel only: pre-gathered tabs as scan carry-independent args
     flat0 = _schedule_table(field, sched)
-    tabs0 = tuple(_gather_bank_tables(flat0, sched.hostmap_all,
-                                      sched.gather_plan, shapes))
+    tabs0 = tuple(_gather_bank_tables(flat0, sched.gathermap_all,
+                                      sched.gather_plan, (sched.pitch, shapes)))
 
     geom = (sched.bbox[0], sched.bbox[1], sched.grid_shape)
 
@@ -133,8 +136,8 @@ def main():
     def pgk(f, sched):
         flat = _schedule_table(f, sched)
         geom2 = (sched.bbox[0], sched.bbox[1], sched.grid_shape)
-        tabs = _gather_bank_tables(flat, sched.hostmap_all,
-                                   sched.gather_plan, shapes)
+        tabs = _gather_bank_tables(flat, sched.gathermap_all,
+                                   sched.gather_plan, (sched.pitch, shapes))
         acc = jnp.float32(0)
         for gi, g in enumerate(sched.groups):
             out = fused_tiles.render_tile_group(
@@ -180,8 +183,8 @@ def main():
         # b. grad of gather+kernel wrt the packed table: adds the
         # hostmap scatter (take_rows_exact vjp).
         def loss_pk(flat, sched):
-            tabs = _gather_bank_tables(flat, sched.hostmap_all,
-                                       sched.gather_plan, shapes)
+            tabs = _gather_bank_tables(flat, sched.gathermap_all,
+                                       sched.gather_plan, (sched.pitch, shapes))
             acc = jnp.float32(0)
             for gi, g in enumerate(sched.groups):
                 out = fused_tiles.render_tile_group(
