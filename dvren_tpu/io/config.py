@@ -7,7 +7,7 @@ Top-level nodes:
           seed (default 0), roi {x, y, width, height},
           camera {model, K[9], c2w[12], ortho_scale},
           options {use_fused_path, enable_graph, capture_stats, use_window,
-                   use_tiles, use_occupancy}
+                   use_tiles, use_occupancy, tile_pitch}
   volume: size [nx, ny, nz], density [n], color [3n] (defaults to grayscale
           density, main.cpp:167-177), bbox_min [3], bbox_max [3],
           interp ("linear"|"nearest"), oob ("zero"|"clamp")
@@ -185,6 +185,7 @@ def parse_config(root: dict) -> RenderConfig:
             use_window=bool(opt.get("use_window", False)),
             use_tiles=None if use_tiles is None else bool(use_tiles),
             use_occupancy=bool(opt.get("use_occupancy", False)),
+            tile_pitch=int(opt.get("tile_pitch", 1)),
         )
     config.grid = _parse_volume(root["volume"])
     precision = root["volume"].get("table_precision", "float32")

@@ -87,6 +87,10 @@ class RenderOptions:
     use_window: bool = False
     use_tiles: bool | None = None
     use_occupancy: bool = False
+    tile_pitch: int = 1      # tiled-schedule table-gather pitch (1 or 2):
+    #                          2 packs runs at cell-pair granularity so
+    #                          each gather start fetches two packed rows
+    #                          (see render/tiled.py::build_tiled_schedule)
 
 
 @dataclass
@@ -419,7 +423,7 @@ class Renderer:
                             for v in np.asarray(field.sigma.shape[:3])))
         key = (tuple(np.asarray(field.bbox_min, np.float64).tolist()),
                tuple(np.asarray(field.bbox_max, np.float64).tolist()),
-               shape, sparse)
+               shape, sparse, self._options.tile_pitch)
         if self._options.use_occupancy:
             # Occupancy windows depend on the zero set: rebuild when the
             # sigma array OBJECT changes. The Renderer holds a strong
@@ -475,7 +479,8 @@ class Renderer:
             self._tiled_schedule, note = \
                 tiled_mod.build_tiled_schedule_auto(
                     self._plan, field, jitter=self._jitter_host,
-                    occupancy=self._options.use_occupancy)
+                    occupancy=self._options.use_occupancy,
+                    pitch=self._options.tile_pitch)
             if note:
                 stats.notes.append(note)
             self._tiled_key = key

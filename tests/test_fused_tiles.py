@@ -284,3 +284,26 @@ def test_renderer_tiled_backward_camera_grads():
     np.testing.assert_allclose(br.camera, bw.camera, rtol=2e-3, atol=1e-4)
     np.testing.assert_allclose(br.camera_k, bw.camera_k,
                                rtol=2e-3, atol=1e-4)
+
+
+def test_renderer_tile_pitch_bit_identical():
+    """RenderOptions.tile_pitch=2 routes the tiled path through the
+    cell-pair gather schedule; forward and backward are bit-identical to
+    pitch 1 (only lane placement changes)."""
+    plan, field = scene(mode=SamplingMode.STRATIFIED)
+    ctx = Context.create()
+    r1 = Renderer(ctx, plan, RenderOptions(use_tiles=True))
+    r2 = Renderer(ctx, plan, RenderOptions(use_tiles=True, tile_pitch=2))
+    a = r1.forward(field)
+    b = r2.forward(field)
+    np.testing.assert_array_equal(a.image, b.image)
+    np.testing.assert_array_equal(a.depth, b.depth)
+    dl = np.full((plan.ray_count, 3), 0.5, np.float32)
+    ga = r1.backward(field, dl)
+    gb = r2.backward(field, dl)
+    np.testing.assert_array_equal(np.asarray(ga.sigma),
+                                  np.asarray(gb.sigma))
+    np.testing.assert_array_equal(np.asarray(ga.color),
+                                  np.asarray(gb.color))
+    np.testing.assert_array_equal(np.asarray(ga.camera),
+                                  np.asarray(gb.camera))
