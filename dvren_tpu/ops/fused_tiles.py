@@ -399,6 +399,16 @@ def _sample_geometry(samp_c, win, rayt, *, lo, inv, ns):
     return idx2, (wx, wy, wz)
 
 
+def _corner_weights(weights):
+    """The eight trilinear corner-weight planes in packed-corner order
+    (dz*4 + dy*2 + dx), computed ONCE per chunk - the naive per-(channel,
+    corner) recompute costs 96 full-plane multiplies per chunk vs 16
+    here (same multiplication order, bit-identical products)."""
+    wx, wy, wz = weights
+    return [wz[dz] * wy[dy] * wx[dx]
+            for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
+
+
 def _gather_planes_dg(win, idx2, weights):
     """Per-sample (sigma, r, g, b) planes for one chunk, each (R, 128),
     via ``tpu.dynamic_gather`` over each sub-tile's 2-bank window.
@@ -406,17 +416,14 @@ def _gather_planes_dg(win, idx2, weights):
     idx2: (R, 128) int32 window-relative slots; weights from
     :func:`_sample_geometry` (mask folded into wz).
     """
-    wx, wy, wz = weights
+    w8 = _corner_weights(weights)
     planes = []
     for ch in range(4):
         acc = None
-        for dz in (0, 1):
-            for dy in (0, 1):
-                for dx in (0, 1):
-                    col = ch * 8 + dz * 4 + dy * 2 + dx
-                    val = win.expand_tab(col, idx2)
-                    term = (wz[dz] * wy[dy] * wx[dx]) * val
-                    acc = term if acc is None else acc + term
+        for corner in range(8):
+            val = win.expand_tab(ch * 8 + corner, idx2)
+            term = w8[corner] * val
+            acc = term if acc is None else acc + term
         planes.append(acc)
     return planes
 
@@ -436,7 +443,7 @@ def _gather_planes_mxu(mat0, mat1, idx2, weights):
     """
     n_rows = idx2.shape[0]
     slot = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
-    wx, wy, wz = weights
+    w8 = _corner_weights(weights)
     rows = [[] for _ in range(4)]
     for r in range(n_rows):
         lrow = jnp.broadcast_to(idx2[r:r + 1, :], (LANES, LANES))
@@ -448,9 +455,7 @@ def _gather_planes_mxu(mat0, mat1, idx2, weights):
                             precision=jax.lax.Precision.HIGHEST))
         # corner weights in packed-corner order (dz*4 + dy*2 + dx)
         wc8 = jnp.concatenate(
-            [(wz[dz] * wy[dy] * wx[dx])[r:r + 1, :]
-             for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)],
-            axis=0)                                           # (8, 128)
+            [w8[c][r:r + 1, :] for c in range(8)], axis=0)    # (8, 128)
         weighted = cube_r.reshape(4, 8, LANES) * wc8[None]    # (4, 8, 128)
         vals = jnp.sum(weighted, axis=1)                      # (4, 128)
         for ch in range(4):
@@ -656,22 +661,22 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
             idx2, (wx, wy, wz) = _sample_geometry(samp_ref[g, c], w2,
                                                   rayt, **geom)
 
+            # FULL-plane weight products hoisted out of the row loop:
+            # wp[ch*8 + corner] = corner weight * d(plane), 48 (16, 128)
+            # multiplies per chunk instead of 768 single-row ones (the
+            # row loop below only slices) - bit-identical products.
+            w8 = _corner_weights((wx, wy, wz))
+            wp = [w8[corner] * dplanes[ch]
+                  for ch in range(4) for corner in range(8)]
+
             slot = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
             rps = ROWS // subs
             for s2 in range(subs):
                 d0 = jnp.zeros((NCH, LANES), jnp.float32)
                 d1 = jnp.zeros((NCH, LANES), jnp.float32)
                 for r in range(s2 * rps, (s2 + 1) * rps):
-                    rows = []
-                    for ch in range(4):
-                        dp_r = dplanes[ch][r:r + 1, :]
-                        for dz in (0, 1):
-                            for dy in (0, 1):
-                                for dx in (0, 1):
-                                    wc = (wz[dz] * wy[dy]
-                                          * wx[dx])[r:r + 1, :]
-                                    rows.append(wc * dp_r)
-                    d_cr = jnp.concatenate(rows, axis=0)      # (32, 128)
+                    d_cr = jnp.concatenate(
+                        [p[r:r + 1, :] for p in wp], axis=0)  # (32, 128)
                     # one-hot oh[s, l] = [idx2[r, l] == s (+128 bank 1)];
                     # contract both on lanes: d[ch, s] = sum_l d_cr * oh
                     lrow = jnp.broadcast_to(idx2[r:r + 1, :],
@@ -703,6 +708,15 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
                     (samp_ref[g, c, 0].astype(jnp.uint32) << 16)
                     | samp_ref[g, c, 1].astype(jnp.uint32), jnp.float32)
                 dtx = dty = dtz = 0.0
+                # axis-PAIR weight products hoisted out of the channel
+                # loop (12 full-plane multiplies instead of 48; same
+                # multiplication order per term, bit-identical)
+                wzy = {(a, b): wz[a] * wy[b] for a in (0, 1)
+                       for b in (0, 1)}
+                wzx = {(a, b): wz[a] * wx[b] for a in (0, 1)
+                       for b in (0, 1)}
+                wyxm = {(a, b): m * wy[a] * wx[b] for a in (0, 1)
+                        for b in (0, 1)}
                 for ch in range(4):
                     dp = dplanes[ch]
                     v = {}
@@ -713,15 +727,15 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
                                     ch * 8 + dz * 4 + dy * 2 + dx_, idx2)
                     for dz in (0, 1):
                         for dy in (0, 1):
-                            dtx += dp * (wz[dz] * wy[dy]
+                            dtx += dp * (wzy[(dz, dy)]
                                          * (v[(dz, dy, 1)] - v[(dz, dy, 0)]))
                     for dz in (0, 1):
                         for dx_ in (0, 1):
-                            dty += dp * (wz[dz] * wx[dx_]
+                            dty += dp * (wzx[(dz, dx_)]
                                          * (v[(dz, 1, dx_)] - v[(dz, 0, dx_)]))
                     for dy in (0, 1):
                         for dx_ in (0, 1):
-                            dtz += dp * (m * wy[dy] * wx[dx_]
+                            dtz += dp * (wyxm[(dy, dx_)]
                                          * (v[(1, dy, dx_)] - v[(0, dy, dx_)]))
                 kx = jnp.float32(inv[0] * ns[0])
                 ky = jnp.float32(inv[1] * ns[1])
