@@ -535,7 +535,7 @@ def build_tiled_schedule(plan: Plan, field,
             jit = jitter[rows[:, :, None], cols]
         else:
             jit = np.float32(0.5)
-        sample_t = (base_t + jit * dt).astype(np.float32)
+        sample_t = np.asarray(base_t + jit * dt, np.float32)  # already f32
         nudge = np.nextafter(t_far, t_near, dtype=np.float32)
         sample_t = np.where(sample_t >= t_far, nudge, sample_t)
 
@@ -544,15 +544,19 @@ def build_tiled_schedule(plan: Plan, field,
         pz = ot[:, :, 2:3] + dtn[:, :, 2:3] * sample_t
 
         def _axis(p, lo, inv, npts):
-            local = ((p - np.float32(lo)) * inv).astype(np.float32)
+            # All-f32 pipeline, no copies (the old version ran an astype
+            # copy per op and computed the trilinear fraction - dead here
+            # since the slim schedule: the kernel recomputes fractions
+            # in-kernel and the builder only needs the mask + cell index,
+            # which are unchanged by dropping those passes).
+            local = (p - np.float32(lo)) * inv
             inside = (local >= 0.0) & (local <= 1.0)
-            f = (local * np.float32(npts - 1)).astype(np.float32)
-            i = np.clip(np.floor(f), 0, npts - 2).astype(np.int64)
-            return inside, i, (f - i).astype(np.float32)
+            f = local * np.float32(npts - 1)
+            return inside, np.clip(np.floor(f), 0, npts - 2).astype(np.int64)
 
-        in_x, ix, tx = _axis(px, bbox_min[0], inv_ext[0], nx)
-        in_y, iy, ty = _axis(py, bbox_min[1], inv_ext[1], ny)
-        in_z, iz, tz = _axis(pz, bbox_min[2], inv_ext[2], nz)
+        in_x, ix = _axis(px, bbox_min[0], inv_ext[0], nx)
+        in_y, iy = _axis(py, bbox_min[1], inv_ext[1], ny)
+        in_z, iz = _axis(pz, bbox_min[2], inv_ext[2], nz)
         m = (in_x & in_y & in_z & live)
         cell = (iz * ny + iy) * nx + ix   # FULL-pitch packed-table row
 
@@ -583,7 +587,7 @@ def build_tiled_schedule(plan: Plan, field,
         sc = np.take_along_axis(flat, order, 1)
         new = np.ones(flat.shape, bool)
         new[:, 1:] = sc[:, 1:] != sc[:, :-1]
-        rank = np.cumsum(new, axis=1) - 1
+        rank = np.cumsum(new, axis=1, dtype=np.int32) - 1
         # The sentinel (masked samples) sorts last; it does NOT need a table
         # slot - masked samples may point anywhere (their weight is 0).
         has_sent = sc[:, -1] == _SENTINEL
@@ -595,11 +599,11 @@ def build_tiled_schedule(plan: Plan, field,
             pcs = np.where(sc == _SENTINEL, _SENTINEL, sc >> 1)
             new_p = np.ones(flat.shape, bool)
             new_p[:, 1:] = pcs[:, 1:] != pcs[:, :-1]
-            prank = np.cumsum(new_p, axis=1) - 1
+            prank = np.cumsum(new_p, axis=1, dtype=np.int32) - 1
             lane_sorted = (2 * prank + (sc & 1)).astype(np.int32)
             lanes_run = 2 * (prank[:, -1] + 1 - has_sent)
         else:
-            lane_sorted = rank.astype(np.int32)
+            lane_sorted = rank                     # already int32
             lanes_run = nuniq
         lidx = np.empty(flat.shape, np.int32)
         np.put_along_axis(lidx, order, lane_sorted, 1)
@@ -717,8 +721,7 @@ def build_tiled_schedule(plan: Plan, field,
             check(nb <= 255, "bank space exceeds the 15-bit lane id")
             packed_bits = (lidx_local
                            | (m_k.astype(np.int32) << 15))
-            st_bits = np.ascontiguousarray(
-                st_l[keep].astype(np.float32)).view(np.uint32)
+            st_bits = np.ascontiguousarray(st_l[keep]).view(np.uint32)
             samp = np.stack(
                 [(st_bits >> 16).astype(np.uint16),
                  (st_bits & np.uint32(0xFFFF)).astype(np.uint16),
