@@ -281,27 +281,39 @@ def _expand_rayt(rayt_g):
     return planes
 
 
-def _win_expand(m0, m1, col, idx2):
-    """Expand window-relative slots ``idx2`` (R, 128) in [0, 256) into
-    values of row ``col`` of the two bank matrices m0/m1 ((C, 128) loaded
-    blocks) via ``tpu.dynamic_gather`` - one lane shuffle per bank + one
-    select. Rows are sliced in ONE step off the loaded block (Mosaic
-    rejects broadcast from a re-sliced intermediate, "Invalid input
-    layout")."""
+def _slot_prep(idx2):
+    """Decompose window-relative slots ``idx2`` into (bank-0 index,
+    bank-1 index, bank-1 select, out rows) ONCE per chunk - every window
+    expansion (32 table corners + 3 bases, 67 with camera grads) reuses
+    it instead of re-running two clips and a compare per call.
+
+    Single-sublane inputs broadcast to a full 8-sublane vreg here (once)
+    because Mosaic's dynamic_gather lowering rejects single-sublane
+    shapes ("Shape mismatch in input, indices and output"); the
+    expansion slices the first row back."""
     rows = idx2.shape[0]
     if rows == 1:
-        # Mosaic's dynamic_gather lowering rejects single-sublane
-        # shapes ("Shape mismatch in input, indices and output");
-        # broadcast to a full 8-sublane vreg (free on the VPU - (1, 128)
-        # ops occupy a vreg anyway) and slice the first row back.
-        return _win_expand(m0, m1, col,
-                           jnp.broadcast_to(idx2, (8, LANES)))[0:1]
+        idx2 = jnp.broadcast_to(idx2, (8, LANES))
+    return (jnp.clip(idx2, 0, LANES - 1),
+            jnp.clip(idx2 - LANES, 0, LANES - 1),
+            idx2 >= LANES, rows)
+
+
+def _win_expand(m0, m1, col, prep):
+    """Expand prepared window-relative slots (see :func:`_slot_prep`)
+    into values of row ``col`` of the two bank matrices m0/m1 ((C, 128)
+    loaded blocks) via ``tpu.dynamic_gather`` - one lane shuffle per bank
+    + one select. Rows are sliced in ONE step off the loaded block
+    (Mosaic rejects broadcast from a re-sliced intermediate, "Invalid
+    input layout")."""
+    i0, i1, sel, out_rows = prep
+    rows = i0.shape[0]
     r0 = jnp.broadcast_to(m0[col:col + 1, :], (rows, LANES))
     r1 = jnp.broadcast_to(m1[col:col + 1, :], (rows, LANES))
-    v0 = jnp.take_along_axis(r0, jnp.clip(idx2, 0, LANES - 1), axis=1)
-    v1 = jnp.take_along_axis(r1, jnp.clip(idx2 - LANES, 0, LANES - 1),
-                             axis=1)
-    return jnp.where(idx2 >= LANES, v1, v0)
+    v0 = jnp.take_along_axis(r0, i0, axis=1)
+    v1 = jnp.take_along_axis(r1, i1, axis=1)
+    v = jnp.where(sel, v1, v0)
+    return v[:out_rows] if out_rows != rows else v
 
 
 class _Windows:
@@ -338,22 +350,29 @@ class _Windows:
             [lidx[s * self.rps:(s + 1) * self.rps] - self.b0s[s] * LANES
              for s in range(self.subs)], axis=0)
 
-    def _expand(self, mats, col, idx2):
+    def prep(self, idx2):
+        """Per-sub-tile :func:`_slot_prep` list, computed once per chunk
+        and reused by every expansion."""
+        if self.subs == 1:
+            return [_slot_prep(idx2)]
+        return [_slot_prep(idx2[s * self.rps:(s + 1) * self.rps])
+                for s in range(self.subs)]
+
+    def _expand(self, mats, col, preps):
         if self.subs == 1:
             m0, m1 = mats[0]
-            return _win_expand(m0, m1, col, idx2)
+            return _win_expand(m0, m1, col, preps[0])
         outs = []
         for s in range(self.subs):
             m0, m1 = mats[s]
-            sl = slice(s * self.rps, (s + 1) * self.rps)
-            outs.append(_win_expand(m0, m1, col, idx2[sl]))
+            outs.append(_win_expand(m0, m1, col, preps[s]))
         return jnp.concatenate(outs, axis=0)
 
-    def expand_tab(self, col, idx2):
-        return self._expand(self.mats, col, idx2)
+    def expand_tab(self, col, preps):
+        return self._expand(self.mats, col, preps)
 
-    def expand_base(self, ax, idx2):
-        return self._expand(self.bases, ax, idx2)
+    def expand_base(self, ax, preps):
+        return self._expand(self.bases, ax, preps)
 
 
 def _sample_geometry(samp_c, win, rayt, *, lo, inv, ns):
@@ -374,7 +393,8 @@ def _sample_geometry(samp_c, win, rayt, *, lo, inv, ns):
     reassemble as (hi << 16) | lo).
     win: the chunk's :class:`_Windows` (per-sub-tile bank windows).
     rayt: six (R, 128) planes ox, oy, oz, dx, dy, dz (from _expand_rayt).
-    Returns (idx2 (R,128) window-relative i32, weights
+    Returns (idx2 (R,128) window-relative i32, prep (the chunk's
+    :func:`_slot_prep` list, reused by every expansion), weights
     ((wx0,wx1),(wy..),(wz..)) with m folded into wz).
     """
     st = pltpu.bitcast(
@@ -383,12 +403,13 @@ def _sample_geometry(samp_c, win, rayt, *, lo, inv, ns):
     packed = samp_c[2].astype(jnp.int32)
     m = ((packed >> 15) & 1).astype(jnp.float32)
     idx2 = win.idx2(packed & 0x7FFF)
+    prep = win.prep(idx2)
 
     def axis(o_pl, d_pl, ax):
         p = o_pl + d_pl * st
         local = (p - jnp.float32(lo[ax])) * jnp.float32(inv[ax])
         f = local * jnp.float32(ns[ax])
-        return f - win.expand_base(ax, idx2)
+        return f - win.expand_base(ax, prep)
 
     tx = axis(rayt[0], rayt[3], 0)
     ty = axis(rayt[1], rayt[4], 1)
@@ -396,7 +417,7 @@ def _sample_geometry(samp_c, win, rayt, *, lo, inv, ns):
     wx = (1.0 - tx, tx)
     wy = (1.0 - ty, ty)
     wz = (m * (1.0 - tz), m * tz)
-    return idx2, (wx, wy, wz)
+    return idx2, prep, (wx, wy, wz)
 
 
 def _corner_weights(weights):
@@ -409,19 +430,19 @@ def _corner_weights(weights):
             for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
 
 
-def _gather_planes_dg(win, idx2, weights):
+def _gather_planes_dg(win, prep, weights):
     """Per-sample (sigma, r, g, b) planes for one chunk, each (R, 128),
     via ``tpu.dynamic_gather`` over each sub-tile's 2-bank window.
 
-    idx2: (R, 128) int32 window-relative slots; weights from
-    :func:`_sample_geometry` (mask folded into wz).
+    prep: prepared slot decomposition (from :func:`_sample_geometry`);
+    weights: trilinear weights (mask folded into wz).
     """
     w8 = _corner_weights(weights)
     planes = []
     for ch in range(4):
         acc = None
         for corner in range(8):
-            val = win.expand_tab(ch * 8 + corner, idx2)
+            val = win.expand_tab(ch * 8 + corner, prep)
             term = w8[corner] * val
             acc = term if acc is None else acc + term
         planes.append(acc)
@@ -463,11 +484,11 @@ def _gather_planes_mxu(mat0, mat1, idx2, weights):
     return [jnp.concatenate(rs, axis=0) for rs in rows]
 
 
-def _chunk_gather(win, idx2, weights, gather):
+def _chunk_gather(win, idx2, prep, weights, gather):
     if gather == "mxu":   # MXU one-hot ablation: whole-tile windows only
         m0, m1 = win.mats[0]
         return _gather_planes_mxu(m0, m1, idx2, weights)
-    return _gather_planes_dg(win, idx2, weights)
+    return _gather_planes_dg(win, prep, weights)
 
 
 def _chunk_geometry(ke, c, consts):
@@ -520,9 +541,10 @@ def _fwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
             acc_r, acc_g, acc_b, acc_wd, acc_odp, carry_od = carry
             win = _Windows(tabs_ref, base_ref, g, b0_ref, tile0 + g, c,
                            nc, nb, subs)
-            idx2, weights = _sample_geometry(samp_ref[g, c], win, rayt,
-                                             **geom)
-            sig, cr, cg, cb = _chunk_gather(win, idx2, weights, gather)
+            idx2, prep, weights = _sample_geometry(samp_ref[g, c], win,
+                                                   rayt, **geom)
+            sig, cr, cg, cb = _chunk_gather(win, idx2, prep, weights,
+                                            gather)
             livef, dta, tcur = _chunk_geometry(ke, c, consts)
 
             od = jnp.maximum(sig * dta, 0.0) * livef
@@ -607,9 +629,10 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
         # Pass 1 (forward): recompute planes and prefix state per chunk.
         def fwd_chunk(c, carry_od):
             w = win(c)
-            idx2, weights = _sample_geometry(samp_ref[g, c], w, rayt,
-                                             **geom)
-            sig, cr, cg, cb = _chunk_gather(w, idx2, weights, gather)
+            idx2, prep, weights = _sample_geometry(samp_ref[g, c], w,
+                                                   rayt, **geom)
+            sig, cr, cg, cb = _chunk_gather(w, idx2, prep, weights,
+                                            gather)
             planes_s[c, 0] = sig
             planes_s[c, 1] = cr
             planes_s[c, 2] = cg
@@ -658,8 +681,8 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
             dplanes = (dsig, g_r * w, g_g * w, g_b * w)
 
             w2 = win(c)
-            idx2, (wx, wy, wz) = _sample_geometry(samp_ref[g, c], w2,
-                                                  rayt, **geom)
+            idx2, prep, (wx, wy, wz) = _sample_geometry(samp_ref[g, c],
+                                                        w2, rayt, **geom)
 
             # FULL-plane weight products hoisted out of the row loop:
             # wp[ch*8 + corner] = corner weight * d(plane), 48 (16, 128)
@@ -724,7 +747,7 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
                         for dy in (0, 1):
                             for dx_ in (0, 1):
                                 v[(dz, dy, dx_)] = w2.expand_tab(
-                                    ch * 8 + dz * 4 + dy * 2 + dx_, idx2)
+                                    ch * 8 + dz * 4 + dy * 2 + dx_, prep)
                     for dz in (0, 1):
                         for dy in (0, 1):
                             dtx += dp * (wzy[(dz, dy)]

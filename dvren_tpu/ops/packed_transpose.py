@@ -76,3 +76,50 @@ def rows_to_stack(rows: jnp.ndarray, interpret: bool | None = None):
             dimension_semantics=("parallel",)),
         interpret=interpret,
     )(rows)
+
+
+_CB = 8  # bank blocks per grid step: (8, 32, 128) f32 in + u16 out = 256 KB
+
+
+def _b2r_kernel(i_ref, o_ref):
+    for b in range(_CB):
+        bits = pltpu.bitcast(i_ref[b], jnp.uint32)        # (32, 128)
+        bt = bits.T                                       # (128, 32) u32
+        hi = (bt >> jnp.uint32(16)).astype(jnp.uint16)
+        lo = (bt & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+        o_ref[b] = jnp.concatenate([hi, lo], axis=1)      # (128, 64) u16
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def banks_to_u16_rows(banks: jnp.ndarray, interpret: bool | None = None):
+    """Bank-block cotangents (B, 32, 128) f32 -> u16 slot rows
+    (B*128, 64), row s = lane s%128 of block s//128, columns
+    [hi16 of the 32 channels | lo16] (the take_rows_exact split layout,
+    ops/grid.py::_split_u16).
+
+    The backward's gather-transpose needs the per-SLOT cotangent rows the
+    kernel's per-bank layout stores lane-wise; XLA's bitcast + u16 split
+    + swapaxes materializes lane-padded sub-128-minor intermediates (the
+    same disease the forward build had - see module docstring). Here the
+    whole transform is one blockwise VMEM pass: bitcast, one 32-bit
+    transpose per block, shift/mask into u16 halves, each byte read and
+    written once. Bit-exact by construction (pure integer plumbing).
+
+    B must be a multiple of 8 (tile groups are padded to multiples of 8
+    tiles, so per-group B = n_tiles * banks always is).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    nb = banks.shape[0]
+    assert nb % _CB == 0, nb
+    out = pl.pallas_call(
+        _b2r_kernel,
+        grid=(nb // _CB,),
+        in_specs=[pl.BlockSpec((_CB, 32, 128), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((_CB, 128, 64), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nb, 128, 64), jnp.uint16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(banks)
+    return out.reshape(nb * 128, 64)

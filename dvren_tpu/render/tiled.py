@@ -41,6 +41,7 @@ Reference role model: hp_samp_int_fused + CUDA Graph steady state
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -62,6 +63,15 @@ RAYS_PER_TILE = TILE_W * TILE_H
 CHUNK = 8
 MAX_CELLS = 128
 _SENTINEL = np.int64(1) << 62
+
+# Backward cotangent split strategy: "pallas" runs the f32 bank-block ->
+# u16 slot-row relayout in the blockwise VMEM kernel
+# (ops/packed_transpose.py::banks_to_u16_rows); "xla" is the plain
+# bitcast + split + swapaxes (materializes lane-padded sub-128-minor
+# intermediates). Bit-identical outputs (both are pure integer
+# plumbing); flag kept until the tradeoff is measured on TPU
+# (tools/tiled_profile.py --bwd ablates it).
+BWD_SPLIT = os.environ.get("DVREN_BWD_SPLIT", "xla")
 
 
 @pytree_dataclass(meta_fields=("n_chunks", "n_tiles", "banks", "samples"))
@@ -997,16 +1007,29 @@ def _gather_bank_tables_bwd(static, res, cts):
     plan, tshape = res
     all_idx, meta, inv_map = plan.all_idx, plan.meta, plan.inv_map
     w = tshape[1]
-    ct = jnp.concatenate(
-        [c.reshape(-1, 32, MAX_CELLS) for c in cts])  # (B, 32, 128)
-    # f32 (B, 32, 128) -> u16 (B, 64, 128) -> lanes-major (S, 64), all
-    # dense; the f32 reconstruct happens inside the per-class reduction
-    # (fused into the sum - no padded (S, w) materialization).
-    bits = jax.lax.bitcast_convert_type(ct, jnp.uint32)
-    ct16 = jnp.concatenate(
-        [(bits >> 16).astype(jnp.uint16),
-         (bits & jnp.uint32(0xFFFF)).astype(jnp.uint16)], axis=1)
-    ct16 = jnp.swapaxes(ct16, 1, 2).reshape(-1, 64)   # (S, 64) u16
+    blocks = [c.reshape(-1, 32, MAX_CELLS) for c in cts]
+    if (BWD_SPLIT == "pallas"
+            and all(b.shape[0] % 8 == 0 for b in blocks)):
+        # One blockwise VMEM pass per group: bitcast + 32-bit transpose
+        # + u16 halves, each byte read and written once (and no f32
+        # concat pass - groups convert independently). Group tile counts
+        # are padded to multiples of 8, so per-group B = tiles * banks
+        # always satisfies the kernel's block quantum.
+        from dvren_tpu.ops import packed_transpose
+        ct16 = jnp.concatenate(
+            [packed_transpose.banks_to_u16_rows(b) for b in blocks])
+        ct = blocks[0]                                # dtype carrier
+    else:
+        ct = jnp.concatenate(blocks)                  # (B, 32, 128)
+        # f32 (B, 32, 128) -> u16 (B, 64, 128) -> lanes-major (S, 64),
+        # all dense; the f32 reconstruct happens inside the per-class
+        # reduction (fused into the sum - no padded (S, w)
+        # materialization).
+        bits = jax.lax.bitcast_convert_type(ct, jnp.uint32)
+        ct16 = jnp.concatenate(
+            [(bits >> 16).astype(jnp.uint16),
+             (bits & jnp.uint32(0xFFFF)).astype(jnp.uint16)], axis=1)
+        ct16 = jnp.swapaxes(ct16, 1, 2).reshape(-1, 64)   # (S, 64) u16
     g16 = jnp.take(ct16, all_idx, axis=0, mode="clip")
     val_parts = [
         grid_ops._u16_rows_to_f32(

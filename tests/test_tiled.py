@@ -485,3 +485,32 @@ def test_pair_pitch_subtiled_and_merged():
     np.testing.assert_array_equal(
         np.asarray(render_tiled_stack(plan, field, merged2)),
         np.asarray(render_tiled_stack(plan, field, merged1)))
+
+
+def test_bwd_split_pallas_bit_identical(monkeypatch):
+    """The Pallas bank-block -> u16 slot-row cotangent relayout
+    (ops/packed_transpose.py::banks_to_u16_rows) is pure integer
+    plumbing: d(table) must match the XLA split+swapaxes path BITWISE,
+    through the full kernel backward."""
+    from dvren_tpu.render import tiled as tiled_mod
+
+    plan, field = scene(mode=SamplingMode.STRATIFIED)
+    jitter = plan_jitter_table(plan)
+    schedule = build_tiled_schedule(plan, field, jitter=jitter)
+    # the kernel quantum: every group's bank-block count must divide 8
+    # (groups pad tile counts to multiples of 8) or the pallas branch
+    # silently falls back and this test would vacuously pass
+    for g in schedule.groups:
+        assert (g.n_tiles * g.banks) % 8 == 0
+
+    def loss(params):
+        f = field.with_params(*params)
+        return (render_tiled(plan, f, schedule).image ** 2).sum()
+
+    params = (field.sigma, field.color)
+    monkeypatch.setattr(tiled_mod, "BWD_SPLIT", "xla")
+    g_xla = jax.grad(loss)(params)
+    monkeypatch.setattr(tiled_mod, "BWD_SPLIT", "pallas")
+    g_pal = jax.grad(loss)(params)
+    np.testing.assert_array_equal(np.asarray(g_xla[0]), np.asarray(g_pal[0]))
+    np.testing.assert_array_equal(np.asarray(g_xla[1]), np.asarray(g_pal[1]))
