@@ -100,9 +100,12 @@ def main():
     def log(msg):
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-    width = height = 512
-    max_steps = 128
-    plan, field = _scene(width, height, 64, max_steps)
+    # env overrides exist for CPU smoke-testing the bench itself
+    # (tests/test_bench_smoke.py); the recorded config is always default.
+    width = height = int(_os.environ.get("DVREN_BENCH_WIDTH", "512"))
+    max_steps = int(_os.environ.get("DVREN_BENCH_STEPS", "128"))
+    grid_n = int(_os.environ.get("DVREN_BENCH_GRID", "64"))
+    plan, field = _scene(width, height, grid_n, max_steps)
     n_rays = plan.ray_count
     log(f"device={jax.devices()[0]} rays={n_rays} steps={max_steps}")
     jitter_np = plan_jitter_table(plan)
@@ -139,6 +142,29 @@ def main():
     log(f"tiled fwd steady-state {tiled_fwd_s * 1e3:.2f} ms/frame -> "
         f"{tiled_fwd_mrays:.1f} Mrays/s")
 
+    # Pair-pitch gather ablation (RenderOptions.tile_pitch=2: half the
+    # forward table-gather starts for ~49% more slot lanes; bit-identical
+    # images - tests/test_tiled.py). Headline takes the faster config.
+    fwd_pitch2_mrays = None
+    try:
+        sched2 = build_tiled_schedule(plan, field, jitter=jitter_np,
+                                      pitch=2)
+        t0 = time.perf_counter()
+        fwd_scan2 = jax.jit(frames).lower(scales, sched2).compile()
+        log(f"tiled fwd pitch2 compile {time.perf_counter() - t0:.1f}s")
+        s2 = _time_compiled(
+            fwd_scan2, [(scales, sched2), (scales * 1.003, sched2)],
+            iters=4)
+        fwd_pitch2_mrays = n_rays / (s2 / KF) / 1e6
+        log(f"tiled fwd pitch2 steady-state {s2 / KF * 1e3:.2f} ms/frame "
+            f"-> {fwd_pitch2_mrays:.1f} Mrays/s")
+    except Exception as e:  # never fail the bench on an ablation
+        log(f"pitch2 ablation failed: {type(e).__name__}: {e}")
+        sched2 = None
+    best_pitch = 2 if (fwd_pitch2_mrays or 0) > tiled_fwd_mrays else 1
+    if best_pitch == 2:
+        tiled_fwd_mrays, tiled_fwd_s = fwd_pitch2_mrays, s2 / KF
+
     KB = 4
 
     def loss_tiled(p, sched):
@@ -161,6 +187,32 @@ def main():
     tiled_fb_mrays = n_rays / tiled_fb_s / 1e6
     log(f"tiled fwd+bwd steady-state {tiled_fb_s * 1e3:.2f} ms/step -> "
         f"{tiled_fb_mrays:.1f} Mrays/s")
+
+    # Backward cotangent-relayout ablation (DVREN_BWD_SPLIT=pallas: the
+    # blockwise VMEM bank->u16-row kernel replaces XLA's
+    # bitcast+split+swapaxes; bit-identical gradients - test_tiled.py).
+    # The flag is baked at trace time, so re-lower with it flipped.
+    from dvren_tpu.render import tiled as tiled_mod
+    fb_pallas_mrays = None
+    try:
+        tiled_mod.BWD_SPLIT = "pallas"
+        t0 = time.perf_counter()
+        fb_scan_p = jax.jit(train_steps).lower(params, sched).compile()
+        log(f"tiled fwd+bwd pallas-split compile "
+            f"{time.perf_counter() - t0:.1f}s")
+        sp = _time_compiled(
+            fb_scan_p, [(params, sched), (params_b, sched)], iters=3)
+        fb_pallas_mrays = n_rays / (sp / KB) / 1e6
+        log(f"tiled fwd+bwd pallas-split steady-state "
+            f"{sp / KB * 1e3:.2f} ms/step -> {fb_pallas_mrays:.1f} Mrays/s")
+    except Exception as e:
+        log(f"pallas-split ablation failed: {type(e).__name__}: {e}")
+    finally:
+        tiled_mod.BWD_SPLIT = _os.environ.get("DVREN_BWD_SPLIT", "xla")
+    best_split = ("pallas"
+                  if (fb_pallas_mrays or 0) > tiled_fb_mrays else "xla")
+    if best_split == "pallas":
+        tiled_fb_mrays, tiled_fb_s = fb_pallas_mrays, sp / KB
 
     # bf16 packed-table perf mode (documented ~1e-3 field precision)
     import dataclasses as _dc
@@ -231,7 +283,13 @@ def main():
         "extra": {
             "fwd_path": "fused tile kernel, steady-state "
                         f"(K={KF} frames/dispatch)",
+            "fwd_tile_pitch": best_pitch,
+            "fwd_pitch2_Mrays_per_s": (round(fwd_pitch2_mrays, 2)
+                                       if fwd_pitch2_mrays else None),
             "fwdbwd_Mrays_per_s": round(tiled_fb_mrays, 2),
+            "bwd_split": best_split,
+            "fwdbwd_pallas_split_Mrays_per_s": (
+                round(fb_pallas_mrays, 2) if fb_pallas_mrays else None),
             "fwd_bf16_table_Mrays_per_s": round(tiled_bf16_mrays, 2),
             "fwd_ms_per_frame": round(tiled_fwd_s * 1e3, 3),
             "fwdbwd_ms_per_step": round(tiled_fb_s * 1e3, 3),
@@ -246,7 +304,8 @@ def main():
                 sched.tiled_samples / sched.full_lattice_samples, 3),
             "tiled_fallback_rays": sched.fallback_rays,
             "dispatch_overhead_ms": 36.0,
-            "config": "512x512, 64^3 grid, 128 steps, stratified",
+            "config": f"{width}x{height}, {grid_n}^3 grid, "
+                      f"{max_steps} steps, stratified",
             "device": str(jax.devices()[0]),
         },
     }
