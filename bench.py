@@ -100,8 +100,9 @@ def main():
     def log(msg):
         print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-    # env overrides exist for CPU smoke-testing the bench itself
-    # (tests/test_bench_smoke.py); the recorded config is always default.
+    # env overrides exist so the full bench (incl. both ablation
+    # branches) can be smoke-run on CPU at a tiny scene; the driver's
+    # recorded config is always the default.
     width = height = int(_os.environ.get("DVREN_BENCH_WIDTH", "512"))
     max_steps = int(_os.environ.get("DVREN_BENCH_STEPS", "128"))
     grid_n = int(_os.environ.get("DVREN_BENCH_GRID", "64"))
@@ -146,6 +147,7 @@ def main():
     # forward table-gather starts for ~49% more slot lanes; bit-identical
     # images - tests/test_tiled.py). Headline takes the faster config.
     fwd_pitch2_mrays = None
+    sched2 = fwd_scan2 = None
     try:
         sched2 = build_tiled_schedule(plan, field, jitter=jitter_np,
                                       pitch=2)
@@ -160,10 +162,12 @@ def main():
             f"-> {fwd_pitch2_mrays:.1f} Mrays/s")
     except Exception as e:  # never fail the bench on an ablation
         log(f"pitch2 ablation failed: {type(e).__name__}: {e}")
-        sched2 = None
     best_pitch = 2 if (fwd_pitch2_mrays or 0) > tiled_fwd_mrays else 1
     if best_pitch == 2:
         tiled_fwd_mrays, tiled_fwd_s = fwd_pitch2_mrays, s2 / KF
+    # release the ablation schedule + executable (full duplicate of the
+    # tiled schedule's device arrays - HBM pressure on later phases)
+    sched2 = fwd_scan2 = None
 
     KB = 4
 
@@ -178,6 +182,11 @@ def main():
             return ((p[0] - 1e-3 * g[0], p[1] - 1e-3 * g[1]), l)
         return jax.lax.scan(body, p0, None, length=KB)
 
+    # baseline is ALWAYS the xla split (an inherited DVREN_BWD_SPLIT=
+    # pallas env would otherwise make the ablation compare pallas vs
+    # pallas while the JSON labels the winner "xla")
+    from dvren_tpu.render import tiled as tiled_mod
+    tiled_mod.BWD_SPLIT = "xla"
     t0 = time.perf_counter()
     fb_scan = jax.jit(train_steps).lower(params, sched).compile()
     log(f"tiled fwd+bwd scan compile {time.perf_counter() - t0:.1f}s")
@@ -192,7 +201,6 @@ def main():
     # blockwise VMEM bank->u16-row kernel replaces XLA's
     # bitcast+split+swapaxes; bit-identical gradients - test_tiled.py).
     # The flag is baked at trace time, so re-lower with it flipped.
-    from dvren_tpu.render import tiled as tiled_mod
     fb_pallas_mrays = None
     try:
         tiled_mod.BWD_SPLIT = "pallas"

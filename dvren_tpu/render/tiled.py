@@ -70,7 +70,8 @@ _SENTINEL = np.int64(1) << 62
 # bitcast + split + swapaxes (materializes lane-padded sub-128-minor
 # intermediates). Bit-identical outputs (both are pure integer
 # plumbing); flag kept until the tradeoff is measured on TPU
-# (tools/tiled_profile.py --bwd ablates it).
+# (tools/bwdsplit_probe.py isolates it; bench.py ablates both and
+# headlines the best).
 BWD_SPLIT = os.environ.get("DVREN_BWD_SPLIT", "xla")
 
 
@@ -441,10 +442,22 @@ def build_tiled_schedule(plan: Plan, field,
     their partner lane; partner lanes are never indexed by samples,
     carry exact-zero cotangents, and stay -1 in ``hostmap`` so the
     backward's gather plan excludes them). Output is bit-identical to
-    pitch 1 - only lane placement changes.
+    pitch 1 - only lane placement changes. Sparse fields with an ODD x
+    dimension demote to pitch 1 (their brick tables cannot satisfy the
+    consecutive-row pair premise); ``schedule.pitch`` records the
+    effective value.
     """
     check(tile_px in (4, 8, 16), "tile_px must be 4, 8 or 16")
     check(pitch in (1, 2), "pitch must be 1 or 2")
+    if pitch == 2 and hasattr(field, "bricks"):
+        gs = tuple(int(v) for v in field.grid_shape)
+        if gs[2] % 2:
+            # The sparse pair premise needs flat-id pairs (2j, 2j+1) to
+            # be x-adjacent within one brick row-pair; with odd nx the
+            # pair parity drifts per y row and pairs wrap x, so cell
+            # 2j+1 is NOT at brick row(2j)+1 and the paired fetch would
+            # load the wrong row. Structurally unsatisfiable -> pitch 1.
+            pitch = 1
     n_sub = (16 // tile_px) ** 2
     check(getattr(field, "oob", OobPolicy.ZERO) == OobPolicy.ZERO,
           "tiled rendering requires an OOB_ZERO field")
@@ -786,12 +799,15 @@ def build_tiled_schedule(plan: Plan, field,
                 # pair id in BRICK-row space: rows are x-minor within a
                 # brick (BRICK even), so the even geometric cell of a pair
                 # maps to an even brick row and its partner to row+1.
-                gmap = np.where(
-                    gmap >= 0,
-                    _sparse_rows_for_cells(
-                        np.maximum(gmap, 0) * 2, occ_host,
-                        (nz, ny, nx)).astype(np.int64) >> 1,
-                    np.int64(-1))
+                # Requires even nx (enforced above: odd-nx sparse grids
+                # demote to pitch 1 - flat-id pairs then wrap x rows and
+                # the partner is NOT at brick row+1); guard the premise.
+                even_rows = _sparse_rows_for_cells(
+                    np.maximum(gmap, 0) * 2, occ_host,
+                    (nz, ny, nx)).astype(np.int64)
+                assert (even_rows[gmap >= 0] % 2 == 0).all(), \
+                    "sparse pair premise violated (even cell at odd row)"
+                gmap = np.where(gmap >= 0, even_rows >> 1, np.int64(-1))
             ke_k = ke_t[keep].astype(np.int32)
             # compose targets: global sub-tile ids; overflowed/ROI-dead
             # sub-tiles -> drop sentinel
@@ -980,7 +996,12 @@ def _gather_bank_tables(table, gathermap_all, plan, static):
         r16 = jnp.take(t16.reshape(-1, 2 * 64), gathermap_all, axis=0,
                        mode="clip")                   # (S/2, 128) u16
         # bank assembly: gathered row p covers lanes 2p (cols 0:64) and
-        # 2p+1 (cols 64:128) -> (B, ch, pairpos, e) -> (B, 64, 128)
+        # 2p+1 (cols 64:128) -> (B, ch, pairpos, e) -> (B, 64, 128).
+        # NOTE: this transpose has a minor dim of 2 (sub-128-lane
+        # relayout); if TPU profiling shows it eating the halved gather
+        # starts, switch the pair lane assignment to
+        # lane = pairrank + 64*(cell&1) (host pack + here), which makes
+        # the interleave a 64-lane-minor transpose instead.
         g4 = r16.reshape(-1, MAX_CELLS // 2, 2, 64)
         g3 = g4.transpose(0, 3, 1, 2).reshape(-1, 64, MAX_CELLS)
     else:

@@ -199,3 +199,26 @@ def test_tiled_sparse_pair_pitch_bit_identical():
         b = render_tiled(plan, sparse, s2, use_kernel=uk)
         np.testing.assert_array_equal(np.asarray(a.image),
                                       np.asarray(b.image))
+
+
+def test_tiled_sparse_odd_nx_demotes_pitch():
+    """Odd x-dimension sparse grids CANNOT satisfy the pair premise
+    (flat-id pairs wrap x rows, so cell 2j+1 is not at brick row(2j)+1 -
+    the paired fetch would load the wrong row, rendering silently wrong).
+    build_tiled_schedule must demote pitch=2 to 1 and stay bit-identical."""
+    dense = blob_field(n=21, compact=False)
+    sparse = SparseGridField.from_dense(dense, threshold=0.0)
+    plan = _tiled_plan()
+    s1 = build_tiled_schedule(plan, sparse)
+    s2 = build_tiled_schedule(plan, sparse, pitch=2)
+    assert s2.pitch == 1
+    for uk in (False, True):
+        a = render_tiled(plan, sparse, s1, use_kernel=uk)
+        b = render_tiled(plan, sparse, s2, use_kernel=uk)
+        np.testing.assert_array_equal(np.asarray(a.image),
+                                      np.asarray(b.image))
+    # even dims keep the fast path (regression guard for the demotion
+    # being overly broad)
+    dense20 = blob_field(n=20, compact=False)
+    sparse20 = SparseGridField.from_dense(dense20, threshold=0.0)
+    assert build_tiled_schedule(plan, sparse20, pitch=2).pitch == 2
