@@ -826,6 +826,11 @@ def _tile_op(nc, nb, subs, g_tiles, dt, t_near, t_far, k_max, stop,
     long-lived processes rendering many plans would otherwise accumulate
     unbounded custom_vjp objects and their jit caches.
     """
+    # the MXU one-hot ablation expands against whole-tile windows
+    # (win.mats[0]); sub-tiled schedules (subs > 1) carry PER-SUB-TILE
+    # window-relative slots that would silently index the wrong banks
+    assert not (gather == "mxu" and subs > 1), \
+        "gather='mxu' supports whole-tile windows only (subs == 1)"
     kw = dict(nc=nc, nb=nb, subs=subs, g_tiles=g_tiles, dt=dt,
               t_near=t_near, t_far=t_far, k_max=k_max, stop=stop,
               gather=gather, reduce=reduce, lo=lo, inv=inv, ns=ns)

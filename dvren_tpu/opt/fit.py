@@ -115,7 +115,9 @@ def _scheduled_views(plan: Plan, cameras: Sequence[CameraConfig], field,
             build_tiled_schedule(p, field, jitter=jitter,
                                  tile_px=s0.tile_px, quantize=True)
             for p in plans[1:])
-        scheds = merge_view_schedules(per_view)
+        # plans= so views with FALLBACK rays (slot overflow) regenerate
+        # them under their own camera, not the base plan's
+        scheds = merge_view_schedules(per_view, plans=plans)
 
         def render_stack(f, scheds):
             return render_tiled_stack(plan, f, scheds)
@@ -294,11 +296,23 @@ def fit_dense_grid(plan: Plan, field, cameras: Sequence[CameraConfig],
 
     result = FitResult(field=field)
     t0 = time.perf_counter()
-    n_blocks = -(-config.steps // k)
-    for i in range(n_blocks):
+    # Run EXACTLY config.steps optimizer steps: full k-step blocks plus
+    # one remainder block (its own compiled executable - scan length is
+    # static) when k does not divide steps.
+    n_full, rem = divmod(config.steps, k)
+    step_rem = None
+    if rem and k > 1:
+        step_rem = make_train_block_scheduled(
+            plan, cameras, field, optimizer, rem, mode=mode,
+            sigma_min=config.sigma_min)
+    ckpts_fired = 0
+    for i in range(n_full + (1 if rem else 0)):
+        last = i == n_full  # the remainder block, if any
+        blk = rem if (last and step_rem is not None) else k
+        fn = step_rem if (last and step_rem is not None) else step
         # The (sigma >= 0, color in [0,1]) projection runs inside the
         # jitted step (host-side it cost 2 extra dispatches per step).
-        params, opt_state, loss = step(params, field, opt_state, targets)
+        params, opt_state, loss = fn(params, field, opt_state, targets)
         if i == 0:
             jax.block_until_ready(loss)
             result.first_step_s = time.perf_counter() - t0
@@ -307,10 +321,14 @@ def fit_dense_grid(plan: Plan, field, cameras: Sequence[CameraConfig],
         ps = [float(psnr(jnp.float32(lf))) for lf in losses]
         result.loss_history.extend(float(lf) for lf in losses)
         result.psnr_history.extend(ps)
-        result.steps_run = (i + 1) * k
-        if checkpoint_cb is not None and (i + 1) % max(config.log_every, 1) == 0:
-            checkpoint_cb(field.with_params(*params), result.steps_run,
-                          ps[-1])
+        result.steps_run += blk
+        if checkpoint_cb is not None:
+            # cadence in STEPS (blocks may be > 1 step each)
+            due = result.steps_run // max(config.log_every, 1)
+            if due > ckpts_fired:
+                ckpts_fired = due
+                checkpoint_cb(field.with_params(*params),
+                              result.steps_run, ps[-1])
         if config.target_psnr is not None and ps[-1] >= config.target_psnr:
             result.reached_target = True
             break

@@ -127,7 +127,130 @@ def shard_tiled_schedule(schedule, n_dev: int):
             # pad tiles scatter to a huge id -> dropped by mode="drop"
             tile_ids=jnp.asarray(pad(g.tile_ids, fill=1 << 30)),
         ))
+    # Per-device gather-transpose plan for the TABLE gradient (CLAUDE.md:
+    # never scatter on a hot path; the backward of a plain row gather is
+    # an XLA scatter-add at ~20-45M rows/s). Arrays ride the shards
+    # pytree (device axis leading) so they always travel with the
+    # hostmaps they were planned for; the class structure is shared
+    # across devices (union-padded) so the SPMD program is identical.
+    plans = _shard_gather_plans(schedule, n_dev)
+    if plans is not None:
+        meta, gidx, ginv = plans
+        groups[0]["gt_idx"] = jnp.asarray(gidx)
+        groups[0]["gt_inv"] = jnp.asarray(ginv)
     return groups
+
+
+def _shard_gather_plans(schedule, n_dev: int):
+    """Union-padded per-device gather-transpose plans for the sharded
+    table gradient (the multi-chip analogue of
+    render/tiled.py::_build_gather_plan).
+
+    Per device: concatenate its slice of every group's hostmap (the
+    exact order the sharded body gathers rows), sort the valid lanes by
+    target packed row, and bucket into count classes. The CLASS
+    STRUCTURE (off, n_k, c_k) is the UNION over devices - each class is
+    padded to the max member count so one static program serves every
+    device; padded index entries point at an appended zero cotangent
+    row, padded cells at a trailing zero value row. Returns
+    (meta, gidx (D, L) int32, ginv (D, n_rows) int32) or None when the
+    schedule is empty. Deterministic in (schedule, n_dev): the fn
+    builders re-derive the static ``meta`` from the same inputs the
+    shard arrays were planned from.
+    """
+    import numpy as np
+
+    if schedule.gather_plan is None:
+        return None
+    n_rows = int(schedule.gather_plan.inv_map.shape[0])
+    hm_parts = []
+    for g in schedule.groups:
+        t = g.n_tiles
+        tp = -(-t // (n_dev * 8)) * (n_dev * 8)
+        hm = np.asarray(g.hostmap).reshape(t, -1)
+        if tp != t:
+            hm = np.concatenate(
+                [hm, np.full((tp - t, hm.shape[1]), -1, hm.dtype)])
+        hm_parts.append(hm.reshape(n_dev, (tp // n_dev) * hm.shape[1]))
+    hm_dev = [np.concatenate([p[d] for p in hm_parts])
+              for d in range(n_dev)]
+    s_dev = hm_dev[0].size
+    per_dev = []
+    union: dict[int, int] = {}
+    for hm in hm_dev:
+        valid = np.nonzero(hm >= 0)[0].astype(np.int64)
+        order = valid[np.argsort(hm[valid], kind="stable")]
+        cells, first, counts = np.unique(
+            hm[order], return_index=True, return_counts=True)
+        per_dev.append((order, cells, first, counts))
+        for v in np.unique(counts):
+            n_k = int((counts == v).sum())
+            union[int(v)] = max(union.get(int(v), 0), n_k)
+    meta, off, rows_total = [], 0, 0
+    for c_k in sorted(union):
+        meta.append((off, union[c_k], c_k))
+        off += union[c_k] * c_k
+        rows_total += union[c_k]
+    gidx = np.full((n_dev, off), s_dev, np.int32)   # pad -> zero ct row
+    ginv = np.full((n_dev, n_rows), rows_total, np.int32)  # -> zero val
+    for d, (order, cells, first, counts) in enumerate(per_dev):
+        row_base = 0
+        for (o, n_k, c_k) in meta:
+            member = counts == c_k
+            n_real = int(member.sum())
+            if n_real:
+                col = np.arange(c_k, dtype=np.int64)[None, :]
+                gidx[d, o:o + n_real * c_k] = order[
+                    first[member][:, None] + col].reshape(-1)
+                ginv[d, cells[member]] = row_base + np.arange(
+                    n_real, dtype=np.int32)
+            row_base += n_k
+    return tuple(meta), gidx, ginv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _gather_rows_planned(table, hm_cat, gidx, ginv, meta, sizes):
+    """Bit-exact u16 row gather of a device's concatenated hostmap lanes,
+    split per group (``sizes``: static per-group row counts) - with a
+    planned gather-transpose backward instead of the default scatter-add
+    VJP (the sharded sibling of tiled.py::_gather_bank_tables)."""
+    from dvren_tpu.ops import grid as grid_ops
+
+    rows = grid_ops.take_rows_exact(table, hm_cat)
+    out, off = [], 0
+    for sz in sizes:
+        out.append(rows[off:off + sz])
+        off += sz
+    return tuple(out)
+
+
+def _gather_rows_planned_fwd(table, hm_cat, gidx, ginv, meta, sizes):
+    return (_gather_rows_planned(table, hm_cat, gidx, ginv, meta, sizes),
+            (gidx, ginv, table.shape))
+
+
+def _gather_rows_planned_bwd(meta, sizes, res, cts):
+    from dvren_tpu.ops import grid as grid_ops
+
+    gidx, ginv, tshape = res
+    w = tshape[1]
+    ct16 = grid_ops._split_u16(jnp.concatenate(cts))      # (S, 2w) u16
+    ct16 = jnp.concatenate(
+        [ct16, jnp.zeros((1, ct16.shape[1]), jnp.uint16)])
+    g16 = jnp.take(ct16, gidx, axis=0, mode="clip")
+    parts = [
+        grid_ops._u16_rows_to_f32(
+            g16[o:o + n_k * c_k], w).reshape(n_k, c_k, w).sum(axis=1)
+        for (o, n_k, c_k) in meta]
+    vals = jnp.concatenate(parts + [jnp.zeros((1, w), jnp.float32)])
+    v16 = grid_ops._split_u16(vals)
+    d = grid_ops._u16_rows_to_f32(
+        jnp.take(v16, ginv, axis=0, mode="clip"), w)
+    return (d, None, None, None)
+
+
+_gather_rows_planned.defvjp(_gather_rows_planned_fwd,
+                            _gather_rows_planned_bwd)
 
 
 def render_tiled_sharded(plan: Plan, field, schedule, mesh: Mesh,
@@ -139,9 +262,10 @@ def render_tiled_sharded(plan: Plan, field, schedule, mesh: Mesh,
     packed-stencil table (bit-exact u16 row gather), runs the Pallas
     kernel on its tile slice, scatters its raw (16, 16) tile heads into
     the global tile array, and ONE ``psum`` combines the disjoint tiles -
-    the only collective in the frame. Differentiable w.r.t. the field
-    (each device's table cotangent accumulates via its local row
-    scatter; shard_map's AD psums the replicated table gradient).
+    the only collective in the frame. Differentiable w.r.t. the field:
+    each device's table cotangent accumulates via its PLANNED
+    gather-transpose (_shard_gather_plans - no scatter, CLAUDE.md) and
+    shard_map's AD psums the replicated table gradient.
 
     ``shards`` may pass a prebuilt :func:`shard_tiled_schedule` result.
     Camera gradients are not plumbed through this path (single-chip
@@ -157,23 +281,26 @@ def render_tiled_sharded(plan: Plan, field, schedule, mesh: Mesh,
     if shards is None:
         shards = shard_tiled_schedule(schedule, n_dev)
 
+    plans = _shard_gather_plans(schedule, n_dev)
     fn = _make_tiled_sharded_fn(
         plan, mesh, axis, tuple(schedule.grid_shape),
         tuple(map(tuple, schedule.bbox)),
         tuple((g.n_chunks, g.banks) for g in schedule.groups),
-        schedule.tile_px, schedule.table_kind)
+        schedule.tile_px, schedule.table_kind,
+        gt_meta=plans[0] if plans is not None else None)
     with mesh:
         return fn(field, shards)
 
 
 def _make_tiled_sharded_fn(plan: Plan, mesh: Mesh, axis: str,
                            grid_shape, bbox, group_meta, tile_px=16,
-                           table_kind="dense"):
+                           table_kind="dense", gt_meta=None):
     """Jittable (field, shards) -> ImagePlanes over the mesh (see
     :func:`render_tiled_sharded`)."""
     from dvren_tpu.ops import fused_tiles
     from dvren_tpu.ops import grid as grid_ops
     from dvren_tpu.ops.compose import ImagePlanes
+    from dvren_tpu.render import tiled as tiled_mod
     from dvren_tpu.render.tiled import MAX_CELLS, TILE_H, TILE_W
     from dvren_tpu.render.windowed import roi_hitmask
 
@@ -187,13 +314,31 @@ def _make_tiled_sharded_fn(plan: Plan, mesh: Mesh, axis: str,
     def body(packed_flat, shards):
         tiles5 = jnp.zeros((n_tiles_all, 5, tile_px, tile_px),
                            jnp.float32)
-        for (nc, banks), g in zip(group_meta, shards):
-            hostmap = g["hostmap"][0].reshape(-1)
+        planned = (packed_flat.dtype == jnp.float32
+                   and gt_meta is not None and "gt_idx" in shards[0])
+        if planned:
+            # ONE bit-exact row gather over the device's concatenated
+            # hostmaps, with the planned gather-transpose backward (no
+            # scatter on the training hot path; the per-group split
+            # lives inside the custom_vjp so slice cotangents never
+            # pad-and-add)
+            sizes = tuple(
+                g["samp"].shape[1] * banks * MAX_CELLS
+                for (nc, banks), g in zip(group_meta, shards))
+            hm_cat = jnp.concatenate(
+                [g["hostmap"][0].reshape(-1) for g in shards])
+            row_blocks = _gather_rows_planned(
+                packed_flat, hm_cat, shards[0]["gt_idx"][0],
+                shards[0]["gt_inv"][0], gt_meta, sizes)
+        for gi, ((nc, banks), g) in enumerate(zip(group_meta, shards)):
             t_loc = g["samp"].shape[1]
-            if packed_flat.dtype == jnp.float32:
-                rows = grid_ops.take_rows_exact(packed_flat, hostmap)
+            if planned:
+                rows = row_blocks[gi]
+            elif packed_flat.dtype == jnp.float32:
+                rows = grid_ops.take_rows_exact(
+                    packed_flat, g["hostmap"][0].reshape(-1))
             else:
-                rows = jnp.take(packed_flat, hostmap,
+                rows = jnp.take(packed_flat, g["hostmap"][0].reshape(-1),
                                 axis=0).astype(jnp.float32)
             tabs = jnp.swapaxes(
                 rows.reshape(t_loc, banks, MAX_CELLS, 32), 2, 3)
@@ -201,11 +346,8 @@ def _make_tiled_sharded_fn(plan: Plan, mesh: Mesh, axis: str,
                 plan, geom, tabs, g["samp"][0], g["base"][0],
                 g["rayt"][0], g["k_enter"][0], g["bank0"][0], nc,
                 subs=n_sub)
-            raw = raw.reshape(-1, 5, n_sub, tile_px * tile_px)
-            raw = raw.transpose(0, 2, 1, 3).reshape(
-                -1, 5, tile_px, tile_px)
             tiles5 = tiles5.at[g["tile_ids"][0].reshape(-1)].set(
-                raw, mode="drop")
+                tiled_mod.raw_to_subtiles(raw, tile_px), mode="drop")
         # tiles are disjoint across devices: one psum merges the frame
         return jax.lax.psum(tiles5, axis)
 
@@ -226,26 +368,10 @@ def _make_tiled_sharded_fn(plan: Plan, mesh: Mesh, axis: str,
         tiles5 = shard_map(
             body, mesh=mesh, in_specs=in_specs, out_specs=P(),
             **_NO_REP_CHECK)(packed_flat, shards)
-        a = tiles5.reshape(sy_n, sx_n, 5, tile_px, tile_px)
-        a = a.transpose(2, 0, 3, 1, 4).reshape(
-            5, sy_n * tile_px, sx_n * tile_px)
-        a = a[:, :roi.height, :roi.width]
-        (r, gg, b), t_final, opacity, depth = fused_tiles.finalize_heads(
-            plan, a, axis=0)
-        H, W = plan.height, plan.width
-
-        def place(x, fill):
-            if (roi.x, roi.y, roi.width, roi.height) == (0, 0, W, H):
-                return x
-            full = jnp.full((H, W), jnp.float32(fill))
-            return jax.lax.dynamic_update_slice(full, x, (roi.y, roi.x))
-
+        image, trans, opac, dep = tiled_mod.tiles5_to_planes(
+            plan, tiles5, tile_px)
         return ImagePlanes(
-            image=jnp.stack([place(r, 0.0), place(gg, 0.0),
-                             place(b, 0.0)], axis=-1),
-            transmittance=place(t_final, 1.0),
-            opacity=place(opacity, 0.0),
-            depth=place(depth, float(plan.t_far)),
+            image=image, transmittance=trans, opacity=opac, depth=dep,
             hitmask=roi_hitmask(plan))
 
     return run
@@ -259,8 +385,8 @@ def make_tile_dp_train_step(plan: Plan, field_template, optimizer,
     One camera/schedule per step (cycle schedules across steps for
     multi-view fitting, exactly like the single-chip fit loop); within a
     step the tile axis shards across the mesh and gradients flow through
-    each device's local table scatter + shard_map's replicated-input
-    psum. Signature: ``step(params, opt_state, shards, target) ->
+    each device's planned gather-transpose (no scatter on the hot path;
+    _shard_gather_plans) + shard_map's replicated-input psum. Signature: ``step(params, opt_state, shards, target) ->
     (params, opt_state, loss)`` with ``shards`` from
     :func:`shard_tiled_schedule` and ``target`` (H, W, 3) replicated.
 
@@ -269,11 +395,13 @@ def make_tile_dp_train_step(plan: Plan, field_template, optimizer,
     2-dispatch-per-step cost of host-side projection).
     """
     axis = axis or mesh.axis_names[0]
+    plans = _shard_gather_plans(schedule, int(mesh.shape[axis]))
     fn = _make_tiled_sharded_fn(
         plan, mesh, axis, tuple(schedule.grid_shape),
         tuple(map(tuple, schedule.bbox)),
         tuple((g.n_chunks, g.banks) for g in schedule.groups),
-        schedule.tile_px, schedule.table_kind)
+        schedule.tile_px, schedule.table_kind,
+        gt_meta=plans[0] if plans is not None else None)
 
     def loss_fn(params, shards, target):
         f = field_template.with_params(*params)

@@ -554,17 +554,32 @@ class Renderer:
                 jt, jk, jc = (jax.jit(tables_fn), jax.jit(kernel_fn),
                               jax.jit(compose_fn))
 
-                def timed(fn, *a):
-                    out = fn(*a)              # compile + warm
-                    jax.block_until_ready(out)
-                    t0 = time.perf_counter()
-                    out = fn(*a)
-                    jax.block_until_ready(out)
-                    return out, (time.perf_counter() - t0) * 1e3
+                # NEVER block_until_ready on value-identical calls: the
+                # relay acks before executing and serves repeats from a
+                # value cache (CLAUDE.md hazard #3). Cycle two field
+                # variants and force completion by fetching one output
+                # element to the host per call.
+                def fetch(out):
+                    leaf = jax.tree.leaves(out)[0]
+                    return float(leaf.reshape(-1)[:1][0])
 
-                tabs, t_tab = timed(jt, field)
-                raws, t_k = timed(jk, tabs)
-                _, t_c = timed(jc, field, raws)
+                def timed(fn, variants):
+                    outs = [fn(*a) for a in variants]  # compile + warm
+                    for o in outs:
+                        fetch(o)
+                    t0 = time.perf_counter()
+                    for a in variants:
+                        fetch(fn(*a))
+                    ms = (time.perf_counter() - t0) / len(variants) * 1e3
+                    return outs, ms
+
+                field_b = field.with_params(
+                    *(jax.tree.map(lambda p: p * (1.0 + 2.0 ** -20), p0)
+                      for p0 in self._grad_params(field)))
+                tabs2, t_tab = timed(jt, [(field,), (field_b,)])
+                raws2, t_k = timed(jk, [(t,) for t in tabs2])
+                _, t_c = timed(jc, [(field, raws2[0]),
+                                    (field_b, raws2[1])])
                 self._tiled_stage_ms = (meta, (t_tab, t_k, t_c))
             except Exception as exc:  # pragma: no cover - degrade
                 self._tiled_stage_ms = (meta, None)

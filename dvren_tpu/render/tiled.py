@@ -661,26 +661,36 @@ def build_tiled_schedule(plan: Plan, field,
             if pitch == 2:
                 new_p[row_bad] = False
 
-        off = np.zeros((t_cnt, nc, n_sub), np.int64)
-        nb_tile = np.zeros(t_cnt, np.int64)
-        for t in np.nonzero(~overflow)[0]:
-            cur = 0
-            for c in range(nc):
-                for s2 in range(n_sub):
-                    n_c = int(lanes3[t, c, s2])
-                    if n_c > MAX_CELLS:
-                        cur = -(-cur // MAX_CELLS) * MAX_CELLS
-                    # Empty runs anchor at lane 0: their samples are all
-                    # masked (weight 0) but must still index a VALID
-                    # lane - ``cur`` can equal the block's total lane
-                    # count here, one past the bank space (OOB bank read
-                    # in the kernel, NaN fill in the jnp consumer).
-                    off[t, c, s2] = cur if n_c > 0 else 0
-                    cur += n_c
-            nb_tile[t] = max(-(-cur // MAX_CELLS), 1)
+        # Lane-offset recurrence, vectorized across TILES: the bank
+        # round-up before >128-lane runs makes ``cur`` a data-dependent
+        # scan, so iterate the (small, <= nc*n_sub) RUN axis in Python
+        # and keep every tile in numpy vectors (the per-(tile,run) scalar
+        # loop was ~260k interpreted iterations at 512^2/4px).
+        lanes_f = lanes3.reshape(t_cnt, nc * n_sub).astype(np.int64)
+        offs_f = np.zeros((t_cnt, nc * n_sub), np.int64)
+        cur = np.zeros(t_cnt, np.int64)
+        for r in range(nc * n_sub):
+            n_c = lanes_f[:, r]
+            cur = np.where(n_c > MAX_CELLS,
+                           -(-cur // MAX_CELLS) * MAX_CELLS, cur)
+            # Empty runs anchor at lane 0: their samples are all masked
+            # (weight 0) but must still index a VALID lane - ``cur`` can
+            # equal the block's total lane count here, one past the bank
+            # space (OOB bank read in the kernel, NaN fill in the jnp
+            # consumer).
+            offs_f[:, r] = np.where(n_c > 0, cur, 0)
+            cur += n_c
+        off = np.where(overflow[:, None, None], 0,
+                       offs_f.reshape(t_cnt, nc, n_sub))
+        nb_tile = np.where(overflow, 0,
+                           np.maximum(-(-cur // MAX_CELLS), 1))
         if quantize:
-            for t in np.nonzero(~overflow)[0]:
-                nb_tile[t] = _quant_up(int(nb_tile[t]))
+            qmap = {int(v): _quant_up(int(v))
+                    for v in np.unique(nb_tile[~overflow])}
+            nb_tile = np.where(
+                overflow, 0,
+                np.vectorize(lambda v: qmap.get(int(v), 0),
+                             otypes=[np.int64])(nb_tile))
 
         for nb in sorted(set(nb_tile[~overflow].tolist())):
             keep = (~overflow) & (nb_tile == nb)
@@ -1310,7 +1320,7 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
         plan, *(jnp.concatenate([p[i] for p in parts]) for i in range(5)))
 
 
-@pytree_dataclass(meta_fields=("view_slices", "n_views"))
+@pytree_dataclass(meta_fields=("view_slices", "n_views", "view_cams"))
 @dataclass(frozen=True)
 class MergedViewSchedule:
     """All views' tile groups merged by (chunk count, bank count) class.
@@ -1331,11 +1341,23 @@ class MergedViewSchedule:
     view_fallbacks: tuple        # per view: windowed schedule | None
     view_slices: tuple
     n_views: int
+    view_cams: tuple | None = None  # per view (k, c2w, ortho_scale)
+    #                          tuples, or None when every view shares the
+    #                          stack plan's camera. The merged groups bake
+    #                          each view's rays host-side, but FALLBACK
+    #                          rays are regenerated at render time and
+    #                          need the view's own camera.
 
 
-def merge_view_schedules(scheds) -> MergedViewSchedule:
+def merge_view_schedules(scheds, plans=None) -> MergedViewSchedule:
     """Merge per-view TiledSchedules (same plan geometry, same field,
-    same tile_px) into a :class:`MergedViewSchedule`."""
+    same tile_px) into a :class:`MergedViewSchedule`.
+
+    ``plans``: the per-view Plans the schedules were built from. Required
+    whenever any view carries a windowed FALLBACK (slot-overflowed
+    tiles): fallback rays are regenerated at render time, so the stack
+    renderer must know each view's camera - the merged kernel groups
+    themselves bake per-view rays host-side and don't need it."""
     base = scheds[0]
     for s in scheds[1:]:
         check(s.tile_px == base.tile_px
@@ -1397,11 +1419,25 @@ def merge_view_schedules(scheds) -> MergedViewSchedule:
         grid_shape=base.grid_shape, bbox=base.bbox,
         tile_px=base.tile_px, table_kind=base.table_kind,
         pitch=base.pitch)
+    view_cams = None
+    if plans is not None:
+        check(len(plans) == len(scheds),
+              "merge_view_schedules: one plan per schedule")
+        view_cams = tuple(
+            (tuple(float(v) for v in p.camera.k),
+             tuple(float(v) for v in p.camera.c2w),
+             float(p.camera.ortho_scale)) for p in plans)
+    check(plans is not None
+          or all(s.fallback is None for s in scheds),
+          "merge_view_schedules: a view has fallback (slot-overflow) "
+          "rays, whose rays are regenerated at render time - pass "
+          "plans= so the stack renderer uses each view's own camera")
     return MergedViewSchedule(
         sched=sched,
         view_fallbacks=tuple(s.fallback for s in scheds),
         view_slices=tuple(slices_all),
-        n_views=len(scheds))
+        n_views=len(scheds),
+        view_cams=view_cams)
 
 
 def render_tiled_stack(plan: Plan, field, merged: MergedViewSchedule,
@@ -1450,9 +1486,20 @@ def render_tiled_stack(plan: Plan, field, merged: MergedViewSchedule,
         fallback_parts = []
         fb = merged.view_fallbacks[v]
         if fb is not None:
+            # fallback rays are regenerated here, so they must use THIS
+            # view's camera, not the stack plan's (the merged kernel
+            # groups bake per-view rays host-side and are unaffected)
+            check(merged.view_cams is not None,
+                  "merged schedule has fallback rays but no per-view "
+                  "cameras; rebuild with merge_view_schedules(plans=...)")
+            cam_k, cam_c2w, cam_os = merged.view_cams[v]
+            k_v = jnp.asarray(cam_k, jnp.float32).reshape(3, 3)
+            c2w_v = jnp.asarray(cam_c2w, jnp.float32).reshape(3, 4)
             for (budget, ids_dev, ke_dev, jit_rows) in fb.groups:
                 fallback_parts.append(windowed_mod._group_outputs(
-                    plan, budget, field, ids_dev, ke_dev, jit_rows))
+                    plan, budget, field, ids_dev, ke_dev, jit_rows,
+                    k=k_v, c2w=c2w_v,
+                    ortho_scale=jnp.float32(cam_os)))
         if use_kernel:
             raws_v, ids_v = [], []
             for gi, group in enumerate(sched.groups):
@@ -1543,6 +1590,47 @@ def render_tiled_phases(plan: Plan, schedule: TiledSchedule,
     return tables_fn, kernel_fn, compose_fn
 
 
+def raw_to_subtiles(raw, tile_px: int):
+    """Kernel raw heads (T, 5, 16, 16) -> per-SUB-tile blocks
+    (T*n_sub, 5, px, px): a 16x16 block's contiguous (16/px)^2 ray spans
+    are its sub-tiles (one relayout shared by the single-chip and
+    sharded composers)."""
+    n_sub = (16 // tile_px) ** 2
+    raw = raw.reshape(-1, 5, n_sub, tile_px * tile_px)
+    return raw.transpose(0, 2, 1, 3).reshape(-1, 5, tile_px, tile_px)
+
+
+def tiles5_to_planes(plan: Plan, tiles5, tile_px: int):
+    """Scattered per-tile head array (n_tiles, 5, px, px) -> ROI-placed
+    (image (H, W, 3), transmittance, opacity, depth) planes - the
+    post-scatter half of :func:`_compose_tiles`, shared with the
+    mesh-sharded composer (parallel/shard.py)."""
+    from dvren_tpu.ops import fused_tiles
+
+    roi = plan.roi
+    sx_n = -(-roi.width // tile_px)
+    sy_n = -(-roi.height // tile_px)
+    a = tiles5.reshape(sy_n, sx_n, 5, tile_px, tile_px)
+    a = a.transpose(2, 0, 3, 1, 4).reshape(
+        5, sy_n * tile_px, sx_n * tile_px)
+    a = a[:, :roi.height, :roi.width]
+    (r, g, b), t_final, opacity, depth = fused_tiles.finalize_heads(
+        plan, a, axis=0)
+
+    H, W = plan.height, plan.width
+
+    def place(x, fill):
+        if (roi.x, roi.y, roi.width, roi.height) == (0, 0, W, H):
+            return x
+        full = jnp.full((H, W), jnp.float32(fill))
+        return jax.lax.dynamic_update_slice(full, x, (roi.y, roi.x))
+
+    image = jnp.stack(
+        [place(r, 0.0), place(g, 0.0), place(b, 0.0)], axis=-1)
+    return (image, place(t_final, 1.0), place(opacity, 0.0),
+            place(depth, float(plan.t_far)))
+
+
 def _compose_tiles(plan: Plan, raws, tile_ids, fallback_parts,
                    tile_px: int = 16):
     """Compose the kernel's per-tile raw heads into image planes by TILE:
@@ -1565,30 +1653,10 @@ def _compose_tiles(plan: Plan, raws, tile_ids, fallback_parts,
     if raws:
         raw = jnp.concatenate(raws)               # (T, 5, 16, 16)
         ids = jnp.concatenate(tile_ids).reshape(-1)
-        raw = raw.reshape(-1, 5, n_sub, tile_px * tile_px)
-        raw = raw.transpose(0, 2, 1, 3).reshape(
-            -1, 5, tile_px, tile_px)              # (T*n_sub, 5, px, px)
-        tiles5 = tiles5.at[ids].set(raw, mode="drop")
-    a = tiles5.reshape(sy_n, sx_n, 5, tile_px, tile_px)
-    a = a.transpose(2, 0, 3, 1, 4).reshape(
-        5, sy_n * tile_px, sx_n * tile_px)
-    a = a[:, :roi.height, :roi.width]
-    (r, g, b), t_final, opacity, depth = fused_tiles.finalize_heads(
-        plan, a, axis=0)
-
+        tiles5 = tiles5.at[ids].set(raw_to_subtiles(raw, tile_px),
+                                    mode="drop")
+    image, trans, opac, dep = tiles5_to_planes(plan, tiles5, tile_px)
     H, W = plan.height, plan.width
-
-    def place(x, fill):
-        if (roi.x, roi.y, roi.width, roi.height) == (0, 0, W, H):
-            return x
-        full = jnp.full((H, W), jnp.float32(fill))
-        return jax.lax.dynamic_update_slice(full, x, (roi.y, roi.x))
-
-    image = jnp.stack(
-        [place(r, 0.0), place(g, 0.0), place(b, 0.0)], axis=-1)
-    trans = place(t_final, 1.0)
-    opac = place(opacity, 0.0)
-    dep = place(depth, float(plan.t_far))
 
     if fallback_parts:
         # Overflow tiles render through the windowed path; overwrite their

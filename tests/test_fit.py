@@ -116,3 +116,31 @@ def test_train_state_roundtrip(tmp_path):
     assert header["step"] == 3
     np.testing.assert_array_equal(
         np.asarray(restored[0][0]), np.asarray(params[0]))
+
+
+def test_fit_blocked_sync_honors_step_budget():
+    """steps not divisible by sync_every runs EXACTLY config.steps
+    optimizer steps (a remainder block with its own static scan length),
+    matching the per-step trajectory - not ceil(steps/k)*k steps."""
+    plan = make_plan()
+    cams = cameras()
+    truth = truth_field()
+    targets = np.asarray(render_views(plan, truth, cams))
+    init = truth.with_params(
+        jnp.full_like(truth.sigma, 0.5), jnp.full_like(truth.color, 0.5))
+    a = fit_dense_grid(plan, init, cams, targets,
+                       FitConfig(learning_rate=5e-2, steps=10,
+                                 target_psnr=None))
+    ckpts = []
+    b = fit_dense_grid(plan, init, cams, targets,
+                       FitConfig(learning_rate=5e-2, steps=10,
+                                 target_psnr=None, sync_every=4,
+                                 log_every=5),
+                       checkpoint_cb=lambda f, s, p: ckpts.append(s))
+    assert b.steps_run == 10
+    assert len(b.loss_history) == 10
+    # checkpoint cadence counts STEPS: fires at >=5 and >=10 boundaries
+    assert ckpts == [8, 10]
+    np.testing.assert_allclose(np.asarray(b.loss_history),
+                               np.asarray(a.loss_history),
+                               rtol=1e-5, atol=1e-8)

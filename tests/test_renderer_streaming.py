@@ -264,3 +264,23 @@ def test_windowed_renderer_backward_rejects_sparse_fields():
     dl = np.zeros((plan.ray_count, 3), np.float32)
     with pytest.raises(DvrenError):
         r.backward(sparse, dl)
+
+
+def test_tiled_stage_stats_fill():
+    """capture_stats on the tiled path fills the per-stage ms via the
+    decomposed replay (sample=tables, integrate=kernel, compose=compose;
+    renderer.cpp:258-385 parity). The probe times by fetching output
+    bytes across cycled field variants - never block_until_ready on
+    value-identical calls (relay hazard #3)."""
+    plan, field = scene()
+    r = Renderer(Context.create(), plan,
+                 RenderOptions(use_tiles=True, capture_stats=True))
+    fr = r.forward(field)
+    assert "tiled_path" in fr.stats.notes
+    assert any(n.startswith("stage_ms=") for n in fr.stats.notes), \
+        fr.stats.notes
+    assert fr.stats.sample_ms > 0 and fr.stats.integrate_ms > 0 \
+        and fr.stats.compose_ms > 0
+    # cached per (schedule, field meta): a second forward reuses it
+    fr2 = r.forward(field)
+    assert fr2.stats.sample_ms == fr.stats.sample_ms

@@ -514,3 +514,34 @@ def test_bwd_split_pallas_bit_identical(monkeypatch):
     g_pal = jax.grad(loss)(params)
     np.testing.assert_array_equal(np.asarray(g_xla[0]), np.asarray(g_pal[0]))
     np.testing.assert_array_equal(np.asarray(g_xla[1]), np.asarray(g_pal[1]))
+
+
+def test_merged_views_fallback_uses_view_camera():
+    """A view whose tiles overflow the slot tables carries a windowed
+    FALLBACK whose rays are regenerated at render time - they must use
+    that view's camera, not the stack plan's (review repro: fallback
+    pixels rendered + differentiated along the WRONG rays). Forces
+    overflow with a fine grid under 16px tiles and checks the stack
+    against per-view render_tiled (which always had the right plan)."""
+    from dvren_tpu.opt.fit import view_plans
+    from dvren_tpu.render.tiled import (merge_view_schedules,
+                                        render_tiled_stack)
+
+    plan, field = scene(mode=SamplingMode.STRATIFIED, n=32)
+    jitter = plan_jitter_table(plan)
+    cams = [CameraConfig(c2w=(1, 0, 0, 0.5 + dx, 0, 1, 0, 0.55,
+                              0, 0, 1, -1.1)) for dx in (0.0, 0.15)]
+    plans = view_plans(plan, cams)
+    scheds = [build_tiled_schedule(p, field, jitter=jitter, tile_px=16,
+                                   quantize=True) for p in plans]
+    assert any(s.fallback_rays > 0 for s in scheds), \
+        "fixture must force slot overflow"
+    import pytest
+    with pytest.raises(Exception, match="pass.*plans"):
+        merge_view_schedules(scheds)
+    merged = merge_view_schedules(scheds, plans=plans)
+    stack = render_tiled_stack(plan, field, merged)
+    for v, p in enumerate(plans):
+        single = render_tiled(p, field, scheds[v]).image
+        np.testing.assert_array_equal(np.asarray(stack[v]),
+                                      np.asarray(single))
