@@ -55,27 +55,10 @@ def _scene(width, height, grid_n, max_steps):
     return plan, field
 
 
-def _fetch_probe(out):
-    """Materialize a tiny slice of the first output leaf on the host -
-    forces the execution to actually complete (the axon relay's
-    block_until_ready can acknowledge before the chip runs, and identical
-    calls may be served from a value cache)."""
-    import jax
-
-    leaf = jax.tree.leaves(out)[0]
-    probe = leaf.reshape(-1)[:1]
-    return float(probe[0])
-
-
-def _time_compiled(fn, args_variants, iters, warmup=2):
-    """Average seconds/call with per-call host fetch of one element and
-    cycling argument variants (defeats async-ack and value caching)."""
-    for i in range(warmup):
-        _fetch_probe(fn(*args_variants[i % len(args_variants)]))
-    t0 = time.perf_counter()
-    for i in range(iters):
-        _fetch_probe(fn(*args_variants[i % len(args_variants)]))
-    return (time.perf_counter() - t0) / iters
+# relay-safe timing: single shared implementation (tools import these
+# names from bench for convenience)
+from dvren_tpu.utils.timing import (fetch_probe as _fetch_probe,
+                                    time_compiled as _time_compiled)
 
 
 def main():

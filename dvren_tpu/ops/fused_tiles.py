@@ -66,6 +66,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from dvren_tpu.core.status import check
 from dvren_tpu.ops.integrate import OPACITY_EPS, STOP_THRESHOLD
 
 ROWS = 16          # block rows per chunk
@@ -829,8 +830,8 @@ def _tile_op(nc, nb, subs, g_tiles, dt, t_near, t_far, k_max, stop,
     # the MXU one-hot ablation expands against whole-tile windows
     # (win.mats[0]); sub-tiled schedules (subs > 1) carry PER-SUB-TILE
     # window-relative slots that would silently index the wrong banks
-    assert not (gather == "mxu" and subs > 1), \
-        "gather='mxu' supports whole-tile windows only (subs == 1)"
+    check(not (gather == "mxu" and subs > 1),
+          "gather='mxu' supports whole-tile windows only (subs == 1)")
     kw = dict(nc=nc, nb=nb, subs=subs, g_tiles=g_tiles, dt=dt,
               t_near=t_near, t_far=t_far, k_max=k_max, stop=stop,
               gather=gather, reduce=reduce, lo=lo, inv=inv, ns=ns)

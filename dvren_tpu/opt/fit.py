@@ -176,13 +176,17 @@ def make_train_step_scheduled(plan: Plan, cameras: Sequence[CameraConfig],
 def make_train_block_scheduled(plan: Plan, cameras: Sequence[CameraConfig],
                                field, optimizer, k: int,
                                mode: str = "tiled",
-                               sigma_min: float = 0.0):
+                               sigma_min: float = 0.0, views=None):
     """K optimizer steps per dispatch: ``lax.scan`` over the scheduled
     step (one executable, one device round trip, K per-step losses).
     Amortizes the tunnel's ~36 ms/dispatch + per-sync loss fetch across
-    K steps - the fit analogue of bench.py's K-frames-per-jit rule."""
-    plans, scheds, render_stack = _scheduled_views(plan, cameras, field,
-                                                   mode)
+    K steps - the fit analogue of bench.py's K-frames-per-jit rule.
+
+    ``views``: a prebuilt ``_scheduled_views`` result, so several block
+    lengths (e.g. the remainder block when ``steps % sync_every != 0``)
+    share one host schedule build."""
+    plans, scheds, render_stack = views or _scheduled_views(
+        plan, cameras, field, mode)
 
     def loss_fn(params, field, targets, scheds):
         f = field.with_params(*params) if isinstance(params, tuple) \
@@ -285,9 +289,11 @@ def fit_dense_grid(plan: Plan, field, cameras: Sequence[CameraConfig],
         step = make_train_step(plan, cameras, optimizer,
                                sigma_min=config.sigma_min)
     elif k > 1:
+        views = _scheduled_views(plan, cameras, field, mode)
         step = make_train_block_scheduled(plan, cameras, field, optimizer,
                                           k, mode=mode,
-                                          sigma_min=config.sigma_min)
+                                          sigma_min=config.sigma_min,
+                                          views=views)
     else:
         step = make_train_step_scheduled(plan, cameras, field, optimizer,
                                          mode=mode,
@@ -304,7 +310,7 @@ def fit_dense_grid(plan: Plan, field, cameras: Sequence[CameraConfig],
     if rem and k > 1:
         step_rem = make_train_block_scheduled(
             plan, cameras, field, optimizer, rem, mode=mode,
-            sigma_min=config.sigma_min)
+            sigma_min=config.sigma_min, views=views)
     ckpts_fired = 0
     for i in range(n_full + (1 if rem else 0)):
         last = i == n_full  # the remainder block, if any

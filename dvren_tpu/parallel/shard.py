@@ -133,12 +133,31 @@ def shard_tiled_schedule(schedule, n_dev: int):
     # pytree (device axis leading) so they always travel with the
     # hostmaps they were planned for; the class structure is shared
     # across devices (union-padded) so the SPMD program is identical.
+    # The static class META is content-addressed: its digest is baked
+    # into the pytree KEY, so shards from a different schedule change
+    # the jit structure (forced retrace) and the traced body resolves
+    # THAT schedule's meta - cycling schedules through one step can
+    # never pair arrays with a stale static plan.
     plans = _shard_gather_plans(schedule, n_dev)
     if plans is not None:
         meta, gidx, ginv = plans
-        groups[0]["gt_idx"] = jnp.asarray(gidx)
+        digest = _remember_plan_meta(meta)
+        groups[0][f"gt_idx@{digest}"] = jnp.asarray(gidx)
         groups[0]["gt_inv"] = jnp.asarray(ginv)
     return groups
+
+
+_PLAN_META_MEMO: dict[str, tuple] = {}
+
+
+def _remember_plan_meta(meta) -> str:
+    import hashlib
+
+    digest = hashlib.md5(repr(meta).encode()).hexdigest()[:12]
+    if digest not in _PLAN_META_MEMO and len(_PLAN_META_MEMO) > 256:
+        _PLAN_META_MEMO.pop(next(iter(_PLAN_META_MEMO)))
+    _PLAN_META_MEMO[digest] = meta
+    return digest
 
 
 def _shard_gather_plans(schedule, n_dev: int):
@@ -231,22 +250,16 @@ def _gather_rows_planned_fwd(table, hm_cat, gidx, ginv, meta, sizes):
 
 def _gather_rows_planned_bwd(meta, sizes, res, cts):
     from dvren_tpu.ops import grid as grid_ops
+    from dvren_tpu.render.tiled import ct16_rows_to_table
 
     gidx, ginv, tshape = res
     w = tshape[1]
+    # row cotangents arrive already slot-shaped (S, w) f32 - only the
+    # u16 split precedes the shared planned reduction (the pad zero row
+    # is appended inside ct16_rows_to_table)
     ct16 = grid_ops._split_u16(jnp.concatenate(cts))      # (S, 2w) u16
-    ct16 = jnp.concatenate(
-        [ct16, jnp.zeros((1, ct16.shape[1]), jnp.uint16)])
-    g16 = jnp.take(ct16, gidx, axis=0, mode="clip")
-    parts = [
-        grid_ops._u16_rows_to_f32(
-            g16[o:o + n_k * c_k], w).reshape(n_k, c_k, w).sum(axis=1)
-        for (o, n_k, c_k) in meta]
-    vals = jnp.concatenate(parts + [jnp.zeros((1, w), jnp.float32)])
-    v16 = grid_ops._split_u16(vals)
-    d = grid_ops._u16_rows_to_f32(
-        jnp.take(v16, ginv, axis=0, mode="clip"), w)
-    return (d, None, None, None)
+    return (ct16_rows_to_table(ct16, gidx, meta, ginv, w),
+            None, None, None)
 
 
 _gather_rows_planned.defvjp(_gather_rows_planned_fwd,
@@ -281,20 +294,18 @@ def render_tiled_sharded(plan: Plan, field, schedule, mesh: Mesh,
     if shards is None:
         shards = shard_tiled_schedule(schedule, n_dev)
 
-    plans = _shard_gather_plans(schedule, n_dev)
     fn = _make_tiled_sharded_fn(
         plan, mesh, axis, tuple(schedule.grid_shape),
         tuple(map(tuple, schedule.bbox)),
         tuple((g.n_chunks, g.banks) for g in schedule.groups),
-        schedule.tile_px, schedule.table_kind,
-        gt_meta=plans[0] if plans is not None else None)
+        schedule.tile_px, schedule.table_kind)
     with mesh:
         return fn(field, shards)
 
 
 def _make_tiled_sharded_fn(plan: Plan, mesh: Mesh, axis: str,
                            grid_shape, bbox, group_meta, tile_px=16,
-                           table_kind="dense", gt_meta=None):
+                           table_kind="dense"):
     """Jittable (field, shards) -> ImagePlanes over the mesh (see
     :func:`render_tiled_sharded`)."""
     from dvren_tpu.ops import fused_tiles
@@ -314,8 +325,12 @@ def _make_tiled_sharded_fn(plan: Plan, mesh: Mesh, axis: str,
     def body(packed_flat, shards):
         tiles5 = jnp.zeros((n_tiles_all, 5, tile_px, tile_px),
                            jnp.float32)
+        gt_key = next(
+            (k for k in shards[0] if k.startswith("gt_idx@")), None)
+        gt_meta = (_PLAN_META_MEMO.get(gt_key.split("@", 1)[1])
+                   if gt_key else None)
         planned = (packed_flat.dtype == jnp.float32
-                   and gt_meta is not None and "gt_idx" in shards[0])
+                   and gt_meta is not None)
         if planned:
             # ONE bit-exact row gather over the device's concatenated
             # hostmaps, with the planned gather-transpose backward (no
@@ -328,7 +343,7 @@ def _make_tiled_sharded_fn(plan: Plan, mesh: Mesh, axis: str,
             hm_cat = jnp.concatenate(
                 [g["hostmap"][0].reshape(-1) for g in shards])
             row_blocks = _gather_rows_planned(
-                packed_flat, hm_cat, shards[0]["gt_idx"][0],
+                packed_flat, hm_cat, shards[0][gt_key][0],
                 shards[0]["gt_inv"][0], gt_meta, sizes)
         for gi, ((nc, banks), g) in enumerate(zip(group_meta, shards)):
             t_loc = g["samp"].shape[1]
@@ -395,13 +410,11 @@ def make_tile_dp_train_step(plan: Plan, field_template, optimizer,
     2-dispatch-per-step cost of host-side projection).
     """
     axis = axis or mesh.axis_names[0]
-    plans = _shard_gather_plans(schedule, int(mesh.shape[axis]))
     fn = _make_tiled_sharded_fn(
         plan, mesh, axis, tuple(schedule.grid_shape),
         tuple(map(tuple, schedule.bbox)),
         tuple((g.n_chunks, g.banks) for g in schedule.groups),
-        schedule.tile_px, schedule.table_kind,
-        gt_meta=plans[0] if plans is not None else None)
+        schedule.tile_px, schedule.table_kind)
 
     def loss_fn(params, shards, target):
         f = field_template.with_params(*params)

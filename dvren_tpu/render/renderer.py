@@ -558,23 +558,25 @@ class Renderer:
                 # relay acks before executing and serves repeats from a
                 # value cache (CLAUDE.md hazard #3). Cycle two field
                 # variants and force completion by fetching one output
-                # element to the host per call.
-                def fetch(out):
-                    leaf = jax.tree.leaves(out)[0]
-                    return float(leaf.reshape(-1)[:1][0])
+                # element to the host per call (shared helpers:
+                # utils/timing.py, also used by bench.py).
+                from dvren_tpu.utils.timing import fetch_probe
 
                 def timed(fn, variants):
                     outs = [fn(*a) for a in variants]  # compile + warm
                     for o in outs:
-                        fetch(o)
+                        fetch_probe(o)
                     t0 = time.perf_counter()
                     for a in variants:
-                        fetch(fn(*a))
+                        fetch_probe(fn(*a))
                     ms = (time.perf_counter() - t0) / len(variants) * 1e3
                     return outs, ms
 
+                # ADDITIVE perturbation: multiplicative would leave a
+                # zero-initialized field (the standard fit start) value-
+                # identical and reopen the relay value-cache hazard
                 field_b = field.with_params(
-                    *(jax.tree.map(lambda p: p * (1.0 + 2.0 ** -20), p0)
+                    *(jax.tree.map(lambda p: p + 2.0 ** -20, p0)
                       for p0 in self._grad_params(field)))
                 tabs2, t_tab = timed(jt, [(field,), (field_b,)])
                 raws2, t_k = timed(jk, [(t,) for t in tabs2])

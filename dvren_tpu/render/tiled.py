@@ -1049,7 +1049,6 @@ def _gather_bank_tables_bwd(static, res, cts):
         from dvren_tpu.ops import packed_transpose
         ct16 = jnp.concatenate(
             [packed_transpose.banks_to_u16_rows(b) for b in blocks])
-        ct = blocks[0]                                # dtype carrier
     else:
         ct = jnp.concatenate(blocks)                  # (B, 32, 128)
         # f32 (B, 32, 128) -> u16 (B, 64, 128) -> lanes-major (S, 64),
@@ -1061,17 +1060,33 @@ def _gather_bank_tables_bwd(static, res, cts):
             [(bits >> 16).astype(jnp.uint16),
              (bits & jnp.uint32(0xFFFF)).astype(jnp.uint16)], axis=1)
         ct16 = jnp.swapaxes(ct16, 1, 2).reshape(-1, 64)   # (S, 64) u16
+    return (ct16_rows_to_table(ct16, all_idx, meta, inv_map, w),
+            None, None)
+
+
+def ct16_rows_to_table(ct16, all_idx, meta, inv_map, w):
+    """Per-slot u16 cotangent rows -> full (n_cells, w) f32 table
+    gradient via the planned gather-transpose: ONE cotangent gather,
+    per-class f32 reductions, inverse-permutation assembly (zero row for
+    inactive cells). Shared by the single-chip backward above and the
+    mesh-sharded backward (parallel/shard.py::_gather_rows_planned_bwd).
+
+    ``all_idx`` MAY contain pad entries equal to ct16.shape[0]: a zero
+    row is appended so pads contribute exact zeros (the sharded plans'
+    union-padded classes use this; single-chip plans have no pads and
+    the appended row is never referenced)."""
+    ct16 = jnp.concatenate(
+        [ct16, jnp.zeros((1, ct16.shape[1]), jnp.uint16)])
     g16 = jnp.take(ct16, all_idx, axis=0, mode="clip")
     val_parts = [
         grid_ops._u16_rows_to_f32(
             g16[off:off + n_k * c_k], w).reshape(n_k, c_k, w).sum(axis=1)
         for off, n_k, c_k in meta]
-    # zero row for inactive cells, then assemble by inverse-perm GATHER
-    vals = jnp.concatenate(val_parts + [jnp.zeros((1, w), ct.dtype)])
+    vals = jnp.concatenate(
+        val_parts + [jnp.zeros((1, w), jnp.float32)])
     v16 = grid_ops._split_u16(vals)
-    d = grid_ops._u16_rows_to_f32(
+    return grid_ops._u16_rows_to_f32(
         jnp.take(v16, inv_map, axis=0, mode="clip"), w)
-    return (d, None, None)
 
 
 _gather_bank_tables.defvjp(_gather_bank_tables_fwd,
