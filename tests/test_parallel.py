@@ -203,3 +203,48 @@ def test_tile_shards_balanced():
         live = np.asarray(g["tile_ids"]) < (1 << 30)
         per_dev = live.sum(axis=1)
         assert per_dev.max() - per_dev.min() <= 8, per_dev
+
+
+def test_tile_dp_grads_with_empty_device_shards():
+    """Union-padded gather plans: a 16x16 frame has ONE 16px tile, so 7
+    of 8 devices hold only pad tiles (no valid lanes, every plan class
+    fully padded on them). Forward parity AND table gradients must still
+    match the single-chip tiled path - this exercises the zero-row pad
+    entries and the all-pad-device branch of _shard_gather_plans."""
+    require_devices()
+    from dvren_tpu.render.tiled import build_tiled_schedule, render_tiled
+    from dvren_tpu.parallel.shard import (make_tile_dp_train_step,
+                                          render_tiled_sharded,
+                                          shard_tiled_schedule)
+
+    plan, field = make_scene(width=16, height=16)
+    schedule = build_tiled_schedule(plan, field)
+    assert sum(g.n_tiles for g in schedule.groups) < N_DEV * 8
+    mesh = make_mesh(N_DEV)
+    shards = shard_tiled_schedule(schedule, N_DEV)
+
+    planes = render_tiled_sharded(plan, field, schedule, mesh,
+                                  shards=shards)
+    ref = render_tiled(plan, field, schedule)
+    np.testing.assert_array_equal(np.asarray(planes.image),
+                                  np.asarray(ref.image))
+
+    target = jnp.zeros((plan.height, plan.width, 3), jnp.float32)
+    opt = optax.sgd(1.0)
+    params = (field.sigma, field.color)
+    state = opt.init(params)
+    step = make_tile_dp_train_step(plan, field, opt, mesh, schedule)
+    with mesh:
+        new_params, state, loss = step(params, state, shards, target)
+
+    def loss_single(p):
+        f = field.with_params(*p)
+        img = render_tiled(plan, f, schedule).image
+        return jnp.mean((img - target) ** 2)
+
+    g_ref = jax.grad(loss_single)(params)
+    g_got = jax.tree.map(lambda new, old: old - new, new_params, params)
+    np.testing.assert_allclose(np.asarray(g_got[0]), np.asarray(g_ref[0]),
+                               rtol=1e-3, atol=5e-7)
+    np.testing.assert_allclose(np.asarray(g_got[1]), np.asarray(g_ref[1]),
+                               rtol=1e-3, atol=5e-7)
