@@ -25,6 +25,8 @@ _load_error: str | None = None
 _f32p = ctypes.POINTER(ctypes.c_float)
 _u32p = ctypes.POINTER(ctypes.c_uint32)
 _u8p = ctypes.POINTER(ctypes.c_uint8)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_i64p = ctypes.POINTER(ctypes.c_longlong)
 
 
 def _build() -> None:
@@ -63,6 +65,11 @@ def _configure(lib) -> None:
     lib.dvn_write_ppm.restype = ctypes.c_int
     lib.dvn_write_ppm.argtypes = [
         ctypes.c_char_p, _f32p, ctypes.c_int, ctypes.c_int]
+    lib.dvn_pack_runs.restype = ctypes.c_int
+    lib.dvn_pack_runs.argtypes = [
+        _i64p, ctypes.c_longlong, ctypes.c_longlong, ctypes.c_int,
+        ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+        _i32p, _i32p, _i64p, _i32p, _i32p, _i64p, _i32p]
 
 
 def _get():
@@ -76,7 +83,7 @@ def _get():
                 _build()
             lib = ctypes.CDLL(_LIB)
             _configure(lib)
-            if lib.dvn_abi_version() != 1:
+            if lib.dvn_abi_version() != 2:
                 raise RuntimeError("native ABI version mismatch")
             _lib = lib
         except Exception as exc:  # pragma: no cover - toolchain-dependent
@@ -214,3 +221,28 @@ def write_ppm(path: str, image: np.ndarray) -> None:
     rc = lib.dvn_write_ppm(path.encode(), _ptr(image, _f32p), w, h)
     if rc != 0:
         raise RuntimeError(f"dvn_write_ppm failed: {rc}")
+
+
+def pack_runs(flat: np.ndarray, pitch: int, sentinel: int,
+              umax: int, pmax: int):
+    """Native tile-run packing (the scheduler's hot sort/unique/lane
+    phase); see dvn_pack_runs in dvren_native.cpp and the byte-identical
+    numpy reference render/tiled.py::_pack_runs_numpy."""
+    lib = _get()
+    flat = np.ascontiguousarray(flat, np.int64)
+    rows, cols = flat.shape
+    lidx = np.empty((rows, cols), np.int32)
+    lanes_run = np.empty(rows, np.int32)
+    ucell = np.empty((rows, umax), np.int64)
+    ulane = np.empty((rows, umax), np.int32)
+    n_u = np.empty(rows, np.int32)
+    upair = np.empty((rows, pmax), np.int64)
+    n_p = np.empty(rows, np.int32)
+    rc = lib.dvn_pack_runs(
+        _ptr(flat, _i64p), rows, cols, pitch, sentinel, umax, pmax,
+        _ptr(lidx, _i32p), _ptr(lanes_run, _i32p), _ptr(ucell, _i64p),
+        _ptr(ulane, _i32p), _ptr(n_u, _i32p), _ptr(upair, _i64p),
+        _ptr(n_p, _i32p))
+    if rc != 0:
+        raise RuntimeError(f"dvn_pack_runs failed: {rc}")
+    return lidx, lanes_run, ucell, ulane, n_u, upair, n_p

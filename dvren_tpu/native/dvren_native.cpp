@@ -21,6 +21,7 @@
 #include <cstdio>
 #include <cstring>
 #include <algorithm>
+#include <vector>
 
 namespace {
 
@@ -96,7 +97,7 @@ extern "C" {
 
 // ---------------------------------------------------------------- version
 
-int dvn_abi_version(void) { return 1; }
+int dvn_abi_version(void) { return 2; }
 
 // ---------------------------------------------------------------- ray gen
 
@@ -292,6 +293,87 @@ int dvn_write_ppm(const char* path, const float* image, int width,
         std::fputc(b, f);
     }
     std::fclose(f);
+    return 0;
+}
+
+// ------------------------------------------------- tile-run packing core
+//
+// The hot phase of the host tile-table SCHEDULER
+// (dvren_tpu/render/tiled.py::build_tiled_schedule): per (tile, chunk,
+// sub-tile) row of sample cell ids, stable-sort, assign window-relative
+// lanes in sorted-unique order (pitch 1: lane = unique rank; pitch 2:
+// lane = 2*pair_rank + (cell & 1)), and emit the COMPACT unique
+// (cell, lane) list the hostmap/gathermap assembly scatters from.
+// Exactly mirrors the numpy reference implementation
+// (tiled.py::_pack_runs_numpy) - schedules must stay byte-identical
+// (tools/sched_hash.py is the harness).
+//
+// flat:      (rows, cols) int64 cell ids; masked samples carry
+//            ``sentinel`` (sorts after every real cell).
+// lidx:      (rows, cols) int32 per-SAMPLE window-relative lane.
+// lanes_run: (rows,) int32 lanes used by the run (0 when all masked).
+// ucell/ulane: (rows, umax) compact unique cells + their lanes,
+//            ucell -1-padded; counts in n_u. Rows whose lanes_run
+//            exceeds 2*128 overflow the bank space and are discarded by
+//            the caller, so umax = min(cols, 257) always suffices for
+//            rows that get consumed.
+// upair:     (rows, pmax) pitch-2 compact unique PAIR ids (cell >> 1),
+//            -1-padded, counts in n_p; the j-th pair's rank IS j.
+
+int dvn_pack_runs(const long long* flat, long long rows, long long cols,
+                  int pitch, long long sentinel, long long umax,
+                  long long pmax, int* lidx, int* lanes_run,
+                  long long* ucell, int* ulane, int* n_u,
+                  long long* upair, int* n_p) {
+    if (rows < 0 || cols <= 0 || (pitch != 1 && pitch != 2)) return 1;
+    std::vector<int> idx(cols);
+    for (long long r = 0; r < rows; ++r) {
+        const long long* v = flat + r * cols;
+        int* lx = lidx + r * cols;
+        long long* uc = ucell + r * umax;
+        int* ul = ulane + r * umax;
+        long long* up = upair + r * pmax;
+        for (long long j = 0; j < cols; ++j) idx[j] = (int)j;
+        std::stable_sort(idx.begin(), idx.end(),
+                         [v](int a, int b) { return v[a] < v[b]; });
+        int rank = -1, prank = -1;
+        long long prev = 0, prevp = 0;
+        long long nu = 0, np_ = 0;
+        bool any_sent = false;
+        for (long long j = 0; j < cols; ++j) {
+            const long long val = v[idx[j]];
+            const bool is_new = (j == 0) || (val != prev);
+            if (is_new) ++rank;
+            int lane;
+            if (pitch == 2) {
+                const long long pv =
+                    (val == sentinel) ? sentinel : (val >> 1);
+                const bool new_p = (j == 0) || (pv != prevp);
+                if (new_p) ++prank;
+                lane = 2 * prank + (int)(val & 1);
+                if (new_p && val != sentinel && np_ < pmax)
+                    up[np_++] = pv;
+                prevp = pv;
+            } else {
+                lane = rank;
+            }
+            if (is_new && val != sentinel && nu < umax) {
+                uc[nu] = val;
+                ul[nu] = lane;
+                ++nu;
+            }
+            if (val == sentinel) any_sent = true;
+            lx[idx[j]] = lane;
+            prev = val;
+        }
+        const int sent = any_sent ? 1 : 0;
+        lanes_run[r] = (pitch == 2) ? 2 * (prank + 1 - sent)
+                                    : (rank + 1 - sent);
+        n_u[r] = (int)nu;
+        n_p[r] = (int)np_;
+        for (long long j = nu; j < umax; ++j) { uc[j] = -1; ul[j] = 0; }
+        for (long long j = np_; j < pmax; ++j) up[j] = -1;
+    }
     return 0;
 }
 

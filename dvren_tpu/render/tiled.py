@@ -399,6 +399,76 @@ def _quant_up(v: int, cap: int | None = None) -> int:
     return v
 
 
+def _pack_runs_numpy(flat: np.ndarray, pitch: int, umax: int, pmax: int):
+    """Numpy reference for the scheduler's sort/unique/lane phase - the
+    byte-identical fallback for the native core
+    (native/dvren_native.cpp::dvn_pack_runs; tools/sched_hash.py is the
+    identity harness). Per row of sample cell ids: stable sort, assign
+    window-relative lanes in sorted-unique order (pitch 1: lane = unique
+    rank; pitch 2: lane = 2*pair_rank + (cell & 1); the sentinel sorts
+    last and gets no slot), and compact the unique (cell, lane) list for
+    the hostmap/gathermap scatter. Returns (lidx, lanes_run, ucell,
+    ulane, n_u, upair, n_p); upair's j-th pair has rank j."""
+    order = np.argsort(flat, axis=1, kind="stable")
+    sc = np.take_along_axis(flat, order, 1)
+    new = np.ones(flat.shape, bool)
+    new[:, 1:] = sc[:, 1:] != sc[:, :-1]
+    rank = np.cumsum(new, axis=1, dtype=np.int32) - 1
+    has_sent = sc[:, -1] == _SENTINEL
+    if pitch == 2:
+        pcs = np.where(sc == _SENTINEL, _SENTINEL, sc >> 1)
+        new_p = np.ones(flat.shape, bool)
+        new_p[:, 1:] = pcs[:, 1:] != pcs[:, :-1]
+        prank = np.cumsum(new_p, axis=1, dtype=np.int32) - 1
+        lane_sorted = (2 * prank + (sc & 1)).astype(np.int32)
+        lanes_run = (2 * (prank[:, -1] + 1 - has_sent)).astype(np.int32)
+    else:
+        lane_sorted = rank
+        lanes_run = (rank[:, -1] + 1 - has_sent).astype(np.int32)
+    lidx = np.empty(flat.shape, np.int32)
+    np.put_along_axis(lidx, order, lane_sorted, 1)
+
+    def compact(vals, mask, width, lanes=None):
+        # stable valid-first partition along the sorted axis
+        ord2 = np.argsort(~mask, axis=1, kind="stable")
+        n = np.minimum(mask.sum(1), width).astype(np.int32)
+        within = np.arange(width)[None, :] < n[:, None]
+        v = np.take_along_axis(vals, ord2[:, :width], 1)
+        out = np.where(within, v, -1)
+        ln = None
+        if lanes is not None:
+            ln = np.where(
+                within,
+                np.take_along_axis(lanes, ord2[:, :width], 1),
+                0).astype(np.int32)
+        return out, ln, n
+
+    ucell, ulane, n_u = compact(sc, new & (sc != _SENTINEL), umax,
+                                lane_sorted)
+    if pitch == 2:
+        upair, _, n_p = compact(pcs, new_p & (pcs != _SENTINEL), pmax)
+    else:
+        upair = np.full((flat.shape[0], pmax), -1, np.int64)
+        n_p = np.zeros(flat.shape[0], np.int32)
+    return lidx, lanes_run, ucell, ulane, n_u, upair, n_p
+
+
+def _pack_runs(flat: np.ndarray, pitch: int):
+    """Dispatch the run-packing phase to the native scheduler core when
+    built (DVREN_NATIVE_SCHED=0 forces the numpy reference). Surviving
+    runs hold <= 2*MAX_CELLS lanes (larger ones demote to the windowed
+    fallback before consumption), so the compact widths below always
+    cover every row the assembly reads."""
+    umax = min(flat.shape[1], 2 * MAX_CELLS + 1)
+    pmax = min(flat.shape[1], MAX_CELLS + 1)
+    if os.environ.get("DVREN_NATIVE_SCHED", "1") != "0":
+        from dvren_tpu import native
+        if native.available():
+            return native.pack_runs(flat, pitch, int(_SENTINEL),
+                                    umax, pmax)
+    return _pack_runs_numpy(flat, pitch, umax, pmax)
+
+
 def build_tiled_schedule(plan: Plan, field,
                          jitter: np.ndarray | None = None,
                          occupancy: bool = False,
@@ -603,33 +673,14 @@ def build_tiled_schedule(plan: Plan, field,
             + [dtn[:, :, i].reshape(t_cnt, 2, 128) for i in range(3)],
             axis=1).astype(np.float32).reshape(t_cnt, 12, 128)
 
-        # unique cells + local slots per (tile, chunk, sub-tile)
+        # unique cells + local slots per (tile, chunk, sub-tile): the
+        # scheduler's hot sort/unique/lane phase runs in the native core
+        # when available (native/dvren_native.cpp::dvn_pack_runs; the
+        # numpy reference below is byte-identical - tools/sched_hash.py)
         sub_cols = (16 // n_sub) * 128
         flat = cell_l.reshape(t_cnt * nc * n_sub, sub_cols)
-        order = np.argsort(flat, axis=1, kind="stable")
-        sc = np.take_along_axis(flat, order, 1)
-        new = np.ones(flat.shape, bool)
-        new[:, 1:] = sc[:, 1:] != sc[:, :-1]
-        rank = np.cumsum(new, axis=1, dtype=np.int32) - 1
-        # The sentinel (masked samples) sorts last; it does NOT need a table
-        # slot - masked samples may point anywhere (their weight is 0).
-        has_sent = sc[:, -1] == _SENTINEL
-        nuniq = rank[:, -1] + 1 - has_sent
-        if pitch == 2:
-            # Cell-pair packing: lane = 2*pairrank + (cell & 1). pcs is
-            # sorted because sc is and >> 1 is monotone (the sentinel
-            # stays the largest value).
-            pcs = np.where(sc == _SENTINEL, _SENTINEL, sc >> 1)
-            new_p = np.ones(flat.shape, bool)
-            new_p[:, 1:] = pcs[:, 1:] != pcs[:, :-1]
-            prank = np.cumsum(new_p, axis=1, dtype=np.int32) - 1
-            lane_sorted = (2 * prank + (sc & 1)).astype(np.int32)
-            lanes_run = 2 * (prank[:, -1] + 1 - has_sent)
-        else:
-            lane_sorted = rank                     # already int32
-            lanes_run = nuniq
-        lidx = np.empty(flat.shape, np.int32)
-        np.put_along_axis(lidx, order, lane_sorted, 1)
+        (lidx, lanes_run, ucell, ulane,
+         n_u, upair, n_p) = _pack_runs(flat, pitch)
 
         # Dense bank packing: each (chunk, sub-tile) run of nuniq cells
         # lands at the next free lane offset; runs of <= 128 cells span
@@ -648,18 +699,17 @@ def build_tiled_schedule(plan: Plan, field,
             if fb.size:
                 fallback_rays.append(fb)
             # dead sub-tiles: no runs, no live samples, and NO hostmap
-            # writes - without clearing ``new`` their unique cells would
-            # still fill hostmap lanes at their zeroed offset, clobbering
-            # the live runs anchored at lane 0.
+            # writes - without zeroing their unique counts their cells
+            # would still fill hostmap lanes at their zeroed offset,
+            # clobbering the live runs anchored at lane 0.
             lanes3 = np.where(sub_bad[:, None, :], 0, lanes3)
             m_l = (m_l.reshape(t_cnt, nc, n_sub, sub_cols)
                    * ~sub_bad[:, None, :, None]).reshape(
                 t_cnt, nc, 16, 128)
             row_bad = np.broadcast_to(
                 sub_bad[:, None, :], (t_cnt, nc, n_sub)).reshape(-1)
-            new[row_bad] = False
-            if pitch == 2:
-                new_p[row_bad] = False
+            n_u = np.where(row_bad, 0, n_u)
+            n_p = np.where(row_bad, 0, n_p)
 
         # Lane-offset recurrence, vectorized across TILES: the bank
         # round-up before >128-lane runs makes ``cur`` a data-dependent
@@ -700,9 +750,6 @@ def build_tiled_schedule(plan: Plan, field,
             lanes = nb * MAX_CELLS
             t_kept = int(keep.sum())
             rowsel = np.repeat(keep, nc * n_sub)
-            sc_k = sc[rowsel]
-            new_k = new[rowsel]
-            lane_k = lane_sorted[rowsel]
             off_k = off[keep].reshape(-1)        # (t_kept*nc*n_sub,)
 
             # Dead lanes (bank-space rounding, pad tiles, empty-run
@@ -712,22 +759,25 @@ def build_tiled_schedule(plan: Plan, field,
             # were 19% of all slot rows, all funneled into one
             # pathological 123k-row count class for cell 0.
             hostmap = np.full((t_kept, lanes), -1, np.int64)
-            rws, cls = np.nonzero(new_k & (sc_k != _SENTINEL))
-            hostmap[rws // (nc * n_sub), off_k[rws] + lane_k[rws, cls]] = \
-                sc_k[rws, cls]
+            n_u_k = n_u[rowsel]
+            ucell_k, ulane_k = ucell[rowsel], ulane[rowsel]
+            rws, cls = np.nonzero(
+                np.arange(ucell.shape[1])[None, :] < n_u_k[:, None])
+            hostmap[rws // (nc * n_sub),
+                    off_k[rws] + ulane_k[rws, cls]] = ucell_k[rws, cls]
             if pitch == 2:
                 # Forward gather map: one packed-row PAIR per slot pair.
                 # Untouched partner lanes stay -1 in ``hostmap`` (the
                 # backward's gather plan excludes them) but the pair slot
                 # still names the pair - the gather fetches both rows in
-                # one start.
+                # one start. The j-th compact pair's rank IS j.
                 gmap = np.full((t_kept, lanes // 2), -1, np.int64)
-                pcs_k = pcs[rowsel]
-                newp_k = new_p[rowsel]
-                prank_k = prank[rowsel]
-                prs, pcl = np.nonzero(newp_k & (pcs_k != _SENTINEL))
+                n_p_k = n_p[rowsel]
+                upair_k = upair[rowsel]
+                prs, pcl = np.nonzero(
+                    np.arange(upair.shape[1])[None, :] < n_p_k[:, None])
                 gmap[prs // (nc * n_sub),
-                     off_k[prs] // 2 + prank_k[prs, pcl]] = pcs_k[prs, pcl]
+                     off_k[prs] // 2 + pcl] = upair_k[prs, pcl]
             else:
                 gmap = None                       # aliases hostmap below
 

@@ -193,3 +193,38 @@ def test_orthographic_end_to_end_vs_native_oracle():
         ref["radiance"], atol=2e-3)
     np.testing.assert_allclose(
         fr.transmittance, ref["transmittance"], atol=2e-3)
+
+
+def test_native_pack_runs_matches_numpy():
+    """The native scheduler core (dvn_pack_runs) is byte-identical to the
+    numpy reference across randomized rows incl. all-masked rows, single
+    uniques, duplicates, and bank-overflow runs, at both pitches."""
+    import numpy as np
+    import pytest
+    from dvren_tpu import native
+    from dvren_tpu.render.tiled import (MAX_CELLS, _SENTINEL,
+                                        _pack_runs_numpy)
+
+    if not native.available():
+        pytest.skip(f"native lib unavailable: {native.load_error()}")
+
+    rng = np.random.default_rng(7)
+    rows, cols = 64, 512  # > umax: exercises the compact-width clamp
+    flat = rng.integers(0, 40, (rows, cols)).astype(np.int64)
+    flat[rng.random((rows, cols)) < 0.3] = _SENTINEL  # masked samples
+    flat[0, :] = _SENTINEL                            # fully masked row
+    flat[1, :] = 5                                    # single unique
+    flat[2, :] = np.arange(cols)                      # > umax uniques
+    # a row guaranteed past the 2-bank limit (sub_bad downstream)
+    flat[3, :] = rng.permutation(cols) * 3
+
+    for pitch in (1, 2):
+        umax = min(cols, 2 * MAX_CELLS + 1)
+        pmax = min(cols, MAX_CELLS + 1)
+        ref = _pack_runs_numpy(flat, pitch, umax, pmax)
+        got = native.pack_runs(flat, pitch, int(_SENTINEL), umax, pmax)
+        names = ("lidx", "lanes_run", "ucell", "ulane", "n_u",
+                 "upair", "n_p")
+        for name, a, b in zip(names, ref, got):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"{name} pitch={pitch}")
