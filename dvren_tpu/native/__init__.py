@@ -30,8 +30,11 @@ _i64p = ctypes.POINTER(ctypes.c_longlong)
 
 
 def _build() -> None:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-std=c++17", _SRC, "-o", _LIB]
+    # -ffp-contract=off: the fused scheduler (dvn_build_runs) must match
+    # numpy's f32 arithmetic BIT-exactly; a contracted mul+add FMA would
+    # change float bits (schedules are verified byte-identical).
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
+           "-fPIC", "-std=c++17", _SRC, "-o", _LIB]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
 
 
@@ -70,6 +73,18 @@ def _configure(lib) -> None:
         _i64p, ctypes.c_longlong, ctypes.c_longlong, ctypes.c_int,
         ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
         _i32p, _i32p, _i64p, _i32p, _i32p, _i64p, _i32p]
+    lib.dvn_build_runs.restype = ctypes.c_int
+    lib.dvn_build_runs.argtypes = [
+        _f32p, _f32p, _i64p, _u8p, _i64p,
+        ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int,
+        _f32p, ctypes.c_longlong, ctypes.c_longlong,
+        _f32p, _f32p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_longlong,
+        _f32p, _f32p, _i32p, _i32p, _i64p, _i32p, _i32p, _i64p, _i32p]
 
 
 def _get():
@@ -246,3 +261,49 @@ def pack_runs(flat: np.ndarray, pitch: int, sentinel: int,
     if rc != 0:
         raise RuntimeError(f"dvn_pack_runs failed: {rc}")
     return lidx, lanes_run, ucell, ulane, n_u, upair, n_p
+
+
+def build_runs(ot, dtn, safe_ids, live_r, ke, nc, n_sub, t_near, t_far,
+               dt, nudge, k_max, jitter, jn, bbox_lo, inv_ext, grid_nxyz,
+               pitch, sentinel, umax, pmax):
+    """Fused native lattice + run-pack (the whole per-(tile, chunk)
+    scheduler hot loop; dvn_build_runs). Returns (st_l, m_l, lidx,
+    lanes_run, ucell, ulane, n_u, upair, n_p)."""
+    lib = _get()
+    t_cnt = ot.shape[0]
+    ot = np.ascontiguousarray(ot, np.float32)
+    dtn = np.ascontiguousarray(dtn, np.float32)
+    safe_ids = np.ascontiguousarray(safe_ids, np.int64)
+    live_u8 = np.ascontiguousarray(live_r, np.uint8)
+    ke = np.ascontiguousarray(ke, np.int64)
+    nx, ny, nz = grid_nxyz
+    rows = t_cnt * nc * n_sub
+    sub_cols = (16 // n_sub) * 128
+    st_l = np.empty((t_cnt, nc, 16, 128), np.float32)
+    m_l = np.empty((t_cnt, nc, 16, 128), np.float32)
+    lidx = np.empty((rows, sub_cols), np.int32)
+    lanes_run = np.empty(rows, np.int32)
+    ucell = np.empty((rows, umax), np.int64)
+    ulane = np.empty((rows, umax), np.int32)
+    n_u = np.empty(rows, np.int32)
+    upair = np.empty((rows, pmax), np.int64)
+    n_p = np.empty(rows, np.int32)
+    if jitter is not None:
+        jit = np.ascontiguousarray(jitter, np.float32)
+        jptr, jk = _ptr(jit, _f32p), jit.shape[1]
+    else:
+        jptr, jk, jn = None, 0, 0
+    lo = np.ascontiguousarray(bbox_lo, np.float32)
+    inv = np.ascontiguousarray(inv_ext, np.float32)
+    rc = lib.dvn_build_runs(
+        _ptr(ot, _f32p), _ptr(dtn, _f32p), _ptr(safe_ids, _i64p),
+        _ptr(live_u8, _u8p), _ptr(ke, _i64p),
+        t_cnt, nc, n_sub, t_near, t_far, dt, nudge, k_max,
+        jptr, jn, jk, _ptr(lo, _f32p), _ptr(inv, _f32p),
+        nx, ny, nz, pitch, sentinel, umax, pmax,
+        _ptr(st_l, _f32p), _ptr(m_l, _f32p), _ptr(lidx, _i32p),
+        _ptr(lanes_run, _i32p), _ptr(ucell, _i64p), _ptr(ulane, _i32p),
+        _ptr(n_u, _i32p), _ptr(upair, _i64p), _ptr(n_p, _i32p))
+    if rc != 0:
+        raise RuntimeError(f"dvn_build_runs failed: {rc}")
+    return st_l, m_l, lidx, lanes_run, ucell, ulane, n_u, upair, n_p

@@ -320,6 +320,55 @@ int dvn_write_ppm(const char* path, const float* image, int width,
 // upair:     (rows, pmax) pitch-2 compact unique PAIR ids (cell >> 1),
 //            -1-padded, counts in n_p; the j-th pair's rank IS j.
 
+namespace {
+
+// one row of the run-pack scan (see dvn_pack_runs docs)
+inline void pack_row(const long long* v, long long cols, int pitch,
+                     long long sentinel, long long umax, long long pmax,
+                     int* idx, int* lx, long long* uc, int* ul,
+                     long long* up, int* lanes_run, int* n_u, int* n_p) {
+    for (long long j = 0; j < cols; ++j) idx[j] = (int)j;
+    std::stable_sort(idx, idx + cols,
+                     [v](int a, int b) { return v[a] < v[b]; });
+    int rank = -1, prank = -1;
+    long long prev = 0, prevp = 0;
+    long long nu = 0, np_ = 0;
+    bool any_sent = false;
+    for (long long j = 0; j < cols; ++j) {
+        const long long val = v[idx[j]];
+        const bool is_new = (j == 0) || (val != prev);
+        if (is_new) ++rank;
+        int lane;
+        if (pitch == 2) {
+            const long long pv = (val == sentinel) ? sentinel : (val >> 1);
+            const bool new_p = (j == 0) || (pv != prevp);
+            if (new_p) ++prank;
+            lane = 2 * prank + (int)(val & 1);
+            if (new_p && val != sentinel && np_ < pmax) up[np_++] = pv;
+            prevp = pv;
+        } else {
+            lane = rank;
+        }
+        if (is_new && val != sentinel && nu < umax) {
+            uc[nu] = val;
+            ul[nu] = lane;
+            ++nu;
+        }
+        if (val == sentinel) any_sent = true;
+        lx[idx[j]] = lane;
+        prev = val;
+    }
+    const int sent = any_sent ? 1 : 0;
+    *lanes_run = (pitch == 2) ? 2 * (prank + 1 - sent)
+                              : (rank + 1 - sent);
+    *n_u = (int)nu;
+    *n_p = (int)np_;
+    for (long long j = nu; j < umax; ++j) { uc[j] = -1; ul[j] = 0; }
+    for (long long j = np_; j < pmax; ++j) up[j] = -1;
+}
+
+}  // namespace
+
 int dvn_pack_runs(const long long* flat, long long rows, long long cols,
                   int pitch, long long sentinel, long long umax,
                   long long pmax, int* lidx, int* lanes_run,
@@ -328,53 +377,124 @@ int dvn_pack_runs(const long long* flat, long long rows, long long cols,
     if (rows < 0 || cols <= 0 || (pitch != 1 && pitch != 2)) return 1;
     std::vector<int> idx(cols);
     for (long long r = 0; r < rows; ++r) {
-        const long long* v = flat + r * cols;
-        int* lx = lidx + r * cols;
-        long long* uc = ucell + r * umax;
-        int* ul = ulane + r * umax;
-        long long* up = upair + r * pmax;
-        for (long long j = 0; j < cols; ++j) idx[j] = (int)j;
-        std::stable_sort(idx.begin(), idx.end(),
-                         [v](int a, int b) { return v[a] < v[b]; });
-        int rank = -1, prank = -1;
-        long long prev = 0, prevp = 0;
-        long long nu = 0, np_ = 0;
-        bool any_sent = false;
-        for (long long j = 0; j < cols; ++j) {
-            const long long val = v[idx[j]];
-            const bool is_new = (j == 0) || (val != prev);
-            if (is_new) ++rank;
-            int lane;
-            if (pitch == 2) {
-                const long long pv =
-                    (val == sentinel) ? sentinel : (val >> 1);
-                const bool new_p = (j == 0) || (pv != prevp);
-                if (new_p) ++prank;
-                lane = 2 * prank + (int)(val & 1);
-                if (new_p && val != sentinel && np_ < pmax)
-                    up[np_++] = pv;
-                prevp = pv;
-            } else {
-                lane = rank;
-            }
-            if (is_new && val != sentinel && nu < umax) {
-                uc[nu] = val;
-                ul[nu] = lane;
-                ++nu;
-            }
-            if (val == sentinel) any_sent = true;
-            lx[idx[j]] = lane;
-            prev = val;
-        }
-        const int sent = any_sent ? 1 : 0;
-        lanes_run[r] = (pitch == 2) ? 2 * (prank + 1 - sent)
-                                    : (rank + 1 - sent);
-        n_u[r] = (int)nu;
-        n_p[r] = (int)np_;
-        for (long long j = nu; j < umax; ++j) { uc[j] = -1; ul[j] = 0; }
-        for (long long j = np_; j < pmax; ++j) up[j] = -1;
+        pack_row(flat + r * cols, cols, pitch, sentinel, umax, pmax,
+                 idx.data(), lidx + r * cols, ucell + r * umax,
+                 ulane + r * umax, upair + r * pmax, lanes_run + r,
+                 n_u + r, n_p + r);
     }
     return 0;
 }
+
+// --------------------------------------------- fused lattice + pack
+//
+// The full per-(tile, chunk) scheduler hot loop: per sample, march
+// t = t_near + k*dt (+ stratified jitter), evaluate the grid cell index
+// and inside/live mask with numpy-exact f32 arithmetic, lay the results
+// out in the kernel's (tile, chunk, block row, lane) order, and run the
+// run-pack scan per (chunk, sub-tile) row - one pass, no full-array
+// temporaries. Mirrors build_tiled_schedule's numpy block
+// (render/tiled.py; byte-identity enforced by tools/sched_hash.py).
+// NOTE: compile with -ffp-contract=off - numpy never fuses mul+add, a
+// contracted FMA here would change float bits.
+
+int dvn_build_runs(
+    const float* ot, const float* dtn,          // (T, 256, 3)
+    const long long* safe_ids,                  // (T, 256)
+    const unsigned char* live_r,                // (T, 256)
+    const long long* ke,                        // (T,)
+    long long t_cnt, int nc, int n_sub,
+    float t_near, float t_far, float dt, float nudge, int k_max,
+    const float* jitter, long long jn, long long jk,  // NULL -> 0.5
+    const float* bbox_lo, const float* inv_ext,       // [3]
+    int nx, int ny, int nz,
+    int pitch, long long sentinel, long long umax, long long pmax,
+    float* st_l, float* m_l,                    // (T, nc, 16, 128)
+    int* lidx, int* lanes_run,
+    long long* ucell, int* ulane, int* n_u,
+    long long* upair, int* n_p) {
+    if (t_cnt < 0 || nc <= 0 || n_sub <= 0 || 16 % n_sub != 0) return 1;
+    const int rps = 16 / n_sub;           // block rows per sub-tile
+    const long long sub_cols = (long long)rps * 128;
+    const int kq[3] = {nx - 1, ny - 1, nz - 1};
+    std::vector<long long> cells(sub_cols);
+    std::vector<int> idx(sub_cols);
+    for (long long t = 0; t < t_cnt; ++t) {
+        const long long ket = ke[t];
+        for (int c = 0; c < nc; ++c) {
+            for (int s = 0; s < n_sub; ++s) {
+                const long long row = (t * nc + c) * (long long)n_sub + s;
+                long long* cv = cells.data();
+                float* st_row =
+                    st_l + ((t * nc + c) * 16LL + s * rps) * 128;
+                float* m_row =
+                    m_l + ((t * nc + c) * 16LL + s * rps) * 128;
+                for (int rr = 0; rr < rps; ++rr) {       // block row
+                    const int brow = s * rps + rr;
+                    for (int rl = 0; rl < 16; ++rl) {    // ray in row
+                        const long long ray = (long long)brow * 16 + rl;
+                        const float ox = ot[(t * 256 + ray) * 3 + 0];
+                        const float oy = ot[(t * 256 + ray) * 3 + 1];
+                        const float oz = ot[(t * 256 + ray) * 3 + 2];
+                        const float dx = dtn[(t * 256 + ray) * 3 + 0];
+                        const float dy = dtn[(t * 256 + ray) * 3 + 1];
+                        const float dz = dtn[(t * 256 + ray) * 3 + 2];
+                        const bool lv_r = live_r[t * 256 + ray] != 0;
+                        const long long sid = safe_ids[t * 256 + ray];
+                        for (int jj = 0; jj < 8; ++jj) { // step in chunk
+                            const long long kg = ket + (long long)c * 8 + jj;
+                            const float base_t =
+                                t_near + (float)kg * dt;
+                            const bool live = (base_t < t_far)
+                                && (kg < (long long)k_max) && lv_r;
+                            float jit = 0.5f;
+                            if (jitter) {
+                                const long long jr =
+                                    sid < jn - 1 ? sid : jn - 1;
+                                const long long jc =
+                                    kg < jk - 1 ? kg : jk - 1;
+                                jit = jitter[jr * jk + jc];
+                            }
+                            float stv = base_t + jit * dt;
+                            if (stv >= t_far) stv = nudge;
+                            const float px = ox + dx * stv;
+                            const float py = oy + dy * stv;
+                            const float pz = oz + dz * stv;
+                            bool inside = true;
+                            long long cell = 0;
+                            const float ps[3] = {px, py, pz};
+                            long long ix[3];
+                            for (int ax = 0; ax < 3; ++ax) {
+                                const float local =
+                                    (ps[ax] - bbox_lo[ax]) * inv_ext[ax];
+                                inside = inside && (local >= 0.0f)
+                                       && (local <= 1.0f);
+                                float f = std::floor(local
+                                                     * (float)kq[ax]);
+                                const float hi = (float)(kq[ax] - 1);
+                                if (!(f >= 0.0f)) f = 0.0f;  // NaN -> 0
+                                if (f > hi) f = hi;
+                                ix[ax] = (long long)f;
+                            }
+                            cell = (ix[2] * ny + ix[1]) * nx + ix[0];
+                            const bool m = inside && live;
+                            const long long col =
+                                ((long long)rr * 16 + rl) * 8 + jj;
+                            cv[col] = m ? cell : sentinel;
+                            st_row[rr * 128 + rl * 8 + jj - 0] = stv;
+                            m_row[rr * 128 + rl * 8 + jj] = m ? 1.f : 0.f;
+                        }
+                    }
+                }
+                pack_row(cv, sub_cols, pitch, sentinel, umax, pmax,
+                         idx.data(), lidx + row * sub_cols,
+                         ucell + row * umax, ulane + row * umax,
+                         upair + row * pmax, lanes_run + row,
+                         n_u + row, n_p + row);
+            }
+        }
+    }
+    return 0;
+}
+
 
 }  // extern "C"

@@ -453,20 +453,17 @@ def _pack_runs_numpy(flat: np.ndarray, pitch: int, umax: int, pmax: int):
     return lidx, lanes_run, ucell, ulane, n_u, upair, n_p
 
 
-def _pack_runs(flat: np.ndarray, pitch: int):
-    """Dispatch the run-packing phase to the native scheduler core when
-    built (DVREN_NATIVE_SCHED=0 forces the numpy reference). Surviving
-    runs hold <= 2*MAX_CELLS lanes (larger ones demote to the windowed
-    fallback before consumption), so the compact widths below always
-    cover every row the assembly reads."""
-    umax = min(flat.shape[1], 2 * MAX_CELLS + 1)
-    pmax = min(flat.shape[1], MAX_CELLS + 1)
-    if os.environ.get("DVREN_NATIVE_SCHED", "1") != "0":
-        from dvren_tpu import native
-        if native.available():
-            return native.pack_runs(flat, pitch, int(_SENTINEL),
-                                    umax, pmax)
-    return _pack_runs_numpy(flat, pitch, umax, pmax)
+def _native_sched():
+    """The native scheduler core module when built and enabled
+    (DVREN_NATIVE_SCHED=0 forces the byte-identical numpy reference;
+    no g++ degrades gracefully). Surviving runs hold <= 2*MAX_CELLS
+    lanes (larger ones demote to the windowed fallback before
+    consumption), so the compact plan widths always cover every row the
+    assembly reads."""
+    if os.environ.get("DVREN_NATIVE_SCHED", "1") == "0":
+        return None
+    from dvren_tpu import native
+    return native if native.available() else None
 
 
 def build_tiled_schedule(plan: Plan, field,
@@ -616,54 +613,78 @@ def build_tiled_schedule(plan: Plan, field,
         dtn = d[safe].astype(np.float32)
         ke_t = tile_ke[sel].astype(np.int64)          # (T,)
 
-        k = (ke_t[:, None, None]
-             + np.arange(k_steps, dtype=np.int64)[None, None, :])  # (T,1,K)
-        k = np.broadcast_to(k, (t_cnt, RAYS_PER_TILE, k_steps))
-        base_t = t_near + k.astype(np.float32) * dt
-        live = (base_t < t_far) & (k < k_max) & live_r[:, :, None]
-
-        if jitter is not None:
-            rows = np.minimum(safe, n - 1)
-            cols = np.minimum(k, jitter.shape[1] - 1)
-            jit = jitter[rows[:, :, None], cols]
-        else:
-            jit = np.float32(0.5)
-        sample_t = np.asarray(base_t + jit * dt, np.float32)  # already f32
         nudge = np.nextafter(t_far, t_near, dtype=np.float32)
-        sample_t = np.where(sample_t >= t_far, nudge, sample_t)
+        sub_cols = (16 // n_sub) * 128
+        umax = min(sub_cols, 2 * MAX_CELLS + 1)
+        pmax = min(sub_cols, MAX_CELLS + 1)
+        native_mod = _native_sched()
+        if native_mod is not None:
+            # Fused native lattice + run-pack: the whole per-(tile,
+            # chunk) hot loop in ONE pass (march t, jitter, cell index +
+            # mask with numpy-exact f32 arithmetic, kernel lane layout,
+            # run-pack scan) - no full-array temporaries. Byte-identical
+            # to the numpy block below (tools/sched_hash.py).
+            (st_l, m_l, lidx, lanes_run, ucell, ulane, n_u, upair,
+             n_p) = native_mod.build_runs(
+                ot, dtn, safe, live_r, ke_t, nc, n_sub,
+                float(t_near), float(t_far), float(dt), float(nudge),
+                int(k_max), jitter, int(n),
+                np.asarray(bbox_min, np.float32),
+                np.asarray(inv_ext, np.float32), (nx, ny, nz),
+                pitch, int(_SENTINEL), umax, pmax)
+        else:
+            k = (ke_t[:, None, None]
+                 + np.arange(k_steps,
+                             dtype=np.int64)[None, None, :])  # (T,1,K)
+            k = np.broadcast_to(k, (t_cnt, RAYS_PER_TILE, k_steps))
+            base_t = t_near + k.astype(np.float32) * dt
+            live = (base_t < t_far) & (k < k_max) & live_r[:, :, None]
 
-        px = ot[:, :, 0:1] + dtn[:, :, 0:1] * sample_t
-        py = ot[:, :, 1:2] + dtn[:, :, 1:2] * sample_t
-        pz = ot[:, :, 2:3] + dtn[:, :, 2:3] * sample_t
+            if jitter is not None:
+                rows = np.minimum(safe, n - 1)
+                cols = np.minimum(k, jitter.shape[1] - 1)
+                jit = jitter[rows[:, :, None], cols]
+            else:
+                jit = np.float32(0.5)
+            sample_t = np.asarray(base_t + jit * dt, np.float32)
+            sample_t = np.where(sample_t >= t_far, nudge, sample_t)
 
-        def _axis(p, lo, inv, npts):
-            # All-f32 pipeline, no copies (the old version ran an astype
-            # copy per op and computed the trilinear fraction - dead here
-            # since the slim schedule: the kernel recomputes fractions
-            # in-kernel and the builder only needs the mask + cell index,
-            # which are unchanged by dropping those passes).
-            local = (p - np.float32(lo)) * inv
-            inside = (local >= 0.0) & (local <= 1.0)
-            f = local * np.float32(npts - 1)
-            return inside, np.clip(np.floor(f), 0, npts - 2).astype(np.int64)
+            px = ot[:, :, 0:1] + dtn[:, :, 0:1] * sample_t
+            py = ot[:, :, 1:2] + dtn[:, :, 1:2] * sample_t
+            pz = ot[:, :, 2:3] + dtn[:, :, 2:3] * sample_t
 
-        in_x, ix = _axis(px, bbox_min[0], inv_ext[0], nx)
-        in_y, iy = _axis(py, bbox_min[1], inv_ext[1], ny)
-        in_z, iz = _axis(pz, bbox_min[2], inv_ext[2], nz)
-        m = (in_x & in_y & in_z & live)
-        cell = (iz * ny + iy) * nx + ix   # FULL-pitch packed-table row
+            def _axis(p, lo, inv, npts):
+                # All-f32 pipeline, no copies (the old version ran an
+                # astype copy per op and computed the trilinear fraction
+                # - dead since the slim schedule: the kernel recomputes
+                # fractions in-kernel and the builder only needs the
+                # mask + cell index).
+                local = (p - np.float32(lo)) * inv
+                inside = (local >= 0.0) & (local <= 1.0)
+                f = local * np.float32(npts - 1)
+                return inside, np.clip(
+                    np.floor(f), 0, npts - 2).astype(np.int64)
 
-        # -> (tile, chunk, block row, lane) sample layout
-        def to_lanes(a):
-            # (T, 256, K) -> (T, nc, 16, 128): ray r=(row*16+rl), step j
-            a = a.reshape(t_cnt, 16, 16, nc, CHUNK)       # (T,row,rl,c,j)
-            a = a.transpose(0, 3, 1, 2, 4)                # (T,c,row,rl,j)
-            return a.reshape(t_cnt, nc, 16, 128)
+            in_x, ix = _axis(px, bbox_min[0], inv_ext[0], nx)
+            in_y, iy = _axis(py, bbox_min[1], inv_ext[1], ny)
+            in_z, iz = _axis(pz, bbox_min[2], inv_ext[2], nz)
+            m = (in_x & in_y & in_z & live)
+            cell = (iz * ny + iy) * nx + ix  # FULL-pitch packed row
 
-        cell_l = to_lanes(np.where(m, cell, _SENTINEL))
-        m_l = to_lanes(m.astype(np.float32))
-        st_l = to_lanes(np.broadcast_to(sample_t,
-                                        (t_cnt, RAYS_PER_TILE, k_steps)))
+            # -> (tile, chunk, block row, lane) sample layout
+            def to_lanes(a):
+                # (T, 256, K) -> (T, nc, 16, 128): ray r = row*16+rl
+                a = a.reshape(t_cnt, 16, 16, nc, CHUNK)  # (T,row,rl,c,j)
+                a = a.transpose(0, 3, 1, 2, 4)           # (T,c,row,rl,j)
+                return a.reshape(t_cnt, nc, 16, 128)
+
+            cell_l = to_lanes(np.where(m, cell, _SENTINEL))
+            m_l = to_lanes(m.astype(np.float32))
+            st_l = to_lanes(np.broadcast_to(
+                sample_t, (t_cnt, RAYS_PER_TILE, k_steps)))
+            flat = cell_l.reshape(t_cnt * nc * n_sub, sub_cols)
+            (lidx, lanes_run, ucell, ulane, n_u, upair,
+             n_p) = _pack_runs_numpy(flat, pitch, umax, pmax)
 
         # Compact ray planes: (T, 12, 128), row = ax*2 + half for axes
         # (ox, oy, oz, dx, dy, dz), lane = ray % 128 (the kernel expands
@@ -673,14 +694,6 @@ def build_tiled_schedule(plan: Plan, field,
             + [dtn[:, :, i].reshape(t_cnt, 2, 128) for i in range(3)],
             axis=1).astype(np.float32).reshape(t_cnt, 12, 128)
 
-        # unique cells + local slots per (tile, chunk, sub-tile): the
-        # scheduler's hot sort/unique/lane phase runs in the native core
-        # when available (native/dvren_native.cpp::dvn_pack_runs; the
-        # numpy reference below is byte-identical - tools/sched_hash.py)
-        sub_cols = (16 // n_sub) * 128
-        flat = cell_l.reshape(t_cnt * nc * n_sub, sub_cols)
-        (lidx, lanes_run, ucell, ulane,
-         n_u, upair, n_p) = _pack_runs(flat, pitch)
 
         # Dense bank packing: each (chunk, sub-tile) run of nuniq cells
         # lands at the next free lane offset; runs of <= 128 cells span
