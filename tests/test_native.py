@@ -228,3 +228,33 @@ def test_native_pack_runs_matches_numpy():
         for name, a, b in zip(names, ref, got):
             np.testing.assert_array_equal(
                 np.asarray(a), np.asarray(b), err_msg=f"{name} pitch={pitch}")
+
+
+def test_native_build_schedule_byte_identical(monkeypatch):
+    """Whole schedules built by the native core and the numpy reference
+    are BIT-identical, leaf for leaf (both pitches; stratified jitter).
+    tools/sched_hash.py covers more configs out-of-suite."""
+    import jax
+    import numpy as np
+    import pytest
+    from dvren_tpu import native
+    from dvren_tpu.render.pipeline import plan_jitter_table
+    from dvren_tpu.render.tiled import build_tiled_schedule
+    from tests.test_tiled import scene
+
+    if not native.available():
+        pytest.skip(f"native lib unavailable: {native.load_error()}")
+
+    from dvren_tpu.core.plan import SamplingMode
+    plan, field = scene(mode=SamplingMode.STRATIFIED, n=12)
+    jitter = plan_jitter_table(plan)
+    for pitch in (1, 2):
+        monkeypatch.setenv("DVREN_NATIVE_SCHED", "1")
+        a = build_tiled_schedule(plan, field, jitter=jitter, pitch=pitch)
+        monkeypatch.setenv("DVREN_NATIVE_SCHED", "0")
+        b = build_tiled_schedule(plan, field, jitter=jitter, pitch=pitch)
+        la, ta = jax.tree.flatten(a)
+        lb, tb = jax.tree.flatten(b)
+        assert str(ta) == str(tb)
+        for x, y in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
