@@ -73,6 +73,13 @@ def _configure(lib) -> None:
         _i64p, ctypes.c_longlong, ctypes.c_longlong, ctypes.c_int,
         ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
         _i32p, _i32p, _i64p, _i32p, _i32p, _i64p, _i32p]
+    lib.dvn_tighten_occupancy.restype = ctypes.c_int
+    lib.dvn_tighten_occupancy.argtypes = [
+        _f32p, _f32p, _i64p, _i64p, _f32p, ctypes.c_longlong,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int, _f32p, _f32p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        _u8p, ctypes.c_longlong, _i32p, _i32p]
     lib.dvn_build_runs.restype = ctypes.c_int
     lib.dvn_build_runs.argtypes = [
         _f32p, _f32p, _i64p, _u8p, _i64p,
@@ -307,3 +314,36 @@ def build_runs(ot, dtn, safe_ids, live_r, ke, nc, n_sub, t_near, t_far,
     if rc != 0:
         raise RuntimeError(f"dvn_build_runs failed: {rc}")
     return st_l, m_l, lidx, lanes_run, ucell, ulane, n_u, upair, n_p
+
+
+def tighten_occupancy(o, d, ke, cnt, jitter, t_near, t_far, dt, nudge,
+                      k_max, lo, inv_ext, grid_nxyz, cell_empty):
+    """Native occupancy window tightening (dvn_tighten_occupancy):
+    forward/backward scan to the first/last non-empty-cell step,
+    skipping the interior."""
+    lib = _get()
+    n = o.shape[0]
+    o = np.ascontiguousarray(o, np.float32)
+    d = np.ascontiguousarray(d, np.float32)
+    ke = np.ascontiguousarray(ke, np.int64)
+    cnt = np.ascontiguousarray(cnt, np.int64)
+    if jitter is not None:
+        jit = np.ascontiguousarray(jitter, np.float32)
+        jptr, jk = _ptr(jit, _f32p), jit.shape[1]
+    else:
+        jptr, jk = None, 0
+    lo = np.ascontiguousarray(lo, np.float32)
+    inv = np.ascontiguousarray(inv_ext, np.float32)
+    empty_u8 = np.ascontiguousarray(cell_empty, np.uint8)
+    nx, ny, nz = grid_nxyz
+    ke_out = np.empty(n, np.int32)
+    cnt_out = np.empty(n, np.int32)
+    rc = lib.dvn_tighten_occupancy(
+        _ptr(o, _f32p), _ptr(d, _f32p), _ptr(ke, _i64p),
+        _ptr(cnt, _i64p), jptr, jk, t_near, t_far, dt, nudge, k_max,
+        _ptr(lo, _f32p), _ptr(inv, _f32p), nx, ny, nz,
+        _ptr(empty_u8, _u8p), n, _ptr(ke_out, _i32p),
+        _ptr(cnt_out, _i32p))
+    if rc != 0:
+        raise RuntimeError(f"dvn_tighten_occupancy failed: {rc}")
+    return ke_out, cnt_out

@@ -385,6 +385,88 @@ int dvn_pack_runs(const long long* flat, long long rows, long long cols,
     return 0;
 }
 
+// ------------------------------------------- occupancy window tightening
+//
+// Shrink each ray's [ke, ke+cnt) step window to its first..last lattice
+// step whose (jittered, f32-exact) sample lands in a NON-empty cell -
+// the native form of render/tiled.py::_tighten_windows_by_occupancy
+// (byte-identical semantics; same -ffp-contract=off requirement). The
+// scan runs FORWARD to the first live step and BACKWARD to the last,
+// skipping the interior entirely (the numpy reference must evaluate
+// every step; shells/sparse media make the interior the common case).
+
+namespace {
+
+struct OccGeom {
+    const float* o;
+    const float* d;
+    const float* jitter;
+    long long jk;
+    float t_near, t_far, dt, nudge;
+    int k_max, nx, ny, nz;
+    const float* lo;
+    const float* inv;
+    const unsigned char* empty;
+};
+
+inline bool occ_live_at(const OccGeom& g, long long ray, long long k) {
+    const float base_t = g.t_near + (float)k * g.dt;
+    if (!(base_t < g.t_far) || k >= (long long)g.k_max) return false;
+    float jit = 0.5f;
+    if (g.jitter) {
+        const long long jc = k < g.jk - 1 ? k : g.jk - 1;
+        jit = g.jitter[ray * g.jk + jc];
+    }
+    float t = base_t + jit * g.dt;
+    if (t >= g.t_far) t = g.nudge;
+    const int nq[3] = {g.nx, g.ny, g.nz};
+    long long ix[3];
+    for (int ax = 0; ax < 3; ++ax) {
+        const float p = g.o[ray * 3 + ax] + g.d[ray * 3 + ax] * t;
+        const float local = (p - g.lo[ax]) * g.inv[ax];
+        if (!(local >= 0.0f && local <= 1.0f)) return false;
+        float f = std::floor(local * (float)(nq[ax] - 1));
+        const float hi = (float)(nq[ax] - 2);
+        if (!(f >= 0.0f)) f = 0.0f;
+        if (f > hi) f = hi;
+        ix[ax] = (long long)f;
+    }
+    const long long cell = (ix[2] * g.ny + ix[1]) * g.nx + ix[0];
+    return g.empty[cell] == 0;
+}
+
+}  // namespace
+
+int dvn_tighten_occupancy(
+    const float* o, const float* d, const long long* ke_in,
+    const long long* cnt_in, const float* jitter, long long jk,
+    float t_near, float t_far, float dt, float nudge, int k_max,
+    const float* lo, const float* inv_ext, int nx, int ny, int nz,
+    const unsigned char* cell_empty, long long n,
+    int* ke_out, int* cnt_out) {
+    OccGeom g{o, d, jitter, jk, t_near, t_far, dt, nudge,
+              k_max, nx, ny, nz, lo, inv_ext, cell_empty};
+    for (long long r = 0; r < n; ++r) {
+        const long long ke = ke_in[r];
+        const long long cnt = cnt_in[r];
+        long long first = -1, last = -1;
+        for (long long k = ke; k < ke + cnt; ++k) {
+            if (occ_live_at(g, r, k)) { first = k; break; }
+        }
+        if (first >= 0) {
+            for (long long k = ke + cnt - 1; k >= first; --k) {
+                if (occ_live_at(g, r, k)) { last = k; break; }
+            }
+            ke_out[r] = (int)first;
+            cnt_out[r] = (int)(last - first + 1);
+        } else {
+            ke_out[r] = 0;
+            cnt_out[r] = 0;
+        }
+    }
+    return 0;
+}
+
 // --------------------------------------------- fused lattice + pack
 //
 // The full per-(tile, chunk) scheduler hot loop: per sample, march

@@ -340,6 +340,19 @@ def _tighten_windows_by_occupancy(plan, o, d, k_enter_ray, k_count_ray,
     lo = np.asarray(bbox_min, np.float32)
     npts = np.array([nx, ny, nz])
 
+    native_mod = _native_sched()
+    if native_mod is not None:
+        # forward/backward scan per ray in the native core - skips the
+        # window interior entirely (shells make it the common case);
+        # bit-identical windows (rays left untouched because their whole
+        # block was dead keep ke=0 instead of the original ke, which the
+        # schedule never reads for cnt == 0 rays - sched_hash verified)
+        nudge = np.nextafter(t_far, t_near, dtype=np.float32)
+        return native_mod.tighten_occupancy(
+            o, d, k_enter_ray, k_count_ray, jitter,
+            float(t_near), float(t_far), float(dt), float(nudge),
+            int(k_max), lo, inv_ext, (nx, ny, nz), cell_empty)
+
     new_ke = k_enter_ray.copy()
     new_cnt = k_count_ray.copy()
     for start in range(0, n, block):

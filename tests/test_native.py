@@ -258,3 +258,52 @@ def test_native_build_schedule_byte_identical(monkeypatch):
         assert str(ta) == str(tb)
         for x, y in zip(la, lb):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_native_occupancy_tighten_byte_identical(monkeypatch):
+    """Occupancy-tightened schedules built by the native core and the
+    numpy reference are BIT-identical, leaf for leaf (SDF-shell field so
+    the window interior actually trims; both pitches; stratified jitter
+    and fixed midpoints). Covers native/dvren_native.cpp::
+    dvn_tighten_occupancy vs render/tiled.py::_tighten_windows_by_occupancy."""
+    import jax
+    import numpy as np
+    import pytest
+    from dvren_tpu import native
+    from dvren_tpu.core.plan import SamplingMode
+    from dvren_tpu import DenseGridConfig, DenseGridField
+    from dvren_tpu.render.pipeline import plan_jitter_table
+    from dvren_tpu.render.tiled import build_tiled_schedule
+    from tests.test_tiled import scene
+
+    if not native.available():
+        pytest.skip(f"native lib unavailable: {native.load_error()}")
+
+    rng = np.random.default_rng(5)
+    n = 16
+    zs, ys, xs = np.meshgrid(*([np.linspace(0, 1, n)] * 3), indexing="ij")
+    r = np.sqrt((xs - 0.5) ** 2 + (ys - 0.5) ** 2 + (zs - 0.5) ** 2)
+    sigma = np.where(np.abs(r - 0.33) < 0.08, 20.0, 0.0).astype(np.float32)
+    color = rng.uniform(0, 1, (n, n, n, 3)).astype(np.float32)
+
+    for mode in (SamplingMode.FIXED, SamplingMode.STRATIFIED):
+        plan, _ = scene(mode=mode)
+        field = DenseGridField.create(DenseGridConfig(
+            resolution=(n, n, n), sigma=sigma.reshape(-1),
+            color=color.reshape(-1)))
+        jitter = (plan_jitter_table(plan)
+                  if mode == SamplingMode.STRATIFIED else None)
+        for pitch in (1, 2):
+            monkeypatch.setenv("DVREN_NATIVE_SCHED", "1")
+            a = build_tiled_schedule(plan, field, jitter=jitter,
+                                     occupancy=True, pitch=pitch)
+            monkeypatch.setenv("DVREN_NATIVE_SCHED", "0")
+            b = build_tiled_schedule(plan, field, jitter=jitter,
+                                     occupancy=True, pitch=pitch)
+            la, ta = jax.tree.flatten(a)
+            lb, tb = jax.tree.flatten(b)
+            assert str(ta) == str(tb)
+            for x, y in zip(la, lb):
+                np.testing.assert_array_equal(
+                    np.asarray(x), np.asarray(y),
+                    err_msg=f"mode={mode} pitch={pitch}")
