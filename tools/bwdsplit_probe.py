@@ -72,6 +72,59 @@ def main():
                            iters=4) / KF
         log(f"relayout {name}: {s * 1e3:.2f} ms/frame")
 
+    # -- ct16_rows_to_table phase attribution ---------------------------
+    from dvren_tpu.ops import grid as grid_ops
+    gplan = sched.gather_plan
+    all_idx, meta, inv_map = gplan.all_idx, gplan.meta, gplan.inv_map
+    w = flat.shape[1]
+    ct16_0 = jax.jit(lambda tabs: jnp.concatenate(
+        [packed_transpose.banks_to_u16_rows(
+            c.reshape(-1, 32, MAX_CELLS)) for c in tabs]))(tabs)
+    log(f"ct16 rows={ct16_0.shape} all_idx={all_idx.shape} "
+        f"classes={[(n, c) for _, n, c in meta]}")
+
+    def ph_gather(scales, ct16, idx):
+        def one(carry, s):
+            src = jnp.concatenate(
+                [(ct16.astype(jnp.uint32) + s).astype(jnp.uint16),
+                 jnp.zeros((1, ct16.shape[1]), jnp.uint16)])
+            g16 = jnp.take(src, idx, axis=0, mode="clip")
+            return carry, g16[::997, 0].astype(jnp.uint32).sum()
+        return jax.lax.scan(one, jnp.uint32(0), scales)[1]
+
+    def ph_reduce(scales, ct16, idx):
+        def one(carry, s):
+            src = jnp.concatenate(
+                [(ct16.astype(jnp.uint32) + s).astype(jnp.uint16),
+                 jnp.zeros((1, ct16.shape[1]), jnp.uint16)])
+            g16 = jnp.take(src, idx, axis=0, mode="clip")
+            val_parts = [
+                grid_ops._u16_rows_to_f32(
+                    g16[off:off + n_k * c_k], w).reshape(
+                        n_k, c_k, w).sum(axis=1)
+                for off, n_k, c_k in meta]
+            vals = jnp.concatenate(val_parts)
+            return carry, vals[::997, 0].sum()
+        return jax.lax.scan(one, jnp.float32(0), scales)[1]
+
+    def ph_full(scales, ct16, idx):
+        def one(carry, s):
+            src = (ct16.astype(jnp.uint32) + s).astype(jnp.uint16)
+            d = tiled_mod.ct16_rows_to_table(src, idx, meta, inv_map, w)
+            return carry, d[::513, 0].sum()
+        return jax.lax.scan(one, jnp.float32(0), scales)[1]
+
+    iscales = jnp.arange(KF, dtype=jnp.uint32)
+    for name, fn in (("gather", ph_gather), ("gather+reduce", ph_reduce),
+                     ("rows_to_table", ph_full)):
+        t0 = time.perf_counter()
+        c = jax.jit(fn).lower(iscales, ct16_0, all_idx).compile()
+        log(f"phase {name}: compile {time.perf_counter() - t0:.1f}s")
+        s = _time_compiled(c, [(iscales, ct16_0, all_idx),
+                               (iscales + 7, ct16_0, all_idx)],
+                           iters=4) / KF
+        log(f"phase {name}: {s * 1e3:.2f} ms")
+
     # -- full VJP (d(tabs) -> d(flat table)), both strategies -----------
     def vjp_fn(scales, tabs, flat_t, gmap, gplan):
         # flat table / maps / plan travel as ARGUMENTS (closure constants
