@@ -328,37 +328,14 @@ def _build_fullpitch_fwd(sigma, color, dtype_name):
 
 def _build_fullpitch_bwd(dtype_name, res, ct):
     """Adjoint: transpose back to column-major in the Pallas kernel, then
-    32 one-dimensional offset-slice adds (the exact adjoint of the
-    shift-stack slices)."""
+    32 STATICALLY padded shifted adds (the exact adjoint of the
+    shift-stack slices; the previous .at[off:].add chain emitted 32
+    serialized window scatters)."""
     from dvren_tpu.ops import packed_transpose
 
     sigma_shape, color_shape = res
-    z, y, x = sigma_shape
-    p = z * y * x
-    n_rows = ct.shape[0]
-    pad = n_rows - p + y * x + x + 2
     t = packed_transpose.rows_to_stack(ct.astype(jnp.float32))  # (32, R)
-    d_planes = []
-    i = 0
-    for _ in range(4):
-        # Sum of 8 STATICALLY padded shifts: each corner's cotangent row
-        # lands at [off, off + n_rows) of the (p + pad)-long plane. The
-        # previous .at[off:].add chain emitted 32 SERIALIZED window
-        # scatters (each pass reads+writes the full accumulator); static
-        # pads fuse with the add into one parallel elementwise pass.
-        shifted = []
-        for dz in (0, 1):
-            for dy in (0, 1):
-                for dx in (0, 1):
-                    off = dz * y * x + dy * x + dx
-                    shifted.append(jnp.pad(
-                        t[i], (off, p + pad - n_rows - off)))
-                    i += 1
-        d_planes.append(sum(shifted)[:p])
-    d_sigma = d_planes[0].reshape(sigma_shape)
-    d_color = jnp.stack([d.reshape(sigma_shape) for d in d_planes[1:]],
-                        axis=-1)
-    return d_sigma, d_color
+    return stack_plane_grads(t, sigma_shape)
 
 
 _build_fullpitch.defvjp(_build_fullpitch_fwd, _build_fullpitch_bwd)
@@ -382,6 +359,50 @@ def build_packed_stencil_fullpitch(sigma: jnp.ndarray, color: jnp.ndarray,
     (eval_packed_trilinear) keep :func:`build_packed_stencil_chmajor`.
     """
     return _build_fullpitch(sigma, color, jnp.dtype(dtype).name)
+
+
+def build_packed_table16(sigma: jnp.ndarray,
+                         color: jnp.ndarray) -> jnp.ndarray:
+    """Full-pitch packed stencil DIRECTLY in u16 split-row form:
+    (R, 64) u16 with row v = [hi16 of the 32 f32 stencil values | lo16]
+    == _split_u16(build_packed_stencil_fullpitch(sigma, color)) bit for
+    bit, without ever materializing the (R, 32) f32 table (whose minor
+    dim of 32 lane-pads to 128 in XLA:TPU layout - 4x the HBM bytes per
+    write/read; the u16 rows pad 2x). NOT differentiable (integer
+    output) - the tiled path wraps it in a params->banks custom VJP
+    (render/tiled.py::bank_tables_from_params)."""
+    from dvren_tpu.ops import packed_transpose
+
+    n_rows = fullpitch_rows(sigma.shape)
+    stack = _shift_stack_fullpitch(sigma, color, n_rows)
+    return packed_transpose.stack_to_u16_rows(stack)
+
+
+def stack_plane_grads(t: jnp.ndarray, sigma_shape) -> tuple:
+    """(32, R) f32 stack cotangent -> (d_sigma, d_color): 32 statically
+    padded shifted adds, the exact adjoint of _shift_stack_fullpitch's
+    offset slices (shared by _build_fullpitch_bwd and the tiled path's
+    params->banks backward)."""
+    z, y, x = sigma_shape
+    p = z * y * x
+    n_rows = t.shape[1]
+    pad = n_rows - p + y * x + x + 2
+    d_planes = []
+    i = 0
+    for _ in range(4):
+        shifted = []
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    off = dz * y * x + dy * x + dx
+                    shifted.append(jnp.pad(
+                        t[i], (off, p + pad - n_rows - off)))
+                    i += 1
+        d_planes.append(sum(shifted)[:p])
+    d_sigma = d_planes[0].reshape(sigma_shape)
+    d_color = jnp.stack(
+        [d.reshape(sigma_shape) for d in d_planes[1:]], axis=-1)
+    return d_sigma, d_color
 
 
 def _split_u16(table: jnp.ndarray) -> jnp.ndarray:

@@ -78,6 +78,75 @@ def rows_to_stack(rows: jnp.ndarray, interpret: bool | None = None):
     )(rows)
 
 
+def _t_split_kernel(i_ref, o_ref):
+    bits = pltpu.bitcast(i_ref[...], jnp.uint32)          # (32, BLOCK)
+    bt = bits.T                                           # (BLOCK, 32)
+    hi = (bt >> jnp.uint32(16)).astype(jnp.uint16)
+    lo = (bt & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+    o_ref[...] = jnp.concatenate([hi, lo], axis=1)        # (BLOCK, 64)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def stack_to_u16_rows(stack: jnp.ndarray, interpret: bool | None = None):
+    """(32, P) f32 column-major shift stack -> (P, 64) u16 split rows
+    (row v = [hi16 of the 32 channels | lo16], the exact layout
+    ops/grid.py::_split_u16 produces from the (P, 32) f32 table).
+
+    Fuses :func:`stack_to_rows` with the per-frame u16 split: the f32
+    (P, 32) table never exists. That matters beyond saving a pass - a
+    minor dim of 32 pads to 128 lanes in XLA:TPU's tiled layout, so the
+    f32 table costs 4x its logical bytes on every HBM write/read; the
+    u16 rows (minor 64) cost 2x. Bit-exact (integer plumbing on the same
+    f32 values).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    n = stack.shape[1]
+    assert n % _BLOCK == 0, n
+    assert stack.dtype == jnp.float32, stack.dtype
+    return pl.pallas_call(
+        _t_split_kernel,
+        grid=(n // _BLOCK,),
+        in_specs=[pl.BlockSpec((32, _BLOCK), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((_BLOCK, 64), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, 64), jnp.uint16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(stack)
+
+
+def _t_merge_kernel(i_ref, o_ref):
+    rows = i_ref[...]                                     # (BLOCK, 64)
+    hi = rows[:, :32].astype(jnp.uint32) << jnp.uint32(16)
+    lo = rows[:, 32:].astype(jnp.uint32)
+    o_ref[...] = pltpu.bitcast(hi | lo, jnp.float32).T    # (32, BLOCK)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def u16_rows_to_stack(rows: jnp.ndarray, interpret: bool | None = None):
+    """(P, 64) u16 split rows -> (32, P) f32 stack: the adjoint-side
+    counterpart of :func:`stack_to_u16_rows` (recombine + transpose in
+    one VMEM pass), consuming the backward's table cotangent directly in
+    its u16 row form - the lane-padded f32 (P, 32) cotangent (4x bytes)
+    never materializes. Bit-exact."""
+    if interpret is None:
+        interpret = _interpret_default()
+    n = rows.shape[0]
+    assert n % _BLOCK == 0, n
+    assert rows.dtype == jnp.uint16, rows.dtype
+    return pl.pallas_call(
+        _t_merge_kernel,
+        grid=(n // _BLOCK,),
+        in_specs=[pl.BlockSpec((_BLOCK, 64), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((32, _BLOCK), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((32, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(rows)
+
+
 _CB = 8  # bank blocks per grid step: (8, 32, 128) f32 in + u16 out = 256 KB
 
 

@@ -1073,8 +1073,17 @@ def _gather_bank_tables(table, gathermap_all, plan, static):
       rows/s), ~10x slower than this gather-transpose.
 
     ``group_shapes``: static tuple of (n_tiles, banks) per group."""
-    pitch, group_shapes = static
     t16 = grid_ops._split_u16(table)                  # (rows, 64) u16
+    return _t16_to_banks(t16, gathermap_all, static)
+
+
+def _t16_to_banks(t16, gathermap_all, static):
+    """(rows, 64) u16 split table -> per-group bank blocks
+    ((T, NB, 32, 128) f32 tuple): the gather+assembly shared by
+    :func:`_gather_bank_tables` (f32 table in) and
+    :func:`bank_tables_from_params` (u16 table straight from the fused
+    build - the lane-padded f32 table never exists)."""
+    pitch, group_shapes = static
     if pitch == 2:
         # (rows//2, 128): row j = cells 2j | 2j+1, each [hi(32) lo(32)].
         # Table row counts are even by construction (fullpitch_rows is a
@@ -1112,31 +1121,9 @@ def _gather_bank_tables_fwd(table, gathermap_all, plan, static):
 
 def _gather_bank_tables_bwd(static, res, cts):
     plan, tshape = res
-    all_idx, meta, inv_map = plan.all_idx, plan.meta, plan.inv_map
-    w = tshape[1]
-    blocks = [c.reshape(-1, 32, MAX_CELLS) for c in cts]
-    if (BWD_SPLIT == "pallas"
-            and all(b.shape[0] % 8 == 0 for b in blocks)):
-        # One blockwise VMEM pass per group: bitcast + 32-bit transpose
-        # + u16 halves, each byte read and written once (and no f32
-        # concat pass - groups convert independently). Group tile counts
-        # are padded to multiples of 8, so per-group B = tiles * banks
-        # always satisfies the kernel's block quantum.
-        from dvren_tpu.ops import packed_transpose
-        ct16 = jnp.concatenate(
-            [packed_transpose.banks_to_u16_rows(b) for b in blocks])
-    else:
-        ct = jnp.concatenate(blocks)                  # (B, 32, 128)
-        # f32 (B, 32, 128) -> u16 (B, 64, 128) -> lanes-major (S, 64),
-        # all dense; the f32 reconstruct happens inside the per-class
-        # reduction (fused into the sum - no padded (S, w)
-        # materialization).
-        bits = jax.lax.bitcast_convert_type(ct, jnp.uint32)
-        ct16 = jnp.concatenate(
-            [(bits >> 16).astype(jnp.uint16),
-             (bits & jnp.uint32(0xFFFF)).astype(jnp.uint16)], axis=1)
-        ct16 = jnp.swapaxes(ct16, 1, 2).reshape(-1, 64)   # (S, 64) u16
-    return (ct16_rows_to_table(ct16, all_idx, meta, inv_map, w),
+    ct16 = _cts_to_ct16(cts)
+    return (ct16_rows_to_table(ct16, plan.all_idx, plan.meta,
+                               plan.inv_map, tshape[1]),
             None, None)
 
 
@@ -1151,6 +1138,39 @@ def ct16_rows_to_table(ct16, all_idx, meta, inv_map, w):
     row is appended so pads contribute exact zeros (the sharded plans'
     union-padded classes use this; single-chip plans have no pads and
     the appended row is never referenced)."""
+    return grid_ops._u16_rows_to_f32(
+        ct16_rows_to_table16(ct16, all_idx, meta, inv_map, w), w)
+
+
+_gather_bank_tables.defvjp(_gather_bank_tables_fwd,
+                           _gather_bank_tables_bwd)
+
+
+def _cts_to_ct16(cts):
+    """Per-group bank cotangents -> (S, 64) u16 slot rows (the
+    BWD_SPLIT-selected relayout shared by both table backwards)."""
+    blocks = [c.reshape(-1, 32, MAX_CELLS) for c in cts]
+    if (BWD_SPLIT == "pallas"
+            and all(b.shape[0] % 8 == 0 for b in blocks)):
+        from dvren_tpu.ops import packed_transpose
+        return jnp.concatenate(
+            [packed_transpose.banks_to_u16_rows(b) for b in blocks])
+    ct = jnp.concatenate(blocks)                      # (B, 32, 128)
+    bits = jax.lax.bitcast_convert_type(ct, jnp.uint32)
+    ct16 = jnp.concatenate(
+        [(bits >> 16).astype(jnp.uint16),
+         (bits & jnp.uint32(0xFFFF)).astype(jnp.uint16)], axis=1)
+    return jnp.swapaxes(ct16, 1, 2).reshape(-1, 64)   # (S, 64) u16
+
+
+def ct16_rows_to_table16(ct16, all_idx, meta, inv_map, w):
+    """:func:`ct16_rows_to_table` stopping at the u16 split rows: the
+    planned gather-transpose's class reductions and inverse-permutation
+    assembly, WITHOUT the final hi|lo recombine - returns the full table
+    gradient as (n_cells, 2w) u16 rows, bit-exactly _split_u16 of the
+    f32 result. Consumers that can read the split form directly (the
+    params->banks backward's u16_rows_to_stack kernel) skip the
+    lane-padded (n_cells, w) f32 materialization (4x bytes)."""
     ct16 = jnp.concatenate(
         [ct16, jnp.zeros((1, ct16.shape[1]), jnp.uint16)])
     g16 = jnp.take(ct16, all_idx, axis=0, mode="clip")
@@ -1161,12 +1181,86 @@ def ct16_rows_to_table(ct16, all_idx, meta, inv_map, w):
     vals = jnp.concatenate(
         val_parts + [jnp.zeros((1, w), jnp.float32)])
     v16 = grid_ops._split_u16(vals)
-    return grid_ops._u16_rows_to_f32(
-        jnp.take(v16, inv_map, axis=0, mode="clip"), w)
+    return jnp.take(v16, inv_map, axis=0, mode="clip")
 
 
-_gather_bank_tables.defvjp(_gather_bank_tables_fwd,
-                           _gather_bank_tables_bwd)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def bank_tables_from_params(sigma, color, gathermap_all, plan, static):
+    """Dense-grid params -> per-group kernel bank tables in ONE
+    differentiable op, with every intermediate held in u16 split-row
+    form (minor dim 64, 2x lane padding) instead of the (R, 32) f32
+    table (minor dim 32, 4x padding):
+
+    forward: fused shift-stack -> u16-rows Pallas build
+    (ops/grid.py::build_packed_table16) then the planned bank gather
+    (:func:`_t16_to_banks`) - the f32 table of the two-op chain
+    (build_packed_stencil_fullpitch + _gather_bank_tables) never touches
+    HBM. backward: bank cotangents -> u16 slot-row relayout -> planned
+    class reductions -> u16 table-gradient assembly
+    (:func:`ct16_rows_to_table16`) -> fused recombine+transpose kernel
+    (ops/packed_transpose.py::u16_rows_to_stack) -> the 32 shifted
+    plane adds (ops/grid.py::stack_plane_grads). Both directions are
+    bit-identical to the two-op chain (pure integer plumbing over the
+    same f32 values; tests/test_tiled.py).
+
+    u16 hops never cross an AD boundary (uint cotangents are float0),
+    which is why this must be one custom_vjp and not a composition."""
+    t16 = grid_ops.build_packed_table16(sigma, color)
+    return _t16_to_banks(t16, gathermap_all, static)
+
+
+def _bank_tables_from_params_fwd(sigma, color, gathermap_all, plan,
+                                 static):
+    return (bank_tables_from_params(sigma, color, gathermap_all, plan,
+                                    static),
+            (plan, sigma.shape))
+
+
+def _bank_tables_from_params_bwd(static, res, cts):
+    from dvren_tpu.ops import packed_transpose
+
+    plan, sigma_shape = res
+    ct16 = _cts_to_ct16(cts)
+    d16 = ct16_rows_to_table16(ct16, plan.all_idx, plan.meta,
+                               plan.inv_map, 32)
+    t = packed_transpose.u16_rows_to_stack(d16)       # (32, R) f32
+    d_sigma, d_color = grid_ops.stack_plane_grads(t, sigma_shape)
+    return d_sigma, d_color, None, None
+
+
+bank_tables_from_params.defvjp(_bank_tables_from_params_fwd,
+                               _bank_tables_from_params_bwd)
+
+
+def _dense_f32_route(field, sched) -> bool:
+    """True when the schedule's planned bank gather can run the fused
+    params->banks route (dense f32 grid; sparse bricks and bf16/f16
+    tables keep the flat-table chain)."""
+    return (sched.table_kind == "dense"
+            and getattr(field, "packed_dtype", "float32") == "float32"
+            and sched.gather_plan is not None
+            and bool(sched.hostmap_all.size))
+
+
+def _planned_bank_tables(field, sched, packed_flat):
+    """The all-group planned bank-table gather: the fused params route
+    for dense f32 fields, the flat-table gather otherwise, or None when
+    the schedule has no gather plan (callers fall back to per-group
+    row gathers)."""
+    static = (sched.pitch,
+              tuple((g.n_tiles, g.banks) for g in sched.groups))
+    if _dense_f32_route(field, sched):
+        check(tuple(int(v) for v in np.asarray(field.sigma.shape[:3]))
+              == tuple(sched.grid_shape),
+              "schedule was built for a different grid resolution")
+        return bank_tables_from_params(
+            field.sigma, field.color, sched.gathermap_all,
+            sched.gather_plan, static)
+    if (packed_flat is not None and packed_flat.dtype == jnp.float32
+            and sched.gather_plan is not None and sched.hostmap_all.size):
+        return _gather_bank_tables(packed_flat, sched.gathermap_all,
+                                   sched.gather_plan, static)
+    return None
 
 
 def _schedule_table(field, schedule: "TiledSchedule") -> jnp.ndarray:
@@ -1336,7 +1430,12 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
     check(getattr(field, "oob", OobPolicy.ZERO) == OobPolicy.ZERO,
           "tiled rendering requires an OOB_ZERO field")
 
-    packed_flat = _schedule_table(field, schedule)
+    # Dense f32 fields route params -> bank tables through the fused u16
+    # custom VJP (no (R, 32) f32 table in HBM); every other combination
+    # (sparse bricks, bf16/f16 tables, empty plans) builds the flat
+    # table. The fused route is bit-identical to the two-op chain.
+    dense_f32 = use_kernel and _dense_f32_route(field, schedule)
+    packed_flat = None if dense_f32 else _schedule_table(field, schedule)
 
     geom = (schedule.bbox[0], schedule.bbox[1], schedule.grid_shape)
     with_cam = k is not None or c2w is not None
@@ -1356,14 +1455,7 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
         # One planned gather for all groups, emitted directly in the
         # kernel's bank-block layout (the plan's gather-transpose backward
         # replaces the slow scatter-add).
-        group_tabs = None
-        if (packed_flat.dtype == jnp.float32
-                and schedule.gather_plan is not None
-                and schedule.hostmap_all.size):
-            group_tabs = _gather_bank_tables(
-                packed_flat, schedule.gathermap_all, schedule.gather_plan,
-                (schedule.pitch,
-                 tuple((g.n_tiles, g.banks) for g in schedule.groups)))
+        group_tabs = _planned_bank_tables(field, schedule, packed_flat)
 
         traced_rays = None
         if with_cam:
@@ -1545,21 +1637,15 @@ def render_tiled_stack(plan: Plan, field, merged: MergedViewSchedule,
           and tuple(float(v) for v in field.bbox_max)
           == tuple(sched.bbox[1]),
           "merged schedule was built for a different field bbox")
-    packed_flat = _schedule_table(field, sched)
+    dense_f32 = use_kernel and _dense_f32_route(field, sched)
+    packed_flat = None if dense_f32 else _schedule_table(field, sched)
     geom = (sched.bbox[0], sched.bbox[1], sched.grid_shape)
     subs = (16 // sched.tile_px) ** 2
 
     if use_kernel:
         from dvren_tpu.ops import fused_tiles
 
-        group_tabs = None
-        if (packed_flat.dtype == jnp.float32
-                and sched.gather_plan is not None
-                and sched.hostmap_all.size):
-            group_tabs = _gather_bank_tables(
-                packed_flat, sched.gathermap_all, sched.gather_plan,
-                (sched.pitch,
-                 tuple((g.n_tiles, g.banks) for g in sched.groups)))
+        group_tabs = _planned_bank_tables(field, sched, packed_flat)
         raws = []
         for gi, group in enumerate(sched.groups):
             tabs = (group_tabs[gi] if group_tabs is not None
@@ -1645,16 +1731,15 @@ def render_tiled_phases(plan: Plan, schedule: TiledSchedule,
     geom = (schedule.bbox[0], schedule.bbox[1], schedule.grid_shape)
 
     def tables_fn(field):
-        packed_flat = _schedule_table(field, schedule)
-        if (packed_flat.dtype == jnp.float32
-                and schedule.gather_plan is not None
-                and schedule.hostmap_all.size):
-            return _gather_bank_tables(
-                packed_flat, schedule.gathermap_all, schedule.gather_plan,
-                (schedule.pitch,
-                 tuple((g.n_tiles, g.banks) for g in schedule.groups)))
-        return tuple(_group_tables(packed_flat, g)
-                     for g in schedule.groups)
+        if _dense_f32_route(field, schedule):
+            tabs = _planned_bank_tables(field, schedule, None)
+        else:
+            packed_flat = _schedule_table(field, schedule)
+            tabs = _planned_bank_tables(field, schedule, packed_flat)
+            if tabs is None:
+                tabs = tuple(_group_tables(packed_flat, g)
+                             for g in schedule.groups)
+        return tabs
 
     def kernel_fn(tabs):
         from dvren_tpu.ops import fused_tiles

@@ -516,6 +516,71 @@ def test_bwd_split_pallas_bit_identical(monkeypatch):
     np.testing.assert_array_equal(np.asarray(g_xla[1]), np.asarray(g_pal[1]))
 
 
+def test_params_to_banks_fused_bit_identical():
+    """The fused params -> bank-tables custom VJP
+    (render/tiled.py::bank_tables_from_params - the dense-f32 production
+    route, which never materializes the lane-padded (R, 32) f32 table)
+    must match the two-op chain (build_packed_stencil_fullpitch +
+    _gather_bank_tables) BITWISE: forward bank tables AND d_sigma /
+    d_color, at both gather pitches."""
+    from dvren_tpu.ops import grid as grid_ops
+    from dvren_tpu.render import tiled as tiled_mod
+
+    plan, field = scene(mode=SamplingMode.STRATIFIED)
+    jitter = plan_jitter_table(plan)
+    params = (field.sigma, field.color)
+    for pitch in (1, 2):
+        sched = build_tiled_schedule(plan, field, jitter=jitter,
+                                     pitch=pitch)
+        static = (sched.pitch,
+                  tuple((g.n_tiles, g.banks) for g in sched.groups))
+
+        def tabs_new(p):
+            return tiled_mod.bank_tables_from_params(
+                p[0], p[1], sched.gathermap_all, sched.gather_plan,
+                static)
+
+        def tabs_old(p):
+            flat = grid_ops.build_packed_stencil_fullpitch(p[0], p[1])
+            return tiled_mod._gather_bank_tables(
+                flat, sched.gathermap_all, sched.gather_plan, static)
+
+        for a, b in zip(tabs_new(params), tabs_old(params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        g_new = jax.grad(lambda p: sum((x ** 2).sum()
+                                       for x in tabs_new(p)))(params)
+        g_old = jax.grad(lambda p: sum((x ** 2).sum()
+                                       for x in tabs_old(p)))(params)
+        np.testing.assert_array_equal(np.asarray(g_new[0]),
+                                      np.asarray(g_old[0]))
+        np.testing.assert_array_equal(np.asarray(g_new[1]),
+                                      np.asarray(g_old[1]))
+
+
+def test_u16_transpose_kernels_bit_exact():
+    """stack_to_u16_rows == _split_u16(stack_to_rows(.)) and
+    u16_rows_to_stack == rows_to_stack(_u16_rows_to_f32(.)) - the fused
+    build/adjoint kernels are pure integer plumbing."""
+    from dvren_tpu.ops import grid as grid_ops
+    from dvren_tpu.ops import packed_transpose as pt
+
+    rng = np.random.default_rng(11)
+    stack = jnp.asarray(
+        rng.standard_normal((32, 4096)).astype(np.float32) * 100.0)
+    fused = pt.stack_to_u16_rows(stack)
+    ref = grid_ops._split_u16(pt.stack_to_rows(stack))
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+    rows = jnp.asarray(
+        rng.integers(0, 2 ** 16, (4096, 64)).astype(np.uint16))
+    back = pt.u16_rows_to_stack(rows)
+    ref_b = pt.rows_to_stack(grid_ops._u16_rows_to_f32(rows, 32))
+    # compare bit patterns (random u16 halves can form NaN payloads)
+    np.testing.assert_array_equal(np.asarray(back).view(np.uint32),
+                                  np.asarray(ref_b).view(np.uint32))
+
+
 def test_merged_views_fallback_uses_view_camera():
     """A view whose tiles overflow the slot tables carries a windowed
     FALLBACK whose rays are regenerated at render time - they must use
