@@ -30,13 +30,18 @@ device kernel plus CUDA-Graph steady state (role models:
    ``processed`` is a prefix mask, so they map onto tiny MXU matmuls with
    group-structure masks: out = x @ M with M[l', l] = [same 8-lane ray
    group and l' < l] (exclusive prefix) or [same group] (broadcast sum),
-   at HIGHEST precision (Mosaic supports only DEFAULT - a single
-   f32-truncating bf16 pass, ~1e-3 error - and HIGHEST in-kernel).
-   Ablations kept behind ``reduce=``: "mxu3" (3-pass bf16-split mask
-   matmuls, exact) and "roll" (VPU butterfly) - both measured at or below
-   parity with HIGHEST on v5e because the kernel is DMA-bound, not
-   MXU-bound. Early termination is exact: T_final = exp(-sum of
-   processed od).
+   The production scheme is "mxu3": 3-pass bf16-split mask matmuls -
+   the 0/1 masks are exact in bf16 and the data side splits into three
+   bf16 components whose partial products are exact, re-added in f32
+   (<= 1 ulp reassociation vs HIGHEST; Mosaic supports only DEFAULT - a
+   single f32-truncating bf16 pass, ~1e-3 error - and HIGHEST in-kernel,
+   and HIGHEST costs 6 MXU passes vs mxu3's 3). Measured on the REAL
+   train step (tools/reduce_ablate.py - the earlier kernel-only ablation
+   consumed one group's gradient and XLA dead-code-eliminated the rest):
+   mxu3 fwd+bwd 36.3 ms vs HIGHEST's 44.1 at the headline config; the
+   forward alone is DMA-bound so both tie there. Ablations kept behind
+   ``reduce=``: "mxu" (HIGHEST mask matmuls) and "roll" (VPU butterfly).
+   Early termination is exact: T_final = exp(-sum of processed od).
 
 The backward is a custom VJP (no residuals beyond the inputs): pass 1
 re-runs the gather+interpolation storing per-chunk planes and prefix
@@ -94,8 +99,10 @@ def _group_matrices():
 # Mosaic; Precision.HIGH raises NotImplementedError.
 _MASK_PRECISION = jax.lax.Precision.HIGHEST
 
-# Production group-reduction strategy (tools/kernel_ablate.py picks it).
-DEFAULT_REDUCE = "mxu"
+# Production group-reduction strategy (tools/reduce_ablate.py picks it on
+# the real fwd+bwd step: mxu3 36.3 ms vs mxu 44.1 at the headline config;
+# both are exact-product schemes differing only in f32 reassociation).
+DEFAULT_REDUCE = "mxu3"
 
 
 def _mask_dot(x, m):
@@ -184,7 +191,8 @@ def _group_sum_roll(x):
 
 
 class _MxuReduce:
-    """Group reductions on the MXU (the production default)."""
+    """Group reductions as HIGHEST-precision mask matmuls (ablation;
+    exact, but 6 MXU passes where _Mxu3Reduce spends 3)."""
 
     onehot_dtype = jnp.float32
     scatter_dot = staticmethod(_scatter_dot_hi)
@@ -211,7 +219,8 @@ class _MxuReduce:
 
 class _Mxu3Reduce:
     """Group reductions as 3-pass bf16-split mask matmuls (see
-    :func:`_mask_dot3`): same sums as HIGHEST at half the MXU passes."""
+    :func:`_mask_dot3`): same sums as HIGHEST at half the MXU passes
+    (the production default; tools/reduce_ablate.py)."""
 
     onehot_dtype = jnp.bfloat16
     scatter_dot = staticmethod(_scatter_dot3)
@@ -693,29 +702,32 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
             wp = [w8[corner] * dplanes[ch]
                   for ch in range(4) for corner in range(8)]
 
-            slot = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+            slot = jax.lax.broadcasted_iota(jnp.int32,
+                                            (2 * LANES, LANES), 0)
             rps = ROWS // subs
             for s2 in range(subs):
-                d0 = jnp.zeros((NCH, LANES), jnp.float32)
-                d1 = jnp.zeros((NCH, LANES), jnp.float32)
+                d01 = jnp.zeros((NCH, 2 * LANES), jnp.float32)
                 for r in range(s2 * rps, (s2 + 1) * rps):
                     d_cr = jnp.concatenate(
                         [p[r:r + 1, :] for p in wp], axis=0)  # (32, 128)
-                    # one-hot oh[s, l] = [idx2[r, l] == s (+128 bank 1)];
-                    # contract both on lanes: d[ch, s] = sum_l d_cr * oh
+                    # one-hot oh[s, l] = [idx2[r, l] == s], s spanning
+                    # BOTH banks (s >= 128 = bank 1); contract on lanes:
+                    # d[ch, s] = sum_l d_cr * oh. One 256-slot matmul
+                    # replaces the earlier per-bank pair - same partial
+                    # products and add order per output column
+                    # (bit-identical), half the MXU issues and ONE
+                    # bf16 3-split of d_cr per row instead of two.
                     lrow = jnp.broadcast_to(idx2[r:r + 1, :],
-                                            (LANES, LANES))
-                    oh0 = (slot == lrow).astype(red.onehot_dtype)
-                    oh1 = (slot + LANES == lrow).astype(red.onehot_dtype)
-                    d0 = d0 + red.scatter_dot(d_cr, oh0)
-                    d1 = d1 + red.scatter_dot(d_cr, oh1)
+                                            (2 * LANES, LANES))
+                    oh = (slot == lrow).astype(red.onehot_dtype)
+                    d01 = d01 + red.scatter_dot(d_cr, oh)
                 # In-place bank accumulation into the sub-tile's window;
                 # when a window clamps (b1 == b0) no idx2 reaches bank-1
-                # slots, so its d1 is exactly zero.
+                # slots, so the second half of d01 is exactly zero.
                 b0 = w2.b0s[s2]
                 b1 = jnp.minimum(b0 + 1, nb - 1)
-                dtabs_ref[g, b0] = dtabs_ref[g, b0] + d0
-                dtabs_ref[g, b1] = dtabs_ref[g, b1] + d1
+                dtabs_ref[g, b0] = dtabs_ref[g, b0] + d01[:, :LANES]
+                dtabs_ref[g, b1] = dtabs_ref[g, b1] + d01[:, LANES:]
 
             if cam:
                 # Camera adjoint: dL/d(trilinear fraction) per axis from

@@ -1174,13 +1174,21 @@ def ct16_rows_to_table16(ct16, all_idx, meta, inv_map, w):
     ct16 = jnp.concatenate(
         [ct16, jnp.zeros((1, ct16.shape[1]), jnp.uint16)])
     g16 = jnp.take(ct16, all_idx, axis=0, mode="clip")
-    val_parts = [
-        grid_ops._u16_rows_to_f32(
+    parts16 = []
+    for off, n_k, c_k in meta:
+        if c_k == 1:
+            # Singleton classes need no reduction: the slot row IS the
+            # cell gradient, and _split_u16(_u16_rows_to_f32(x)) == x
+            # exactly, so the f32 roundtrip (and its 4x-lane-padded
+            # HBM pass) is skipped - ~31% of scheduled cells at the
+            # headline config sit in this class.
+            parts16.append(g16[off:off + n_k])
+            continue
+        vals = grid_ops._u16_rows_to_f32(
             g16[off:off + n_k * c_k], w).reshape(n_k, c_k, w).sum(axis=1)
-        for off, n_k, c_k in meta]
-    vals = jnp.concatenate(
-        val_parts + [jnp.zeros((1, w), jnp.float32)])
-    v16 = grid_ops._split_u16(vals)
+        parts16.append(grid_ops._split_u16(vals))
+    parts16.append(jnp.zeros((1, ct16.shape[1]), jnp.uint16))
+    v16 = jnp.concatenate(parts16)
     return jnp.take(v16, inv_map, axis=0, mode="clip")
 
 
