@@ -49,6 +49,9 @@ class FitResult:
     first_step_s: float = 0.0    # includes jit compile / cache load
     steady_step_ms: float = 0.0  # mean of the remaining steps
     reached_target: bool = False
+    mode: str = ""               # schedule mode actually used (auto may
+    #                              demote tiled -> windowed on table
+    #                              economy; see fit_dense_grid)
 
 
 def mse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
@@ -138,7 +141,7 @@ def _scheduled_views(plan: Plan, cameras: Sequence[CameraConfig], field,
 
 def make_train_step_scheduled(plan: Plan, cameras: Sequence[CameraConfig],
                               field, optimizer, mode: str = "tiled",
-                              sigma_min: float = 0.0):
+                              sigma_min: float = 0.0, views=None):
     """Fast-path training step: per-view host-built schedules (built once,
     replayed every step - the capture-specialization model), one compiled
     executable for the whole multi-view step.
@@ -149,8 +152,8 @@ def make_train_step_scheduled(plan: Plan, cameras: Sequence[CameraConfig],
     on the field's bbox + resolution only, so they stay valid across
     parameter updates.
     """
-    plans, scheds, render_stack = _scheduled_views(plan, cameras, field,
-                                                   mode)
+    plans, scheds, render_stack = views or _scheduled_views(
+        plan, cameras, field, mode)
 
     def loss_fn(params, field, targets, scheds):
         f = field.with_params(*params) if isinstance(params, tuple) \
@@ -281,15 +284,40 @@ def fit_dense_grid(plan: Plan, field, cameras: Sequence[CameraConfig],
     optimizer = optax.adam(config.learning_rate)
     params = (field.sigma, field.color)
     opt_state = optimizer.init(params)
-    if mode is None:
+    auto = mode is None
+    if auto:
         mode = scheduled_mode_for(field) or "plain"
+    views = None
+    if mode in ("tiled", "windowed"):
+        views = _scheduled_views(plan, cameras, field, mode)
+    if auto and mode == "tiled":
+        # Table-economy check: training views are often COARSE relative
+        # to the grid (e.g. 96^2 views of 64^3 = ~1.5 px/cell), where the
+        # auto cascade lands on 4px sub-tiles and the table economy
+        # collapses (the fit flagship schedules 2.65M table slots for
+        # 74k rays - 36 slots/ray vs 2.5 at the 512^2/64^3 headline).
+        # Each slot costs ~5 x 128B of HBM traffic per train step
+        # (gather write, fwd read, bwd read, d(tabs) write, relayout
+        # read) vs one gathered row + recompute per lattice sample on
+        # the windowed path, AND the merged tiled step's ~15 kernel
+        # variants cost ~2 min of client trace/lowering per process
+        # (not covered by the XLA compile cache). Measured at the fit
+        # flagship: tiled 123 s to PSNR 35 vs windowed 43 s with steady
+        # steps at parity (155 vs 168 ms). Prefer windowed when slot
+        # traffic rivals the full lattice; explicit mode= overrides.
+        slots = sum(g.n_tiles * g.banks * 128
+                    for g in views[1].sched.groups)
+        lattice = sum(int(p.ray_count) * int(p.sampling.max_steps)
+                      for p in views[0])
+        if 3 * slots > lattice:
+            mode = "windowed"
+            views = _scheduled_views(plan, cameras, field, mode)
     k = max(int(config.sync_every), 1)
     if mode == "plain":
         k = 1
         step = make_train_step(plan, cameras, optimizer,
                                sigma_min=config.sigma_min)
     elif k > 1:
-        views = _scheduled_views(plan, cameras, field, mode)
         step = make_train_block_scheduled(plan, cameras, field, optimizer,
                                           k, mode=mode,
                                           sigma_min=config.sigma_min,
@@ -297,10 +325,11 @@ def fit_dense_grid(plan: Plan, field, cameras: Sequence[CameraConfig],
     else:
         step = make_train_step_scheduled(plan, cameras, field, optimizer,
                                          mode=mode,
-                                         sigma_min=config.sigma_min)
+                                         sigma_min=config.sigma_min,
+                                         views=views)
     targets = jnp.asarray(targets, jnp.float32)
 
-    result = FitResult(field=field)
+    result = FitResult(field=field, mode=mode)
     t0 = time.perf_counter()
     # Run EXACTLY config.steps optimizer steps: full k-step blocks plus
     # one remainder block (its own compiled executable - scan length is

@@ -30,6 +30,9 @@ def main() -> int:
     parser.add_argument("--max-steps", type=int, default=2000)
     parser.add_argument("--lr", type=float, default=5e-2)
     parser.add_argument("--sync-every", type=int, default=8)
+    parser.add_argument("--mode", default=None,
+                        choices=(None, "tiled", "windowed", "plain"),
+                        help="schedule mode override (default: auto)")
     args = parser.parse_args()
 
     import numpy as np
@@ -86,7 +89,8 @@ def main() -> int:
         plan, init, cams, targets,
         FitConfig(learning_rate=args.lr, steps=args.max_steps,
                   target_psnr=args.psnr, log_every=100,
-                  sync_every=args.sync_every))
+                  sync_every=args.sync_every),
+        mode=args.mode)
 
     out = {
         "metric": "grid_fit_s_to_psnr",
@@ -103,6 +107,7 @@ def main() -> int:
         "first_step_s": round(result.first_step_s, 2),
         "steady_step_ms": round(result.steady_step_ms, 1),
         "sync_every": args.sync_every,
+        "mode": result.mode,
         "device": str(jax.devices()[0]),
         "config": f"{g}^3 grid, {args.views} views @ {w}x{h}",
     }
