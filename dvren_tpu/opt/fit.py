@@ -125,15 +125,17 @@ def _scheduled_views(plan: Plan, cameras: Sequence[CameraConfig], field,
         def render_stack(f, scheds):
             return render_tiled_stack(plan, f, scheds)
     elif mode == "windowed":
-        from dvren_tpu.render.windowed import (build_schedule,
-                                               render_windowed_traced)
-        scheds = tuple(build_schedule(p, field.bbox_min, field.bbox_max,
-                                      jitter=jitter) for p in plans)
+        from dvren_tpu.render.windowed import (build_stack_schedule,
+                                               render_windowed_stack)
+        # ONE merged schedule across views (bit-exact vs per-view
+        # renders): a per-view loop instantiates V copies of every
+        # pipeline op; the fit flagship's 8 views merge into one
+        # 73728-ray group set with one compose.
+        scheds = build_stack_schedule(plans, field.bbox_min,
+                                      field.bbox_max, jitter=jitter)
 
         def render_stack(f, scheds):
-            return jnp.stack(
-                [render_windowed_traced(plans[v], f, scheds[v]).image
-                 for v in range(len(plans))])
+            return render_windowed_stack(plan, f, scheds)
     else:
         raise ValueError(f"unknown scheduled mode: {mode}")
     return plans, scheds, render_stack

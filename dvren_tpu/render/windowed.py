@@ -385,3 +385,212 @@ def _compose_planes(plan, pids, rad, tr, op, dep):
 
 _compose_groups = functools.partial(jax.jit, static_argnums=0)(
     _compose_planes)
+
+
+# ---------------------------------------------------------------------------
+# Multi-view stack: V same-shape views merged into ONE windowed schedule.
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class WindowedStackSchedule:
+    """All views' rays merged into one windowed schedule.
+
+    Multi-view training steps that render V views through per-view
+    schedules instantiate V copies of every pipeline op (the fit
+    flagship: 8 views of 9216 rays each = 8 single-group renders + 8
+    compose scatters per step). Rays are independent, so the merged
+    schedule treats global ray id ``v*N + i`` as one ray set: length-
+    sorted 32k blocks span VIEWS, one pipeline instance per block, one
+    compose onto a (V*H, W) canvas (for full-frame ROIs the global ray
+    id IS the stacked pixel id: ``v*H*W + y*W + x``).
+
+    Rays span multiple cameras, so each group carries its HOST-built ray
+    planes (o, d (M, 3) f32 + per-ray t_far; ~2 MB at the fit flagship)
+    instead of regenerating rays in-graph from one plan camera. Pad
+    entries carry ``t_far == t_near`` (no samples) and a pixel id past
+    the canvas (dropped by the compose scatter). Outputs are bit-exact
+    vs the per-view windowed renders: budgets only extend windows with
+    provably-zero OOB_ZERO samples, and the jitter rows are gathered
+    with the same per-view keying (row = global id % N).
+    """
+
+    groups: tuple  # ((budget, ids, ke, jit|None, o, d, tf), ...) dev arrays
+    n_views: int
+    view_hw: tuple            # (H, W) of one view
+    total_rays: int
+    skipped_rays: int
+    full_lattice_samples: int
+    windowed_samples: int
+
+
+def _wstack_flatten(s: "WindowedStackSchedule"):
+    leaves = []
+    budgets = []
+    jit_present = []
+    for budget, ids, ke, jit_rows, o, d, tf in s.groups:
+        budgets.append(int(budget))
+        jit_present.append(jit_rows is not None)
+        leaves.extend([ids, ke])
+        if jit_rows is not None:
+            leaves.append(jit_rows)
+        leaves.extend([o, d, tf])
+    aux = (tuple(budgets), tuple(jit_present), s.n_views, s.view_hw,
+           s.total_rays, s.skipped_rays, s.full_lattice_samples,
+           s.windowed_samples)
+    return leaves, aux
+
+
+def _wstack_unflatten(aux, leaves):
+    (budgets, jit_present, n_views, view_hw, total, skipped, full,
+     windowed) = aux
+    it = iter(leaves)
+    groups = []
+    for budget, has_jit in zip(budgets, jit_present):
+        ids = next(it)
+        ke = next(it)
+        jit_rows = next(it) if has_jit else None
+        o = next(it)
+        d = next(it)
+        tf = next(it)
+        groups.append((budget, ids, ke, jit_rows, o, d, tf))
+    return WindowedStackSchedule(
+        groups=tuple(groups), n_views=n_views, view_hw=view_hw,
+        total_rays=total, skipped_rays=skipped,
+        full_lattice_samples=full, windowed_samples=windowed)
+
+
+jax.tree_util.register_pytree_node(
+    WindowedStackSchedule, _wstack_flatten, _wstack_unflatten)
+
+
+def build_stack_schedule(plans, bbox_min, bbox_max, block: int = 32768,
+                         jitter: np.ndarray | None = None
+                         ) -> WindowedStackSchedule:
+    """Build the merged multi-view windowed schedule (see
+    :class:`WindowedStackSchedule`). ``plans``: same-shape full-frame
+    plans differing only in camera; ``jitter``: ONE (N, K) host table
+    shared by every view (the per-view builder's behavior)."""
+    p0 = plans[0]
+    n = p0.ray_count
+    for p in plans:
+        check(p.width == p0.width and p.height == p0.height
+              and p.roi == p0.roi and p.ray_count == n
+              and p.roi.width == p.width and p.roi.height == p.height,
+              "stack schedule requires same-shape full-frame plans")
+    v_cnt = len(plans)
+    o_all = np.zeros((v_cnt * n, 3), np.float32)
+    d_all = np.zeros((v_cnt * n, 3), np.float32)
+    ke_all = np.zeros(v_cnt * n, np.int32)
+    kc_all = np.zeros(v_cnt * n, np.int32)
+    for v, p in enumerate(plans):
+        o_v, d_v = _host_rays(p)
+        ke_v, kc_v = _windows(p, bbox_min, bbox_max)
+        o_all[v * n:(v + 1) * n] = o_v
+        d_all[v * n:(v + 1) * n] = d_v
+        ke_all[v * n:(v + 1) * n] = ke_v
+        kc_all[v * n:(v + 1) * n] = kc_v
+    vn = v_cnt * n
+    if jitter is not None:
+        jitter = np.asarray(jitter, np.float32)
+
+    live = np.nonzero(kc_all > 0)[0]
+    order = live[np.argsort(-kc_all[live], kind="stable")]
+    groups = []
+    windowed = 0
+    pad_base = vn
+    for start in range(0, order.size, block):
+        ids = order[start:start + block]
+        budget = int(kc_all[ids].max())
+        budget = min(-(-budget // _STEP_QUANTUM) * _STEP_QUANTUM,
+                     p0.sampling.max_steps)
+        group_size = min(block, -(-ids.size // 256) * 256)
+        n_pad = group_size - ids.size
+        if n_pad:
+            pad = np.arange(pad_base, pad_base + n_pad)
+            pad_base += n_pad
+            ids = np.concatenate([ids, pad])
+        real = ids < vn
+        safe = np.minimum(ids, vn - 1)
+        ke = np.where(real, ke_all[safe], 0).astype(np.int32)
+        o_g = np.where(real[:, None], o_all[safe], 0.0).astype(np.float32)
+        d_g = np.where(real[:, None], d_all[safe], 0.0).astype(np.float32)
+        tf = np.where(real, np.float32(p0.t_far),
+                      np.float32(p0.t_near)).astype(np.float32)
+        jit_rows = None
+        if jitter is not None:
+            rows = np.minimum(safe % n, jitter.shape[0] - 1)
+            cols = np.minimum(ke[:, None] + np.arange(budget)[None, :],
+                              jitter.shape[1] - 1)
+            jit_rows = jax.device_put(jitter[rows[:, None], cols])
+        groups.append((budget,
+                       jax.device_put(ids.astype(np.int32)),
+                       jax.device_put(ke),
+                       jit_rows,
+                       jax.device_put(o_g),
+                       jax.device_put(d_g),
+                       jax.device_put(tf)))
+        windowed += ids.size * budget
+
+    return WindowedStackSchedule(
+        groups=tuple(groups),
+        n_views=v_cnt,
+        view_hw=(p0.height, p0.width),
+        total_rays=vn,
+        skipped_rays=vn - int(live.size),
+        full_lattice_samples=vn * p0.sampling.max_steps,
+        windowed_samples=windowed)
+
+
+def _stack_group_outputs(plan, budget, field, ids, k_enter, block_jitter,
+                         o, d, tf):
+    from dvren_tpu.ops.raygen import Rays
+
+    m = ids.shape[0]
+    rays = Rays(origins=o, directions=d,
+                t_near=jnp.full((m,), plan.t_near, jnp.float32),
+                t_far=tf, pixel_ids=ids)
+    ray_offset = 0
+    if block_jitter is None:
+        # in-graph stratified emulation keys on the PER-VIEW ray id
+        # (every view draws the same jitter pattern, matching the
+        # per-view builder's shared table)
+        n = plan.ray_count
+        ray_offset = (ids % n) - jnp.arange(m, dtype=jnp.int32)
+    lattice = generate_samples(plan, rays, ray_index_offset=ray_offset,
+                               jitter=block_jitter,
+                               step_offset=k_enter, num_steps=budget)
+    sigma, color = eval_fields(field, lattice)
+    t_origin = plan.t_near + k_enter.astype(jnp.float32) * plan.sampling.dt
+    intl = integrate(sigma, color, lattice.dt, lattice.mask,
+                     plan.t_near, plan.t_far, with_aux=False,
+                     t_cursor_origin=t_origin)
+    return (rays.pixel_ids, intl.radiance, intl.transmittance,
+            intl.opacity, intl.depth)
+
+
+def render_windowed_stack(plan: Plan, field,
+                          schedule: WindowedStackSchedule,
+                          remat: bool | None = None) -> jnp.ndarray:
+    """Traced multi-view render through the merged schedule: returns the
+    (V, H, W, 3) radiance stack. Bit-exact vs stacking per-view
+    :func:`render_windowed_traced` images (tests/test_windowed.py).
+    ``plan``: any one of the views' plans (static facts only - the rays
+    are baked in the schedule)."""
+    check(getattr(field, "oob", OobPolicy.ZERO) == OobPolicy.ZERO,
+          "window clipping requires an OOB_ZERO field (outside samples "
+          "must be exactly zero)")
+    if remat is None:
+        remat = schedule.windowed_samples * 200 > _REMAT_RESIDUAL_BUDGET
+    group_fn = jax.checkpoint(_stack_group_outputs, static_argnums=(0, 1)) \
+        if remat else _stack_group_outputs
+    v_cnt = schedule.n_views
+    h, w = schedule.view_hw
+    if not schedule.groups:
+        return jnp.zeros((v_cnt, h, w, 3), jnp.float32)
+    parts = [group_fn(plan, budget, field, ids, ke, jit_rows, o, d, tf)
+             for budget, ids, ke, jit_rows, o, d, tf in schedule.groups]
+    pids, rad, tr, op, dep = (
+        jnp.concatenate([p[i] for p in parts]) for i in range(5))
+    planes = compose(pids, rad, tr, op, dep, w, v_cnt * h,
+                     plan.t_far, unique_pixels=True)
+    return planes.image.reshape(v_cnt, h, w, 3)

@@ -217,3 +217,80 @@ def test_windowed_stratified_schedule_without_jitter_rows():
 
     win_emu = render_windowed(plan, field, schedule=schedule)  # emulation
     assert_planes_equal(win_emu, full)
+
+
+def _stack_scene(mode=SamplingMode.STRATIFIED):
+    """Base plan + 3 orbiting-camera views over the windowed test field."""
+    import math
+    plan, field = scene(mode=mode)
+    cams = []
+    for i in range(3):
+        ang = 2 * math.pi * i / 3
+        cams.append(CameraConfig(
+            k=plan.camera.k,
+            c2w=(1, 0, 0, 0.5 + 0.2 * math.sin(ang),
+                 0, 1, 0, 0.55 + 0.1 * math.cos(ang),
+                 0, 0, 1, -1.1)))
+    from dvren_tpu.opt.fit import view_plans
+    return plan, field, cams, view_plans(plan, cams)
+
+
+@pytest.mark.parametrize("mode", [SamplingMode.FIXED,
+                                  SamplingMode.STRATIFIED])
+def test_windowed_stack_bit_exact_vs_per_view(mode):
+    """The merged multi-view schedule (render/windowed.py::
+    build_stack_schedule + render_windowed_stack - one pipeline instance
+    per 32k block across ALL views, one compose) must reproduce the
+    per-view windowed renders BITWISE: budgets only extend windows with
+    provably-zero OOB_ZERO samples, and jitter keying matches the
+    per-view builder (shared table, row = id % N)."""
+    from dvren_tpu.render.windowed import (build_stack_schedule,
+                                           render_windowed_stack)
+
+    plan, field, cams, plans = _stack_scene(mode=mode)
+    jitter = (plan_jitter_table(plan)
+              if mode == SamplingMode.STRATIFIED else None)
+    sched = build_stack_schedule(plans, field.bbox_min, field.bbox_max,
+                                 jitter=jitter)
+    stack = np.asarray(render_windowed_stack(plan, field, sched))
+    for v, p in enumerate(plans):
+        ref = render_windowed_traced(
+            p, field, build_schedule(p, field.bbox_min, field.bbox_max,
+                                     jitter=jitter))
+        np.testing.assert_array_equal(stack[v], np.asarray(ref.image))
+
+
+def test_windowed_stack_gradients_match_per_view():
+    """d(params) of an MSE over the merged stack == the per-view loop's
+    gradient (same math, one pipeline)."""
+    from dvren_tpu.render.windowed import (build_stack_schedule,
+                                           render_windowed_stack)
+
+    plan, field, cams, plans = _stack_scene(mode=SamplingMode.STRATIFIED)
+    jitter = plan_jitter_table(plan)
+    sched = build_stack_schedule(plans, field.bbox_min, field.bbox_max,
+                                 jitter=jitter)
+    per_view = tuple(build_schedule(p, field.bbox_min, field.bbox_max,
+                                    jitter=jitter) for p in plans)
+    target = jnp.zeros((len(plans), plan.height, plan.width, 3),
+                       jnp.float32)
+
+    def loss_stack(params):
+        f = field.with_params(*params)
+        return jnp.mean((render_windowed_stack(plan, f, sched)
+                         - target) ** 2)
+
+    def loss_loop(params):
+        f = field.with_params(*params)
+        imgs = jnp.stack([
+            render_windowed_traced(plans[v], f, per_view[v]).image
+            for v in range(len(plans))])
+        return jnp.mean((imgs - target) ** 2)
+
+    params = (field.sigma, field.color)
+    g_a = jax.grad(loss_stack)(params)
+    g_b = jax.grad(loss_loop)(params)
+    for a, b in zip(g_a, g_b):
+        scale = max(float(jnp.max(jnp.abs(b))), 1e-12)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6 * scale)
