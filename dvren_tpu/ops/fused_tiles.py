@@ -594,7 +594,9 @@ def _fwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
 def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
                 gs_ref, dtabs_ref, *rest,
                 nc, nb, subs, g_tiles, dt, t_near, t_far, k_max, stop,
-                gather, reduce, lo, inv, ns, cam):
+                gather, reduce, lo, inv, ns, cam, emit="banks"):
+    rest = list(rest)
+    dacc_ref = rest.pop() if emit == "rows16" else None
     if cam:
         dcam_ref, planes_s, state_s = rest
     else:
@@ -613,9 +615,26 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
         # chunks sharing cells reduce in VMEM and the HBM write is one
         # (NB, 32, 128) block per tile (round 2 wrote a full per-chunk
         # (nc, 32, banks*128) cotangent - 2.9x the bytes at the headline
-        # config - and reduced it host-side).
+        # config - and reduced it host-side). With emit="rows16" the
+        # accumulator is a VMEM scratch block and the epilogue below
+        # writes the u16 SLOT-ROW form instead (the merged params->
+        # output VJP's layout) - the 168 MB/step XLA/Pallas bank->row
+        # relayout pass this replaces was the single largest backward
+        # phase at the headline config (tools/bwdsplit_probe.py).
+        if emit == "rows16":
+            def acc_get(b):
+                return dacc_ref[b]
+
+            def acc_set(b, v):
+                dacc_ref[b] = v
+        else:
+            def acc_get(b):
+                return dtabs_ref[g, b]
+
+            def acc_set(b, v):
+                dtabs_ref[g, b] = v
         for b in range(nb):
-            dtabs_ref[g, b] = jnp.zeros((NCH, LANES), jnp.float32)
+            acc_set(b, jnp.zeros((NCH, LANES), jnp.float32))
 
         # Expand the compacted per-ray cotangents (16, 16) back to all
         # lanes of each 8-lane ray group (16, 128). Pad to full lane width
@@ -726,8 +745,8 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
                 # slots, so the second half of d01 is exactly zero.
                 b0 = w2.b0s[s2]
                 b1 = jnp.minimum(b0 + 1, nb - 1)
-                dtabs_ref[g, b0] = dtabs_ref[g, b0] + d01[:, :LANES]
-                dtabs_ref[g, b1] = dtabs_ref[g, b1] + d01[:, LANES:]
+                acc_set(b0, acc_get(b0) + d01[:, :LANES])
+                acc_set(b1, acc_get(b1) + d01[:, LANES:])
 
             if cam:
                 # Camera adjoint: dL/d(trilinear fraction) per axis from
@@ -786,6 +805,19 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
         _, dcams = jax.lax.fori_loop(
             0, nc, bwd_chunk,
             (jnp.zeros((ROWS, LANES), jnp.float32), (zero_p,) * 6))
+
+        if emit == "rows16":
+            # Emit the tile's bank gradients as u16 SLOT ROWS (row =
+            # lane, cols [hi16 of the 32 channels | lo16]) - exactly
+            # ops/packed_transpose.py::banks_to_u16_rows of the f32
+            # block, computed on the VMEM accumulator so the separate
+            # relayout pass (and its HBM round trip) disappears.
+            for b in range(nb):
+                bits = pltpu.bitcast(dacc_ref[b], jnp.uint32)  # (32,128)
+                bt = bits.T                                    # (128,32)
+                hi = (bt >> jnp.uint32(16)).astype(jnp.uint16)
+                lo = (bt & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+                dtabs_ref[g, b] = jnp.concatenate([hi, lo], axis=1)
 
         if cam:
             ray16 = jnp.minimum(
@@ -883,18 +915,30 @@ def _tile_op(nc, nb, subs, g_tiles, dt, t_near, t_far, k_max, stop,
             interpret=interpret,
         )(ke, bank0, tabs, samp, base, rayt)
 
-    def bwd_call(tabs, samp, base, rayt, ke, bank0, gs):
+    def bwd_call(tabs, samp, base, rayt, ke, bank0, gs, emit="banks"):
         t_cnt = tabs.shape[0]
-        out_shapes = [jax.ShapeDtypeStruct(
-            (t_cnt, nb, NCH, LANES), jnp.float32)]
-        out_specs = [pl.BlockSpec((g_tiles, nb, NCH, LANES),
-                                  lambda i, ke, b0: (i, 0, 0, 0))]
+        if emit == "rows16":
+            out_shapes = [jax.ShapeDtypeStruct(
+                (t_cnt, nb, LANES, 64), jnp.uint16)]
+            out_specs = [pl.BlockSpec((g_tiles, nb, LANES, 64),
+                                      lambda i, ke, b0: (i, 0, 0, 0))]
+        else:
+            out_shapes = [jax.ShapeDtypeStruct(
+                (t_cnt, nb, NCH, LANES), jnp.float32)]
+            out_specs = [pl.BlockSpec((g_tiles, nb, NCH, LANES),
+                                      lambda i, ke, b0: (i, 0, 0, 0))]
         if cam:
             out_shapes.append(jax.ShapeDtypeStruct(
                 (t_cnt, 6, ROWS, RAYS_COLS), jnp.float32))
             out_specs.append(pl.BlockSpec(
                 (g_tiles, 6, ROWS, RAYS_COLS),
                 lambda i, ke, b0: (i, 0, 0, 0)))
+        scratch = [
+            pltpu.VMEM((nc, 4, ROWS, LANES), jnp.float32),
+            pltpu.VMEM((nc, 1, ROWS, LANES), jnp.float32),
+        ]
+        if emit == "rows16":
+            scratch.append(pltpu.VMEM((nb, NCH, LANES), jnp.float32))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(t_cnt // g_tiles,),
@@ -903,13 +947,10 @@ def _tile_op(nc, nb, subs, g_tiles, dt, t_near, t_far, k_max, stop,
                              lambda i, ke, b0: (i, 0, 0, 0)),
             ],
             out_specs=out_specs if cam else out_specs[0],
-            scratch_shapes=[
-                pltpu.VMEM((nc, 4, ROWS, LANES), jnp.float32),
-                pltpu.VMEM((nc, 1, ROWS, LANES), jnp.float32),
-            ],
+            scratch_shapes=scratch,
         )
         return pl.pallas_call(
-            functools.partial(_bwd_kernel, **kw_bwd),
+            functools.partial(_bwd_kernel, emit=emit, **kw_bwd),
             grid_spec=grid_spec,
             out_shape=out_shapes if cam else out_shapes[0],
             # Steps are independent (scratch is fully rewritten by pass 1
@@ -947,7 +988,41 @@ def _tile_op(nc, nb, subs, g_tiles, dt, t_near, t_far, k_max, stop,
                 d_rayt, None, None)
 
     op.defvjp(op_fwd, op_bwd)
+    # Raw pallas entry points for the merged params->output VJP
+    # (render/tiled.py::_groupset_from_params): it spans from (sigma,
+    # color) so the per-group cotangent never has to match the bank
+    # blocks' f32 aval - the backward kernel emits u16 slot rows
+    # directly (emit="rows16") and the relayout pass disappears.
+    op.fwd_call = fwd_call
+    op.bwd_call = bwd_call
     return op
+
+
+def tile_op_params(plan, geom, nb, n_chunks, subs, t_cnt,
+                   interpret=None, gather="dg", reduce=None,
+                   cam_grads=False):
+    """The hashable `_tile_op` key for one group - shared by
+    render_tile_group_raw and the merged params->output VJP so both
+    routes hit the same cached op (and the same compiled Mosaic
+    variants)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    if reduce is None:
+        reduce = DEFAULT_REDUCE
+    bbox_min, bbox_max, grid_shape = geom
+    nz, ny, nx = (int(v) for v in grid_shape)
+    lo = tuple(float(v) for v in bbox_min)
+    inv = tuple(
+        float(1.0 / (float(hi) - float(l))) if float(hi) != float(l)
+        else 0.0
+        for l, hi in zip(bbox_min, bbox_max))
+    ns = (float(nx - 1), float(ny - 1), float(nz - 1))
+    g_tiles = _pick_g_tiles(int(t_cnt), int(n_chunks), int(nb))
+    return (int(n_chunks), int(nb), int(subs), int(g_tiles),
+            float(plan.sampling.dt), float(plan.t_near),
+            float(plan.t_far), int(plan.sampling.max_steps),
+            float(STOP_THRESHOLD), bool(interpret), str(gather),
+            str(reduce), lo, inv, ns, bool(cam_grads))
 
 
 def render_tile_group_raw(plan, geom, tabs, samp, base, rayt, k_enter,
@@ -967,25 +1042,10 @@ def render_tile_group_raw(plan, geom, tabs, samp, base, rayt, k_enter,
     camera gradient, superseding the reference's permanent zero dCam
     stub, diff_cpu.cpp:41-47,74).
     """
-    if interpret is None:
-        interpret = _interpret_default()
-    bbox_min, bbox_max, grid_shape = geom
-    nz, ny, nx = (int(v) for v in grid_shape)
-    lo = tuple(float(v) for v in bbox_min)
-    inv = tuple(
-        float(1.0 / (float(hi) - float(l))) if float(hi) != float(l)
-        else 0.0
-        for l, hi in zip(bbox_min, bbox_max))
-    ns = (float(nx - 1), float(ny - 1), float(nz - 1))
-    nb = int(tabs.shape[1])
-    t_cnt = int(tabs.shape[0])
-    g_tiles = _pick_g_tiles(t_cnt, int(n_chunks), nb)
-    op = _tile_op(int(n_chunks), nb, int(subs), int(g_tiles),
-                  float(plan.sampling.dt),
-                  float(plan.t_near), float(plan.t_far),
-                  int(plan.sampling.max_steps), float(STOP_THRESHOLD),
-                  bool(interpret), str(gather), str(reduce), lo, inv, ns,
-                  bool(cam_grads))
+    op = _tile_op(*tile_op_params(
+        plan, geom, int(tabs.shape[1]), n_chunks, subs,
+        int(tabs.shape[0]), interpret=interpret, gather=gather,
+        reduce=reduce, cam_grads=cam_grads))
     ke1 = k_enter.reshape(-1).astype(jnp.int32)
     b01 = bank0.reshape(-1).astype(jnp.int32)
     return op(tabs, samp, base, rayt, ke1, b01)

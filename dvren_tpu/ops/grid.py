@@ -291,16 +291,27 @@ def _shift_stack_fullpitch(sigma: jnp.ndarray, color: jnp.ndarray,
     pad = n_rows - p + y * x + x + 2
     planes = [sigma.reshape(-1)] + [color[..., i].reshape(-1)
                                     for i in range(3)]
+    offs = [dz * y * x + dy * x + dx
+            for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
     parts = []
     for pl_ in planes:
         flat = jnp.concatenate(
             [pl_.astype(jnp.float32), jnp.zeros((pad,), jnp.float32)])
-        for dz in (0, 1):
-            for dy in (0, 1):
-                for dx in (0, 1):
-                    off = dz * y * x + dy * x + dx
-                    parts.append(jax.lax.dynamic_slice(
-                        flat, (off,), (n_rows,)))
+        # Offset slices at off % 128 != 0 are LANE ROTATIONS (a full
+        # shuffle relayout of the plane per slice on TPU); equal
+        # residues share one rotated copy and the per-corner slice
+        # becomes 128-aligned (a pure windowed copy). <= 4 distinct
+        # residues ({0, 1, x, x+1} mod 128) replace 8 rotations per
+        # plane. Bit-exact: the same elements, sliced in two steps.
+        rots = {}
+        for off in offs:
+            r = off % 128
+            if r not in rots:
+                rots[r] = (flat if r == 0
+                           else jax.lax.dynamic_slice(
+                               flat, (r,), (flat.shape[0] - r,)))
+            parts.append(jax.lax.dynamic_slice(
+                rots[r], (off - r,), (n_rows,)))
     return jnp.stack(parts, axis=0)
 
 

@@ -1240,6 +1240,88 @@ bank_tables_from_params.defvjp(_bank_tables_from_params_fwd,
                                _bank_tables_from_params_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _groupset_from_params(static, sigma, color, gathermap_all, gplan,
+                          samps, bases, kes, bank0s, rayts):
+    """Dense-grid params -> ALL tile groups' raw kernel outputs in ONE
+    custom VJP (the merged route: build + bank gather + every group's
+    fused kernel).
+
+    Why one op: spanning from (sigma, color) frees the backward from
+    matching the bank blocks' f32 aval, so the backward kernel emits its
+    table cotangent DIRECTLY as u16 slot rows (ops/fused_tiles.py,
+    emit="rows16" - the banks_to_u16_rows transform applied to the VMEM
+    accumulator before the HBM write). The separate bank->row relayout
+    pass of the two-op chain - an extra 168 MB/step HBM round trip,
+    the single largest backward phase at the 512^2/64^3 headline config
+    (tools/bwdsplit_probe.py) - disappears. Forward and backward values
+    are bit-identical to the two-op chain (pure integer plumbing over
+    the same f32 gradients; tests/test_tiled.py).
+
+    ``static`` = (pitch, group_shapes, kparams, cam) with ``kparams``
+    the per-group :func:`~dvren_tpu.ops.fused_tiles.tile_op_params`
+    tuples. Differentiable in (sigma, color) and - when ``cam`` - in
+    each group's ``rayts`` (the camera-gradient chain)."""
+    from dvren_tpu.ops import fused_tiles
+
+    pitch, group_shapes, kparams, cam = static
+    t16 = grid_ops.build_packed_table16(sigma, color)
+    tabs = _t16_to_banks(t16, gathermap_all, (pitch, group_shapes))
+    return tuple(
+        fused_tiles._tile_op(*kp).fwd_call(
+            tabs[gi], samps[gi], bases[gi], rayts[gi], kes[gi],
+            bank0s[gi])
+        for gi, kp in enumerate(kparams))
+
+
+def _groupset_from_params_fwd(static, sigma, color, gathermap_all, gplan,
+                              samps, bases, kes, bank0s, rayts):
+    from dvren_tpu.ops import fused_tiles
+
+    pitch, group_shapes, kparams, cam = static
+    t16 = grid_ops.build_packed_table16(sigma, color)
+    tabs = _t16_to_banks(t16, gathermap_all, (pitch, group_shapes))
+    raws = tuple(
+        fused_tiles._tile_op(*kp).fwd_call(
+            tabs[gi], samps[gi], bases[gi], rayts[gi], kes[gi],
+            bank0s[gi])
+        for gi, kp in enumerate(kparams))
+    return raws, (tabs, samps, bases, kes, bank0s, rayts, gplan,
+                  sigma.shape)
+
+
+def _groupset_from_params_bwd(static, res, cts):
+    from dvren_tpu.ops import fused_tiles, packed_transpose
+
+    pitch, group_shapes, kparams, cam = static
+    tabs, samps, bases, kes, bank0s, rayts, gplan, sigma_shape = res
+    ct16_parts, d_rayts = [], []
+    for gi, kp in enumerate(kparams):
+        out = fused_tiles._tile_op(*kp).bwd_call(
+            tabs[gi], samps[gi], bases[gi], rayts[gi], kes[gi],
+            bank0s[gi], cts[gi], emit="rows16")
+        if cam:
+            rows16, dcam = out
+            t_cnt = dcam.shape[0]
+            d_rayts.append(dcam.reshape(t_cnt, 6, 2, 128).reshape(
+                t_cnt, 12, 128))
+        else:
+            rows16 = out
+            d_rayts.append(None)
+        ct16_parts.append(rows16.reshape(-1, 64))
+    ct16 = jnp.concatenate(ct16_parts)
+    d16 = ct16_rows_to_table16(ct16, gplan.all_idx, gplan.meta,
+                               gplan.inv_map, 32)
+    t = packed_transpose.u16_rows_to_stack(d16)       # (32, R) f32
+    d_sigma, d_color = grid_ops.stack_plane_grads(t, sigma_shape)
+    return (d_sigma, d_color, None, None, None, None, None, None,
+            tuple(d_rayts) if cam else None)
+
+
+_groupset_from_params.defvjp(_groupset_from_params_fwd,
+                             _groupset_from_params_bwd)
+
+
 def _dense_f32_route(field, sched) -> bool:
     """True when the schedule's planned bank gather can run the fused
     params->banks route (dense f32 grid; sparse bricks and bf16/f16
@@ -1460,11 +1542,6 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
     if use_kernel:
         from dvren_tpu.ops import fused_tiles
 
-        # One planned gather for all groups, emitted directly in the
-        # kernel's bank-block layout (the plan's gather-transpose backward
-        # replaces the slow scatter-add).
-        group_tabs = _planned_bank_tables(field, schedule, packed_flat)
-
         traced_rays = None
         if with_cam:
             from dvren_tpu.ops.raygen import generate_rays
@@ -1475,13 +1552,10 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
                 traced_rays = generate_rays(plan, k=k, c2w=c2w,
                                             ids=all_ids)
 
-        raws, ids = [], []
+        subs = (16 // schedule.tile_px) ** 2
+        rayts, ids = [], []
         roff = 0
-        for gi, group in enumerate(schedule.groups):
-            if group_tabs is not None:
-                tabs = group_tabs[gi]
-            else:
-                tabs = _group_tables(packed_flat, group)
+        for group in schedule.groups:
             rayt = group.rayt
             if traced_rays is not None:
                 nt = group.n_tiles
@@ -1493,12 +1567,50 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
                     [o[:, i].reshape(nt, 2, 128) for i in range(3)]
                     + [d[:, i].reshape(nt, 2, 128) for i in range(3)],
                     axis=1).reshape(nt, 12, 128)
-            raws.append(fused_tiles.render_tile_group_raw(
-                plan, geom, tabs, group.samp, group.base, rayt,
-                group.k_enter, group.bank0, group.n_chunks,
-                subs=(16 // schedule.tile_px) ** 2, gather=gather,
-                reduce=reduce, cam_grads=with_cam))
+            rayts.append(rayt)
             ids.append(group.tile_ids)
+
+        if dense_f32:
+            # Merged params->output VJP: build + bank gather + every
+            # group's kernel in ONE custom_vjp, whose backward kernel
+            # emits u16 slot rows directly (no bank->row relayout pass).
+            static = (
+                schedule.pitch,
+                tuple((g.n_tiles, g.banks) for g in schedule.groups),
+                tuple(fused_tiles.tile_op_params(
+                    plan, geom, g.banks, g.n_chunks, subs, g.n_tiles,
+                    gather=gather, reduce=reduce, cam_grads=with_cam)
+                    for g in schedule.groups),
+                with_cam)
+            raws = list(_groupset_from_params(
+                static, field.sigma, field.color, schedule.gathermap_all,
+                schedule.gather_plan,
+                tuple(g.samp for g in schedule.groups),
+                tuple(g.base for g in schedule.groups),
+                tuple(g.k_enter.reshape(-1).astype(jnp.int32)
+                      for g in schedule.groups),
+                tuple(g.bank0.reshape(-1).astype(jnp.int32)
+                      for g in schedule.groups),
+                tuple(rayts)))
+            return _compose_tiles(plan, raws, ids, fallback_parts,
+                                  tile_px=schedule.tile_px)
+
+        # One planned gather for all groups, emitted directly in the
+        # kernel's bank-block layout (the plan's gather-transpose backward
+        # replaces the slow scatter-add).
+        group_tabs = _planned_bank_tables(field, schedule, packed_flat)
+
+        raws = []
+        for gi, group in enumerate(schedule.groups):
+            if group_tabs is not None:
+                tabs = group_tabs[gi]
+            else:
+                tabs = _group_tables(packed_flat, group)
+            raws.append(fused_tiles.render_tile_group_raw(
+                plan, geom, tabs, group.samp, group.base, rayts[gi],
+                group.k_enter, group.bank0, group.n_chunks,
+                subs=subs, gather=gather,
+                reduce=reduce, cam_grads=with_cam))
         return _compose_tiles(plan, raws, ids, fallback_parts,
                               tile_px=schedule.tile_px)
 

@@ -581,6 +581,53 @@ def test_u16_transpose_kernels_bit_exact():
                                   np.asarray(ref_b).view(np.uint32))
 
 
+def test_groupset_merged_vjp_bit_identical(monkeypatch):
+    """The merged params->output custom VJP (_groupset_from_params: the
+    dense-f32 production route whose backward kernel emits u16 slot rows
+    in-kernel, no bank->row relayout pass) must match the two-op chain
+    BITWISE: forward image, d_sigma/d_color, and the camera gradients
+    (d_c2w, d_k). The two-op comparator is forced by patching
+    _dense_f32_route to False (the flat-table + _gather_bank_tables
+    chain, itself bit-identical to bank_tables_from_params)."""
+    from dvren_tpu.render import tiled as tiled_mod
+
+    plan, field = scene(mode=SamplingMode.STRATIFIED)
+    jitter = plan_jitter_table(plan)
+    sched = build_tiled_schedule(plan, field, jitter=jitter)
+    assert tiled_mod._dense_f32_route(field, sched)
+    params = (field.sigma, field.color)
+    k0 = jnp.asarray(plan.camera.k, jnp.float32).reshape(3, 3)
+    c2w0 = jnp.asarray(plan.camera.c2w, jnp.float32).reshape(3, 4)
+
+    def img(p):
+        return render_tiled(plan, field.with_params(*p), sched).image
+
+    def loss(p):
+        return (img(p) ** 2).sum()
+
+    def cam_loss(p, c2w, k_mat):
+        f = field.with_params(*p)
+        planes = render_tiled(plan, f, sched, k=k_mat, c2w=c2w)
+        return (planes.image ** 2).sum()
+
+    i_new = img(params)
+    g_new = jax.grad(loss)(params)
+    gc_new = jax.grad(cam_loss, argnums=(0, 1, 2))(params, c2w0, k0)
+
+    monkeypatch.setattr(tiled_mod, "_dense_f32_route",
+                        lambda *a, **kw: False)
+    i_old = img(params)
+    g_old = jax.grad(loss)(params)
+    gc_old = jax.grad(cam_loss, argnums=(0, 1, 2))(params, c2w0, k0)
+
+    np.testing.assert_array_equal(np.asarray(i_new), np.asarray(i_old))
+    for a, b in zip(g_new, g_old):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(gc_new),
+                    jax.tree_util.tree_leaves(gc_old)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_merged_views_fallback_uses_view_camera():
     """A view whose tiles overflow the slot tables carries a windowed
     FALLBACK whose rays are regenerated at render time - they must use
