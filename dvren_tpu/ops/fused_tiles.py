@@ -849,6 +849,9 @@ def _pick_g_tiles(t_cnt, nc, nb, bwd_scratch=True,
     scratch = nc * 5 * ROWS * LANES * 4 if bwd_scratch else 0
     if bwd_scratch:
         per_tile += nb * NCH * LANES * 4             # dtabs out block
+        # (the emit="rows16" variant's u16 block is the SAME byte size:
+        # (128, 64) u16 == (32, 128) f32 per bank)
+        scratch += nb * NCH * LANES * 4              # rows16 accumulator
     g = 8
     while g > 1 and (2 * g * per_tile + scratch > vmem_budget
                      or t_cnt % g):

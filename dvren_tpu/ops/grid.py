@@ -300,9 +300,12 @@ def _shift_stack_fullpitch(sigma: jnp.ndarray, color: jnp.ndarray,
         # Offset slices at off % 128 != 0 are LANE ROTATIONS (a full
         # shuffle relayout of the plane per slice on TPU); equal
         # residues share one rotated copy and the per-corner slice
-        # becomes 128-aligned (a pure windowed copy). <= 4 distinct
-        # residues ({0, 1, x, x+1} mod 128) replace 8 rotations per
-        # plane. Bit-exact: the same elements, sliced in two steps.
+        # becomes 128-aligned (a pure windowed copy). When y*x % 128
+        # == 0 (true for the production power-of-two grids) the eight
+        # offsets collapse to <= 4 distinct residues ({0, 1, x, x+1}
+        # mod 128); otherwise they may span up to 8 residues and the
+        # dict degrades gracefully to per-offset slices (correct, just
+        # without the sharing). Bit-exact: same elements, two steps.
         rots = {}
         for off in offs:
             r = off % 128

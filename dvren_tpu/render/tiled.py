@@ -1574,6 +1574,11 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
             # Merged params->output VJP: build + bank gather + every
             # group's kernel in ONE custom_vjp, whose backward kernel
             # emits u16 slot rows directly (no bank->row relayout pass).
+            # Same resolution guard _planned_bank_tables enforces: the
+            # bbox check above does not imply a matching grid shape.
+            check(tuple(int(v) for v in np.asarray(field.sigma.shape[:3]))
+                  == tuple(schedule.grid_shape),
+                  "schedule was built for a different grid resolution")
             static = (
                 schedule.pitch,
                 tuple((g.n_tiles, g.banks) for g in schedule.groups),
