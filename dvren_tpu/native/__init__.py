@@ -90,7 +90,7 @@ def _configure(lib) -> None:
         _f32p, _f32p,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_longlong, ctypes.c_longlong,
-        ctypes.c_longlong,
+        ctypes.c_longlong, ctypes.c_int,
         _f32p, _f32p, _i32p, _i32p, _i64p, _i32p, _i32p, _i64p, _i32p]
 
 
@@ -105,7 +105,7 @@ def _get():
                 _build()
             lib = ctypes.CDLL(_LIB)
             _configure(lib)
-            if lib.dvn_abi_version() != 2:
+            if lib.dvn_abi_version() != 3:
                 raise RuntimeError("native ABI version mismatch")
             _lib = lib
         except Exception as exc:  # pragma: no cover - toolchain-dependent
@@ -272,10 +272,12 @@ def pack_runs(flat: np.ndarray, pitch: int, sentinel: int,
 
 def build_runs(ot, dtn, safe_ids, live_r, ke, nc, n_sub, t_near, t_far,
                dt, nudge, k_max, jitter, jn, bbox_lo, inv_ext, grid_nxyz,
-               pitch, sentinel, umax, pmax):
+               pitch, sentinel, umax, pmax, cell_scale=1):
     """Fused native lattice + run-pack (the whole per-(tile, chunk)
     scheduler hot loop; dvn_build_runs). Returns (st_l, m_l, lidx,
-    lanes_run, ucell, ulane, n_u, upair, n_p)."""
+    lanes_run, ucell, ulane, n_u, upair, n_p). ``cell_scale=2`` packs
+    SUPERCELL ids and ORs each sample's cell-within-supercell bits into
+    lidx at bit 16."""
     lib = _get()
     t_cnt = ot.shape[0]
     ot = np.ascontiguousarray(ot, np.float32)
@@ -307,7 +309,7 @@ def build_runs(ot, dtn, safe_ids, live_r, ke, nc, n_sub, t_near, t_far,
         _ptr(live_u8, _u8p), _ptr(ke, _i64p),
         t_cnt, nc, n_sub, t_near, t_far, dt, nudge, k_max,
         jptr, jn, jk, _ptr(lo, _f32p), _ptr(inv, _f32p),
-        nx, ny, nz, pitch, sentinel, umax, pmax,
+        nx, ny, nz, pitch, sentinel, umax, pmax, int(cell_scale),
         _ptr(st_l, _f32p), _ptr(m_l, _f32p), _ptr(lidx, _i32p),
         _ptr(lanes_run, _i32p), _ptr(ucell, _i64p), _ptr(ulane, _i32p),
         _ptr(n_u, _i32p), _ptr(upair, _i64p), _ptr(n_p, _i32p))

@@ -97,7 +97,7 @@ extern "C" {
 
 // ---------------------------------------------------------------- version
 
-int dvn_abi_version(void) { return 2; }
+int dvn_abi_version(void) { return 3; }
 
 // ---------------------------------------------------------------- ray gen
 
@@ -479,6 +479,11 @@ int dvn_tighten_occupancy(
 // NOTE: compile with -ffp-contract=off - numpy never fuses mul+add, a
 // contracted FMA here would change float bits.
 
+// cell_scale 1: packed ids are FULL-pitch cell ids. cell_scale 2:
+// packed ids are SUPERCELL ids ((iz>>1)*SY + (iy>>1))*SX + (ix>>1) over
+// the (nz//2, ny//2, nx//2) supergrid, and each sample's
+// cell-within-supercell bits (lx | ly<<1 | lz<<2) are OR'd into lidx at
+// bit 16 (the lane itself stays in the low 16 bits).
 int dvn_build_runs(
     const float* ot, const float* dtn,          // (T, 256, 3)
     const long long* safe_ids,                  // (T, 256)
@@ -490,15 +495,19 @@ int dvn_build_runs(
     const float* bbox_lo, const float* inv_ext,       // [3]
     int nx, int ny, int nz,
     int pitch, long long sentinel, long long umax, long long pmax,
+    int cell_scale,
     float* st_l, float* m_l,                    // (T, nc, 16, 128)
     int* lidx, int* lanes_run,
     long long* ucell, int* ulane, int* n_u,
     long long* upair, int* n_p) {
     if (t_cnt < 0 || nc <= 0 || n_sub <= 0 || 16 % n_sub != 0) return 1;
+    if (cell_scale != 1 && cell_scale != 2) return 1;
     const int rps = 16 / n_sub;           // block rows per sub-tile
     const long long sub_cols = (long long)rps * 128;
     const int kq[3] = {nx - 1, ny - 1, nz - 1};
+    const long long snx = nx / 2, sny = ny / 2;
     std::vector<long long> cells(sub_cols);
+    std::vector<int> lbits(sub_cols);
     std::vector<int> idx(sub_cols);
     for (long long t = 0; t < t_cnt; ++t) {
         const long long ket = ke[t];
@@ -557,10 +566,20 @@ int dvn_build_runs(
                                 if (f > hi) f = hi;
                                 ix[ax] = (long long)f;
                             }
-                            cell = (ix[2] * ny + ix[1]) * nx + ix[0];
                             const bool m = inside && live;
                             const long long col =
                                 ((long long)rr * 16 + rl) * 8 + jj;
+                            if (cell_scale == 2) {
+                                cell = ((ix[2] >> 1) * sny
+                                        + (ix[1] >> 1)) * snx
+                                       + (ix[0] >> 1);
+                                lbits[col] = m
+                                    ? (int)((ix[0] & 1) | ((ix[1] & 1) << 1)
+                                            | ((ix[2] & 1) << 2))
+                                    : 0;
+                            } else {
+                                cell = (ix[2] * ny + ix[1]) * nx + ix[0];
+                            }
                             cv[col] = m ? cell : sentinel;
                             st_row[rr * 128 + rl * 8 + jj - 0] = stv;
                             m_row[rr * 128 + rl * 8 + jj] = m ? 1.f : 0.f;
@@ -572,6 +591,11 @@ int dvn_build_runs(
                          ucell + row * umax, ulane + row * umax,
                          upair + row * pmax, lanes_run + row,
                          n_u + row, n_p + row);
+                if (cell_scale == 2) {
+                    int* lr = lidx + row * sub_cols;
+                    for (long long col = 0; col < sub_cols; ++col)
+                        lr[col] |= lbits[col] << 16;
+                }
             }
         }
     }

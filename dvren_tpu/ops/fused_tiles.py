@@ -80,7 +80,14 @@ GROUP = 8          # lanes per ray (= steps per chunk)
 RAYS_PER_TILE = 256
 RAYS_COLS = 16     # compacted per-ray output lanes (= LANES // GROUP)
 NCH = 32           # packed channels: 4 (sigma, r, g, b) x 8 corners
+SUP_NCH = 108      # supercell stencil: 4 channels x 27 vertices
 RAYT_ROWS = 12     # compact ray planes: 6 axes x 2 halves of 128 rays
+
+
+def stencil_rows(stencil: str) -> int:
+    """Table rows per bank block: 32 (cell stencil) or 108 (supercell:
+    4 channels x 3^3 vertices; ops/grid.py::build_supercell_stencil)."""
+    return SUP_NCH if stencil == "super" else NCH
 
 
 def _group_matrices():
@@ -430,6 +437,89 @@ def _sample_geometry(samp_c, win, rayt, *, lo, inv, ns):
     return idx2, prep, (wx, wy, wz)
 
 
+def _sample_geometry_super(samp_c, win, rayt, *, lo, inv, ns):
+    """Supercell variant of :func:`_sample_geometry`: packed bits are
+    lane(12) | lx<<12 | ly<<13 | lz<<14 | m<<15 (lane < 4096 => <= 31
+    banks per tile; the scheduler enforces it), the gathered base is the
+    supercell's VERTEX ORIGIN (2*s per axis), and the sample's cell is
+    origin + l. The fraction subtracts (base + l) - an exact integer f32
+    add - so t is BIT-IDENTICAL to the cell-stencil path's f - cellbase.
+    Returns (idx2, prep, weights, lbits) with lbits int32 planes."""
+    st = pltpu.bitcast(
+        (samp_c[0].astype(jnp.uint32) << 16)
+        | samp_c[1].astype(jnp.uint32), jnp.float32)
+    packed = samp_c[2].astype(jnp.int32)
+    m = ((packed >> 15) & 1).astype(jnp.float32)
+    lb = (((packed >> 12) & 1), ((packed >> 13) & 1),
+          ((packed >> 14) & 1))
+    idx2 = win.idx2(packed & 0xFFF)
+    prep = win.prep(idx2)
+
+    def axis(o_pl, d_pl, ax):
+        p = o_pl + d_pl * st
+        local = (p - jnp.float32(lo[ax])) * jnp.float32(inv[ax])
+        f = local * jnp.float32(ns[ax])
+        basec = (win.expand_base(ax, prep)
+                 + lb[ax].astype(jnp.float32))
+        return f - basec
+
+    tx = axis(rayt[0], rayt[3], 0)
+    ty = axis(rayt[1], rayt[4], 1)
+    tz = axis(rayt[2], rayt[5], 2)
+    wx = (1.0 - tx, tx)
+    wy = (1.0 - ty, ty)
+    wz = (m * (1.0 - tz), m * tz)
+    return idx2, prep, (wx, wy, wz), lb
+
+
+def _axis_hats(w, lb):
+    """Hat-basis weights over the supercell's 3 vertex positions along
+    one axis: h[a] = w0 at a == l, w1 at a == l + 1, exactly 0.0
+    elsewhere - the piecewise-linear interpolation basis, selected (not
+    recomputed) from the cell weights so nonzero values match the cell
+    stencil bit for bit."""
+    return [jnp.where(lb == a, w[0],
+                      jnp.where(lb == a - 1, w[1], 0.0))
+            for a in range(3)]
+
+
+def _hat_weights(weights, lbits):
+    """27 per-sample vertex weights in packed order vz*9 + vy*3 + vx.
+
+    Products run (hz*hy)*hx - the same multiplication order as
+    :func:`_corner_weights` - so each sample's 8 nonzero weights are
+    bit-identical to its cell-stencil corner weights, and the other 19
+    are exact zeros (adding them never changes a finite sum). Returns
+    (w27 list, hzy dict (az, ay) -> hz*hy for the camera adjoint)."""
+    wx, wy, wz = weights
+    lbx, lby, lbz = lbits
+    hx = _axis_hats(wx, lbx)
+    hy = _axis_hats(wy, lby)
+    hz = _axis_hats(wz, lbz)
+    hzy = {(az, ay): hz[az] * hy[ay]
+           for az in range(3) for ay in range(3)}
+    w27 = [hzy[(vz, vy)] * hx[vx]
+           for vz in range(3) for vy in range(3) for vx in range(3)]
+    return w27, hzy
+
+
+def _gather_planes_super(win, prep, w27):
+    """Per-sample (sigma, r, g, b) planes from a supercell bank window:
+    27 vertex expansions per channel, hat-weighted. Vertex order matches
+    the corner order of the cell path under the l-shift, so the running
+    sum hits the 8 nonzero terms in the same sequence (bit-identical
+    accumulation; zero terms add exact zeros)."""
+    planes = []
+    for ch in range(4):
+        acc = None
+        for v in range(27):
+            val = win.expand_tab(ch * 27 + v, prep)
+            term = w27[v] * val
+            acc = term if acc is None else acc + term
+        planes.append(acc)
+    return planes
+
+
 def _corner_weights(weights):
     """The eight trilinear corner-weight planes in packed-corner order
     (dz*4 + dy*2 + dx), computed ONCE per chunk - the naive per-(channel,
@@ -501,6 +591,20 @@ def _chunk_gather(win, idx2, prep, weights, gather):
     return _gather_planes_dg(win, prep, weights)
 
 
+def _chunk_eval(stencil, samp_c, win, rayt, geom, gather):
+    """One chunk's (sigma, r, g, b) planes for either stencil, plus the
+    geometry tuple (idx2, prep, weights, lbits) the backward reuses."""
+    if stencil == "super":
+        idx2, prep, weights, lb = _sample_geometry_super(
+            samp_c, win, rayt, **geom)
+        w27, _ = _hat_weights(weights, lb)
+        return _gather_planes_super(win, prep, w27), (idx2, prep,
+                                                      weights, lb)
+    idx2, prep, weights = _sample_geometry(samp_c, win, rayt, **geom)
+    return (_chunk_gather(win, idx2, prep, weights, gather),
+            (idx2, prep, weights, None))
+
+
 def _chunk_geometry(ke, c, consts):
     """(live mask f32, dt_actual, t cursor) for chunk c of a tile at ke.
 
@@ -534,7 +638,8 @@ def _chunk_geometry(ke, c, consts):
 
 def _fwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
                 out_ref, *, nc, nb, subs, g_tiles, dt, t_near, t_far,
-                k_max, stop, gather, reduce, lo, inv, ns):
+                k_max, stop, gather, reduce, lo, inv, ns,
+                stencil="cell"):
     red = _reducer(reduce)
     consts = (dt, t_near, t_far, k_max)
     geom = dict(lo=lo, inv=inv, ns=ns)
@@ -551,10 +656,8 @@ def _fwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
             acc_r, acc_g, acc_b, acc_wd, acc_odp, carry_od = carry
             win = _Windows(tabs_ref, base_ref, g, b0_ref, tile0 + g, c,
                            nc, nb, subs)
-            idx2, prep, weights = _sample_geometry(samp_ref[g, c], win,
-                                                   rayt, **geom)
-            sig, cr, cg, cb = _chunk_gather(win, idx2, prep, weights,
-                                            gather)
+            (sig, cr, cg, cb), _ = _chunk_eval(
+                stencil, samp_ref[g, c], win, rayt, geom, gather)
             livef, dta, tcur = _chunk_geometry(ke, c, consts)
 
             od = jnp.maximum(sig * dta, 0.0) * livef
@@ -594,7 +697,9 @@ def _fwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
 def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
                 gs_ref, dtabs_ref, *rest,
                 nc, nb, subs, g_tiles, dt, t_near, t_far, k_max, stop,
-                gather, reduce, lo, inv, ns, cam, emit="banks"):
+                gather, reduce, lo, inv, ns, cam, emit="banks",
+                stencil="cell"):
+    nch = stencil_rows(stencil)
     rest = list(rest)
     dacc_ref = rest.pop() if emit == "rows16" else None
     if cam:
@@ -634,7 +739,7 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
             def acc_set(b, v):
                 dtabs_ref[g, b] = v
         for b in range(nb):
-            acc_set(b, jnp.zeros((NCH, LANES), jnp.float32))
+            acc_set(b, jnp.zeros((nch, LANES), jnp.float32))
 
         # Expand the compacted per-ray cotangents (16, 16) back to all
         # lanes of each 8-lane ray group (16, 128). Pad to full lane width
@@ -658,10 +763,8 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
         # Pass 1 (forward): recompute planes and prefix state per chunk.
         def fwd_chunk(c, carry_od):
             w = win(c)
-            idx2, prep, weights = _sample_geometry(samp_ref[g, c], w,
-                                                   rayt, **geom)
-            sig, cr, cg, cb = _chunk_gather(w, idx2, prep, weights,
-                                            gather)
+            (sig, cr, cg, cb), _ = _chunk_eval(
+                stencil, samp_ref[g, c], w, rayt, geom, gather)
             planes_s[c, 0] = sig
             planes_s[c, 1] = cr
             planes_s[c, 2] = cg
@@ -710,25 +813,35 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
             dplanes = (dsig, g_r * w, g_g * w, g_b * w)
 
             w2 = win(c)
-            idx2, prep, (wx, wy, wz) = _sample_geometry(samp_ref[g, c],
-                                                        w2, rayt, **geom)
-
-            # FULL-plane weight products hoisted out of the row loop:
-            # wp[ch*8 + corner] = corner weight * d(plane), 48 (16, 128)
-            # multiplies per chunk instead of 768 single-row ones (the
-            # row loop below only slices) - bit-identical products.
-            w8 = _corner_weights((wx, wy, wz))
-            wp = [w8[corner] * dplanes[ch]
-                  for ch in range(4) for corner in range(8)]
+            if stencil == "super":
+                idx2, prep, (wx, wy, wz), lb = _sample_geometry_super(
+                    samp_ref[g, c], w2, rayt, **geom)
+                w27, hzy = _hat_weights((wx, wy, wz), lb)
+                # wp[ch*27 + v] = hat weight * d(plane) - the supercell
+                # analogue of the cell hoist below (108 full-plane
+                # products per chunk; rows below only slice).
+                wp = [w27[v] * dplanes[ch]
+                      for ch in range(4) for v in range(27)]
+            else:
+                idx2, prep, (wx, wy, wz) = _sample_geometry(
+                    samp_ref[g, c], w2, rayt, **geom)
+                # FULL-plane weight products hoisted out of the row
+                # loop: wp[ch*8 + corner] = corner weight * d(plane),
+                # 48 (16, 128) multiplies per chunk instead of 768
+                # single-row ones (the row loop below only slices) -
+                # bit-identical products.
+                w8 = _corner_weights((wx, wy, wz))
+                wp = [w8[corner] * dplanes[ch]
+                      for ch in range(4) for corner in range(8)]
 
             slot = jax.lax.broadcasted_iota(jnp.int32,
                                             (2 * LANES, LANES), 0)
             rps = ROWS // subs
             for s2 in range(subs):
-                d01 = jnp.zeros((NCH, 2 * LANES), jnp.float32)
+                d01 = jnp.zeros((nch, 2 * LANES), jnp.float32)
                 for r in range(s2 * rps, (s2 + 1) * rps):
                     d_cr = jnp.concatenate(
-                        [p[r:r + 1, :] for p in wp], axis=0)  # (32, 128)
+                        [p[r:r + 1, :] for p in wp], axis=0)  # (nch, 128)
                     # one-hot oh[s, l] = [idx2[r, l] == s], s spanning
                     # BOTH banks (s >= 128 = bank 1); contract on lanes:
                     # d[ch, s] = sum_l d_cr * oh. One 256-slot matmul
@@ -748,7 +861,68 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
                 acc_set(b0, acc_get(b0) + d01[:, :LANES])
                 acc_set(b1, acc_get(b1) + d01[:, LANES:])
 
-            if cam:
+            if cam and stencil == "super":
+                # Supercell camera adjoint: same chain as the cell
+                # branch below, with the corner difference generalized
+                # to hat-basis derivatives - dh[a]/dt is -1 at a == l,
+                # +1 at a == l + 1, 0 elsewhere (m folded like the cell
+                # path's wz/wyxm folding).
+                packed = samp_ref[g, c, 2].astype(jnp.int32)
+                m = ((packed >> 15) & 1).astype(jnp.float32)
+                st = pltpu.bitcast(
+                    (samp_ref[g, c, 0].astype(jnp.uint32) << 16)
+                    | samp_ref[g, c, 1].astype(jnp.uint32), jnp.float32)
+                lbx, lby, lbz = lb
+                hx = _axis_hats((wx[0], wx[1]), lbx)
+                hy = _axis_hats((wy[0], wy[1]), lby)
+                hz = _axis_hats((wz[0], wz[1]), lbz)
+
+                def dhat(lb_pl, scale):
+                    return [jnp.where(lb_pl == a, -scale,
+                                      jnp.where(lb_pl == a - 1, scale,
+                                                0.0))
+                            for a in range(3)]
+
+                dhx = dhat(lbx, 1.0)
+                dhy = dhat(lby, 1.0)
+                dhz = dhat(lbz, m)
+                hzx = {(a, b): hz[a] * hx[b]
+                       for a in range(3) for b in range(3)}
+                hyx = {(a, b): hy[a] * hx[b]
+                       for a in range(3) for b in range(3)}
+                dtx = dty = dtz = 0.0
+                for ch in range(4):
+                    dp = dplanes[ch]
+                    v = {}
+                    for vz in range(3):
+                        for vy in range(3):
+                            for vx in range(3):
+                                v[(vz, vy, vx)] = w2.expand_tab(
+                                    ch * 27 + vz * 9 + vy * 3 + vx, prep)
+                    for az in range(3):
+                        for ay in range(3):
+                            inner = sum(dhx[ax] * v[(az, ay, ax)]
+                                        for ax in range(3))
+                            dtx += dp * (hzy[(az, ay)] * inner)
+                    for az in range(3):
+                        for ax in range(3):
+                            inner = sum(dhy[ay] * v[(az, ay, ax)]
+                                        for ay in range(3))
+                            dty += dp * (hzx[(az, ax)] * inner)
+                    for ay in range(3):
+                        for ax in range(3):
+                            inner = sum(dhz[az] * v[(az, ay, ax)]
+                                        for az in range(3))
+                            dtz += dp * (hyx[(ay, ax)] * inner)
+                kx = jnp.float32(inv[0] * ns[0])
+                ky = jnp.float32(inv[1] * ns[1])
+                kz = jnp.float32(inv[2] * ns[2])
+                dcams = (dcams[0] + dtx * kx, dcams[1] + dty * ky,
+                         dcams[2] + dtz * kz,
+                         dcams[3] + dtx * st * kx,
+                         dcams[4] + dty * st * ky,
+                         dcams[5] + dtz * st * kz)
+            elif cam:
                 # Camera adjoint: dL/d(trilinear fraction) per axis from
                 # the weight adjoints (needs the corner VALUES again - 32
                 # more window expansions), chained to the ray planes:
@@ -837,21 +1011,22 @@ def _interpret_default() -> bool:
 
 
 def _pick_g_tiles(t_cnt, nc, nb, bwd_scratch=True,
-                  vmem_budget=6 << 20):
+                  vmem_budget=6 << 20, nch=NCH):
     """Tiles per grid step: amortize DMA-issue overhead while keeping
     double-buffered blocks + backward scratch within the VMEM budget. The
     schedule pads every group to a multiple of 8, so any power-of-two
-    choice <= 8 divides t_cnt."""
-    per_tile = (nb * NCH * LANES                     # tabs
+    choice <= 8 divides t_cnt. ``nch``: table rows per bank (32 cell /
+    108 supercell)."""
+    per_tile = (nb * nch * LANES                     # tabs
                 + nb * 3 * LANES                     # base
                 + 16 * LANES) * 4                    # rayt (12 -> 16 pad)
     per_tile += nc * 3 * ROWS * LANES * 2            # samp (u16 planes)
     scratch = nc * 5 * ROWS * LANES * 4 if bwd_scratch else 0
     if bwd_scratch:
-        per_tile += nb * NCH * LANES * 4             # dtabs out block
+        per_tile += nb * nch * LANES * 4             # dtabs out block
         # (the emit="rows16" variant's u16 block is the SAME byte size:
         # (128, 64) u16 == (32, 128) f32 per bank)
-        scratch += nb * NCH * LANES * 4              # rows16 accumulator
+        scratch += nb * nch * LANES * 4              # rows16 accumulator
     g = 8
     while g > 1 and (2 * g * per_tile + scratch > vmem_budget
                      or t_cnt % g):
@@ -861,7 +1036,8 @@ def _pick_g_tiles(t_cnt, nc, nb, bwd_scratch=True,
 
 @functools.lru_cache(maxsize=64)
 def _tile_op(nc, nb, subs, g_tiles, dt, t_near, t_far, k_max, stop,
-             interpret, gather, reduce, lo, inv, ns, cam=False):
+             interpret, gather, reduce, lo, inv, ns, cam=False,
+             stencil="cell"):
     """custom_vjp'd accumulator op for one (chunk count, bank count) group.
 
     (tabs (T,NB,32,128), samp (T,nc,3,16,128) u16, base (T,NB,3,128),
@@ -879,14 +1055,18 @@ def _tile_op(nc, nb, subs, g_tiles, dt, t_near, t_far, k_max, stop,
     # window-relative slots that would silently index the wrong banks
     check(not (gather == "mxu" and subs > 1),
           "gather='mxu' supports whole-tile windows only (subs == 1)")
+    check(not (gather == "mxu" and stencil == "super"),
+          "gather='mxu' supports the cell stencil only")
+    nch = stencil_rows(stencil)
     kw = dict(nc=nc, nb=nb, subs=subs, g_tiles=g_tiles, dt=dt,
               t_near=t_near, t_far=t_far, k_max=k_max, stop=stop,
-              gather=gather, reduce=reduce, lo=lo, inv=inv, ns=ns)
+              gather=gather, reduce=reduce, lo=lo, inv=inv, ns=ns,
+              stencil=stencil)
     kw_bwd = dict(kw, cam=cam)
 
     def in_specs():
         return [
-            pl.BlockSpec((g_tiles, nb, NCH, LANES),
+            pl.BlockSpec((g_tiles, nb, nch, LANES),
                          lambda i, ke, b0: (i, 0, 0, 0)),
             pl.BlockSpec((g_tiles, nc, 3, ROWS, LANES),
                          lambda i, ke, b0: (i, 0, 0, 0, 0)),
@@ -920,6 +1100,9 @@ def _tile_op(nc, nb, subs, g_tiles, dt, t_near, t_far, k_max, stop,
 
     def bwd_call(tabs, samp, base, rayt, ke, bank0, gs, emit="banks"):
         t_cnt = tabs.shape[0]
+        check(not (emit == "rows16" and stencil == "super"),
+              "rows16 emit is cell-stencil only (the u16 slot-row "
+              "relayout is 32-channel)")
         if emit == "rows16":
             out_shapes = [jax.ShapeDtypeStruct(
                 (t_cnt, nb, LANES, 64), jnp.uint16)]
@@ -927,8 +1110,8 @@ def _tile_op(nc, nb, subs, g_tiles, dt, t_near, t_far, k_max, stop,
                                       lambda i, ke, b0: (i, 0, 0, 0))]
         else:
             out_shapes = [jax.ShapeDtypeStruct(
-                (t_cnt, nb, NCH, LANES), jnp.float32)]
-            out_specs = [pl.BlockSpec((g_tiles, nb, NCH, LANES),
+                (t_cnt, nb, nch, LANES), jnp.float32)]
+            out_specs = [pl.BlockSpec((g_tiles, nb, nch, LANES),
                                       lambda i, ke, b0: (i, 0, 0, 0))]
         if cam:
             out_shapes.append(jax.ShapeDtypeStruct(
@@ -1003,7 +1186,7 @@ def _tile_op(nc, nb, subs, g_tiles, dt, t_near, t_far, k_max, stop,
 
 def tile_op_params(plan, geom, nb, n_chunks, subs, t_cnt,
                    interpret=None, gather="dg", reduce=None,
-                   cam_grads=False):
+                   cam_grads=False, stencil="cell"):
     """The hashable `_tile_op` key for one group - shared by
     render_tile_group_raw and the merged params->output VJP so both
     routes hit the same cached op (and the same compiled Mosaic
@@ -1020,19 +1203,21 @@ def tile_op_params(plan, geom, nb, n_chunks, subs, t_cnt,
         else 0.0
         for l, hi in zip(bbox_min, bbox_max))
     ns = (float(nx - 1), float(ny - 1), float(nz - 1))
-    g_tiles = _pick_g_tiles(int(t_cnt), int(n_chunks), int(nb))
+    g_tiles = _pick_g_tiles(int(t_cnt), int(n_chunks), int(nb),
+                            nch=stencil_rows(stencil))
     return (int(n_chunks), int(nb), int(subs), int(g_tiles),
             float(plan.sampling.dt), float(plan.t_near),
             float(plan.t_far), int(plan.sampling.max_steps),
             float(STOP_THRESHOLD), bool(interpret), str(gather),
-            str(reduce), lo, inv, ns, bool(cam_grads))
+            str(reduce), lo, inv, ns, bool(cam_grads), str(stencil))
 
 
 def render_tile_group_raw(plan, geom, tabs, samp, base, rayt, k_enter,
                           bank0, n_chunks, subs: int = 1,
                           interpret: bool | None = None,
                           gather: str = "dg", reduce: str = DEFAULT_REDUCE,
-                          cam_grads: bool = False):
+                          cam_grads: bool = False,
+                          stencil: str = "cell"):
     """Fused forward for one tile group, RAW accumulator heads.
 
     ``geom`` = (bbox_min, bbox_max, grid_shape_zyx) - the field geometry
@@ -1048,7 +1233,7 @@ def render_tile_group_raw(plan, geom, tabs, samp, base, rayt, k_enter,
     op = _tile_op(*tile_op_params(
         plan, geom, int(tabs.shape[1]), n_chunks, subs,
         int(tabs.shape[0]), interpret=interpret, gather=gather,
-        reduce=reduce, cam_grads=cam_grads))
+        reduce=reduce, cam_grads=cam_grads, stencil=stencil))
     ke1 = k_enter.reshape(-1).astype(jnp.int32)
     b01 = bank0.reshape(-1).astype(jnp.int32)
     return op(tabs, samp, base, rayt, ke1, b01)

@@ -419,6 +419,60 @@ def stack_plane_grads(t: jnp.ndarray, sigma_shape) -> tuple:
     return d_sigma, d_color
 
 
+def supercell_dims(grid_shape_zyx) -> tuple:
+    """Supergrid dims (SZ, SY, SX) for 2x2x2 supercells of base cells.
+
+    Base cells index [0, n-2] per axis (the clipped trilinear floor), so
+    supercell s = cell // 2 ranges [0, (n-2)//2] and S = n // 2 covers it
+    for every n >= 2 (even n: (n-2)//2 + 1 = n//2; odd: same)."""
+    z, y, x = (int(v) for v in grid_shape_zyx)
+    return (z // 2, y // 2, x // 2)
+
+
+def supercell_rows(grid_shape_zyx) -> int:
+    sz, sy, sx = supercell_dims(grid_shape_zyx)
+    return sz * sy * sx
+
+
+def build_supercell_stencil(sigma: jnp.ndarray,
+                            color: jnp.ndarray) -> jnp.ndarray:
+    """Pack the 3x3x3 VERTEX block of every 2x2x2 supercell of cells:
+    (R_s, 108) f32 with R_s = :func:`supercell_rows`, row s = supercell
+    (sz, sy, sx) at (sz*SY + sy)*SX + sx, col ch*27 + vz*9 + vy*3 + vx
+    (ch in sigma, r, g, b; vertex v at grid point (2s + v) per axis).
+
+    One slot then serves all 8 cells of the supercell: the fused tile
+    kernel selects each sample's cell corners from the 27 vertices with
+    hat-basis weights (ops/fused_tiles.py, stencil="super") whose
+    nonzero products are bit-identical to the per-cell trilinear. Breaks
+    the coarse-view table-economy collapse (~8x fewer slots per chunk
+    when rays sweep many cells - the VERDICT r3 flagship gap).
+
+    Vertices beyond the grid (2s + v > n-1, only reachable on the last
+    supercell of an even-sized axis) are ZERO-padded: every sample that
+    could read them carries an exactly-zero hat weight, so the value is
+    never observed. Differentiable by construction (zero pad + strided
+    slices; the adjoint is interior-padding, no scatters)."""
+    z, y, x = sigma.shape
+    SZ, SY, SX = supercell_dims((z, y, x))
+    pz_, py_, px_ = 2 * SZ + 1 - z, 2 * SY + 1 - y, 2 * SX + 1 - x
+    parts = []
+    for ch in range(4):
+        g = sigma if ch == 0 else color[..., ch - 1]
+        g = jnp.pad(g.astype(jnp.float32),
+                    ((0, pz_), (0, py_), (0, px_)))
+        for vz in (0, 1, 2):
+            for vy in (0, 1, 2):
+                for vx in (0, 1, 2):
+                    parts.append(jax.lax.slice(
+                        g, (vz, vy, vx),
+                        (vz + 2 * SZ - 1, vy + 2 * SY - 1,
+                         vx + 2 * SX - 1),
+                        (2, 2, 2)))
+    stacked = jnp.stack(parts, axis=0)        # (108, SZ, SY, SX)
+    return jnp.moveaxis(stacked, 0, -1).reshape(SZ * SY * SX, 108)
+
+
 def _split_u16(table: jnp.ndarray) -> jnp.ndarray:
     """f32 (C, W) -> u16 (C, 2W): hi halves then lo halves, row-aligned."""
     bits = jax.lax.bitcast_convert_type(table, jnp.uint32)

@@ -113,11 +113,28 @@ def _scheduled_views(plan: Plan, cameras: Sequence[CameraConfig], field,
                                             merge_view_schedules,
                                             render_tiled_stack)
         s0, _ = build_tiled_schedule_auto(plans[0], field, jitter=jitter,
-                                          quantize=True)
-        per_view = (s0,) + tuple(
+                                          quantize="uniform")
+        per_view = [s0] + [
             build_tiled_schedule(p, field, jitter=jitter,
-                                 tile_px=s0.tile_px, quantize=True)
-            for p in plans[1:])
+                                 tile_px=s0.tile_px, quantize="uniform",
+                                 cell_scale=s0.cell_scale)
+            for p in plans[1:]]
+        # Pin every view to the GLOBAL (nc, nb) maxima so the merged
+        # schedule is ONE group = one Mosaic kernel variant pair for
+        # the whole multi-view step (per-view uniform shapes may differ;
+        # the client-side Pallas trace/lowering of tens of variants
+        # dominated the fit's cold wall-clock before quantization).
+        shapes = {(g.n_chunks, g.banks) for s in per_view for g in s.groups}
+        if len(shapes) > 1:
+            nc_g = max(sh[0] for sh in shapes)
+            nb_g = max(sh[1] for sh in shapes)
+            per_view = [
+                build_tiled_schedule(p, field, jitter=jitter,
+                                     tile_px=s0.tile_px,
+                                     quantize="uniform",
+                                     cell_scale=s0.cell_scale,
+                                     uniform_shape=(nc_g, nb_g))
+                for p in plans]
         # plans= so views with FALLBACK rays (slot overflow) regenerate
         # them under their own camera, not the base plan's
         scheds = merge_view_schedules(per_view, plans=plans)
@@ -307,8 +324,13 @@ def fit_dense_grid(plan: Plan, field, cameras: Sequence[CameraConfig],
         # flagship: tiled 123 s to PSNR 35 vs windowed 43 s with steady
         # steps at parity (155 vs 168 ms). Prefer windowed when slot
         # traffic rivals the full lattice; explicit mode= overrides.
+        # Slot traffic in CELL-STENCIL-equivalents: a supercell slot
+        # (cell_scale=2) carries 108 table values where a cell slot
+        # carries 32, so weight by width - the HBM cost per slot per
+        # train step scales with the row bytes.
+        wgt = 108 / 32 if views[1].sched.cell_scale == 2 else 1.0
         slots = sum(g.n_tiles * g.banks * 128
-                    for g in views[1].sched.groups)
+                    for g in views[1].sched.groups) * wgt
         lattice = sum(int(p.ray_count) * int(p.sampling.max_steps)
                       for p in views[0])
         if 3 * slots > lattice:

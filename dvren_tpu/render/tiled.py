@@ -162,7 +162,7 @@ class GatherPlan:
 @pytree_dataclass(meta_fields=("total_rays", "tiled_samples",
                                "full_lattice_samples", "fallback_rays",
                                "grid_shape", "bbox", "tile_px",
-                               "table_kind", "pitch"))
+                               "table_kind", "pitch", "cell_scale"))
 @dataclass(frozen=True)
 class TiledSchedule:
     groups: tuple            # of TileGroup
@@ -196,6 +196,14 @@ class TiledSchedule:
     #                          (lane of cell = 2*pairrank + (cell & 1)),
     #                          halving gather starts for ~1.33x lane
     #                          inflation measured at the headline config
+    cell_scale: int = 1      # 1: one slot per grid cell (32-row packed
+    #                          stencil); 2: one slot per 2x2x2 SUPERCELL
+    #                          (108-row 3^3-vertex table,
+    #                          ops/grid.py::build_supercell_stencil) -
+    #                          ~8x the cells per slot for coarse views
+    #                          where the per-cell table economy collapses
+    #                          (the kernel consumes it with hat-basis
+    #                          weights, stencil="super")
 
 
 def build_tiled_schedule_auto(plan: Plan, field,
@@ -203,24 +211,36 @@ def build_tiled_schedule_auto(plan: Plan, field,
                               occupancy: bool = False,
                               quantize: bool = False,
                               pitch: int = 1):
-    """Build the schedule at the coarsest tile_px whose slot tables hold
-    the scene: 16px, then the 8px / 4px fine-grid rescues when >10% of
-    rays fall back (finer sub-tiles divide the cells a table must hold;
-    4px can never overflow - <= 128 samples per run, <= 256 lanes even
-    at pitch 2). Returns (schedule, note_or_None)."""
+    """Build the schedule at the coarsest configuration whose slot
+    tables hold the scene: 16px cell tables first, then 2x2x2 SUPERCELL
+    tables at 16px (8x the cells per slot - the coarse-view rescue,
+    where rays sweep many cells per chunk), then the 8px / 4px sub-tile
+    cascade when >10% of rays still fall back (finer sub-tiles divide
+    the cells a table must hold; 4px can never overflow - <= 128
+    samples per run, <= 256 lanes even at pitch 2). Returns
+    (schedule, note_or_None)."""
     sched = build_tiled_schedule(plan, field, jitter=jitter,
                                  occupancy=occupancy, quantize=quantize,
                                  pitch=pitch)
     note = None
-    for px in (8, 4):
+    supercell_ok = (not hasattr(field, "bricks")
+                    and getattr(field, "packed_dtype", "float32")
+                    == "float32")
+    if supercell_ok:
+        cascade = [(16, 2), (8, 1), (8, 2), (4, 1)]
+    else:
+        cascade = [(8, 1), (4, 1)]
+    for px, scale in cascade:
         if sched.fallback_rays * 10 <= sched.total_rays:
             break
         s_fine = build_tiled_schedule(plan, field, jitter=jitter,
                                       occupancy=occupancy, tile_px=px,
-                                      quantize=quantize, pitch=pitch)
+                                      quantize=quantize, pitch=pitch,
+                                      cell_scale=scale)
         if s_fine.fallback_rays < sched.fallback_rays:
             sched = s_fine
-            note = f"tiled_subtiled_{px}px"
+            note = (f"tiled_subtiled_{px}px" if scale == 1
+                    else f"tiled_supercell_{px}px")
     return sched, note
 
 
@@ -484,7 +504,10 @@ def build_tiled_schedule(plan: Plan, field,
                          occupancy: bool = False,
                          tile_px: int = 16,
                          quantize: bool = False,
-                         pitch: int = 1) -> TiledSchedule:
+                         pitch: int = 1,
+                         cell_scale: int = 1,
+                         uniform_shape: tuple | None = None
+                         ) -> TiledSchedule:
     """Build the tile-table schedule for (plan, field bbox + resolution).
 
     ``jitter``: the (N, K) host table for stratified plans
@@ -529,6 +552,15 @@ def build_tiled_schedule(plan: Plan, field,
     """
     check(tile_px in (4, 8, 16), "tile_px must be 4, 8 or 16")
     check(pitch in (1, 2), "pitch must be 1 or 2")
+    check(cell_scale in (1, 2), "cell_scale must be 1 or 2")
+    if cell_scale == 2:
+        check(not hasattr(field, "bricks"),
+              "cell_scale=2 (supercell tables) supports dense grids only")
+        check(getattr(field, "packed_dtype", "float32") == "float32",
+              "cell_scale=2 requires float32 tables")
+        # pair-pitch packs consecutive PACKED rows; supercell rows are
+        # not pairwise-fetchable the same way - structurally pitch 1
+        pitch = 1
     if pitch == 2 and hasattr(field, "bricks"):
         gs = tuple(int(v) for v in field.grid_shape)
         if gs[2] % 2:
@@ -593,7 +625,28 @@ def build_tiled_schedule(plan: Plan, field,
     budget = np.maximum(tile_kx - tile_ke, 0)
     budget = np.minimum(-(-budget // CHUNK) * CHUNK, -(-k_max // CHUNK) * CHUNK)
     n_chunks_tile = (budget // CHUNK).astype(np.int64)
-    if quantize:
+    if quantize == "uniform" or uniform_shape is not None:
+        # ONE (nc, nb) class for every tile: pads each tile's window to
+        # the longest (extra chunks are fully masked - exact zeros) and
+        # every tile's bank space to the widest, so the whole schedule
+        # (and, with equal maxima, a whole multi-view merge) compiles
+        # ONE Mosaic kernel variant pair. Bit-identical renders; the
+        # padding waste is bounded by the (nc, nb) spread (~30% at the
+        # fit flagship vs ~19 variants unpadded, whose client-side
+        # trace/lowering dominated the fit's cold wall-clock).
+        # ``uniform_shape=(nc, nb)`` pins the class EXPLICITLY (>= this
+        # schedule's own maxima - a multi-view fit pins every view to
+        # the global maxima so the merge is one group).
+        live_nc = n_chunks_tile[tile_live & (n_chunks_tile > 0)]
+        if live_nc.size:
+            nc_u = int(live_nc.max())
+            if uniform_shape is not None:
+                check(uniform_shape[0] >= nc_u,
+                      "uniform_shape nc below this schedule's maximum")
+                nc_u = int(uniform_shape[0])
+            n_chunks_tile = np.where(
+                tile_live & (n_chunks_tile > 0), nc_u, n_chunks_tile)
+    elif quantize:
         nc_cap = -(-k_max // CHUNK)
         lut = np.array([_quant_up(v, nc_cap)
                         for v in range(int(n_chunks_tile.max()) + 1)]
@@ -636,7 +689,9 @@ def build_tiled_schedule(plan: Plan, field,
             # chunk) hot loop in ONE pass (march t, jitter, cell index +
             # mask with numpy-exact f32 arithmetic, kernel lane layout,
             # run-pack scan) - no full-array temporaries. Byte-identical
-            # to the numpy block below (tools/sched_hash.py).
+            # to the numpy block below (tools/sched_hash.py). With
+            # cell_scale=2 the packed ids are SUPERCELL ids and lidx
+            # carries the sample's cell-within-supercell bits at <<16.
             (st_l, m_l, lidx, lanes_run, ucell, ulane, n_u, upair,
              n_p) = native_mod.build_runs(
                 ot, dtn, safe, live_r, ke_t, nc, n_sub,
@@ -644,7 +699,8 @@ def build_tiled_schedule(plan: Plan, field,
                 int(k_max), jitter, int(n),
                 np.asarray(bbox_min, np.float32),
                 np.asarray(inv_ext, np.float32), (nx, ny, nz),
-                pitch, int(_SENTINEL), umax, pmax)
+                pitch, int(_SENTINEL), umax, pmax,
+                cell_scale=cell_scale)
         else:
             k = (ke_t[:, None, None]
                  + np.arange(k_steps,
@@ -682,7 +738,15 @@ def build_tiled_schedule(plan: Plan, field,
             in_y, iy = _axis(py, bbox_min[1], inv_ext[1], ny)
             in_z, iz = _axis(pz, bbox_min[2], inv_ext[2], nz)
             m = (in_x & in_y & in_z & live)
-            cell = (iz * ny + iy) * nx + ix  # FULL-pitch packed row
+            if cell_scale == 2:
+                # SUPERCELL packed row + the sample's cell-within-
+                # supercell bits (lb = lx + 2*ly + 4*lz)
+                snx_, sny_ = nx // 2, ny // 2
+                cell = ((iz >> 1) * sny_ + (iy >> 1)) * snx_ + (ix >> 1)
+                lb = np.where(m, (ix & 1) + 2 * (iy & 1) + 4 * (iz & 1),
+                              0).astype(np.int32)
+            else:
+                cell = (iz * ny + iy) * nx + ix  # FULL-pitch packed row
 
             # -> (tile, chunk, block row, lane) sample layout
             def to_lanes(a):
@@ -698,6 +762,15 @@ def build_tiled_schedule(plan: Plan, field,
             flat = cell_l.reshape(t_cnt * nc * n_sub, sub_cols)
             (lidx, lanes_run, ucell, ulane, n_u, upair,
              n_p) = _pack_runs_numpy(flat, pitch, umax, pmax)
+            if cell_scale == 2:
+                lidx = lidx | (to_lanes(lb).reshape(
+                    t_cnt * nc * n_sub, sub_cols).astype(np.int32) << 16)
+
+        if cell_scale == 2:
+            # split the packed lidx: low 16 bits = lane, bits 16.. = the
+            # sample's cell-within-supercell (lx | ly<<1 | lz<<2)
+            lb_l = (lidx >> 16).astype(np.int32)
+            lidx = (lidx & 0xFFFF).astype(np.int32)
 
         # Compact ray planes: (T, 12, 128), row = ax*2 + half for axes
         # (ox, oy, oz, dx, dy, dz), lane = ray % 128 (the kernel expands
@@ -760,8 +833,28 @@ def build_tiled_schedule(plan: Plan, field,
                        offs_f.reshape(t_cnt, nc, n_sub))
         nb_tile = np.where(overflow, 0,
                            np.maximum(-(-cur // MAX_CELLS), 1))
-        if quantize:
-            qmap = {int(v): _quant_up(int(v))
+        if cell_scale == 2:
+            # the supercell packed word has 12 lane bits -> <= 31 banks;
+            # wider tiles demote to the windowed fallback whole
+            too_wide = (~overflow) & (nb_tile > 31)
+            if too_wide.any():
+                fb2 = ids[too_wide][live_r[too_wide]]
+                if fb2.size:
+                    fallback_rays.append(fb2)
+                overflow = overflow | too_wide
+                nb_tile = np.where(too_wide, 0, nb_tile)
+        if quantize == "uniform" or uniform_shape is not None:
+            if (~overflow).any():
+                nb_u = int(nb_tile[~overflow].max())
+                if uniform_shape is not None:
+                    check(uniform_shape[1] >= nb_u,
+                          "uniform_shape nb below this schedule's "
+                          "maximum")
+                    nb_u = int(uniform_shape[1])
+                nb_tile = np.where(~overflow, nb_u, 0)
+        elif quantize:
+            nb_cap = 31 if cell_scale == 2 else None
+            qmap = {int(v): _quant_up(int(v), nb_cap)
                     for v in np.unique(nb_tile[~overflow])}
             nb_tile = np.where(
                 overflow, 0,
@@ -826,10 +919,21 @@ def build_tiled_schedule(plan: Plan, field,
             # per-lane cell bases + the compact ray planes (fused_tiles
             # is bandwidth-bound; f32 planes cost 8 B/sample, shipped
             # fractions 2.5x more). Only bit ops and DMA may touch this
-            # array - it is integer data, not numbers.
-            check(nb <= 255, "bank space exceeds the 15-bit lane id")
-            packed_bits = (lidx_local
-                           | (m_k.astype(np.int32) << 15))
+            # array - it is integer data, not numbers. Supercell
+            # schedules additionally pack the sample's cell-within-
+            # supercell bits at 12..14 (lane then has 12 bits -> <= 31
+            # banks per tile).
+            if cell_scale == 2:
+                check(nb <= 31,
+                      "supercell bank space exceeds the 12-bit lane id")
+                lb_k = lb_l.reshape(t_cnt, nc, n_sub, sub_cols)[
+                    keep].reshape(t_kept, nc, 16, 128)
+                packed_bits = (lidx_local | (lb_k << 12)
+                               | (m_k.astype(np.int32) << 15))
+            else:
+                check(nb <= 255, "bank space exceeds the 15-bit lane id")
+                packed_bits = (lidx_local
+                               | (m_k.astype(np.int32) << 15))
             st_bits = np.ascontiguousarray(st_l[keep]).view(np.uint32)
             samp = np.stack(
                 [(st_bits >> 16).astype(np.uint16),
@@ -840,12 +944,23 @@ def build_tiled_schedule(plan: Plan, field,
             # Per-lane cell base coordinates (the host's clipped floor
             # indices, exactly - recovered from the lane's cell id; dead
             # -1 lanes clamp to cell 0 like the device gather does).
+            # Supercell lanes store the VERTEX ORIGIN (2*s per axis);
+            # the kernel adds the sample's l bits to recover its cell
+            # base exactly.
             hm_c = np.maximum(hostmap, 0)
-            iz_u = hm_c // (ny * nx)
-            rem_u = hm_c % (ny * nx)
-            base = np.stack(
-                [(rem_u % nx), (rem_u // nx), iz_u],
-                axis=1).astype(np.float32)            # (T, 3, lanes)
+            if cell_scale == 2:
+                snx_, sny_ = nx // 2, ny // 2
+                iz_u = hm_c // (sny_ * snx_)
+                rem_u = hm_c % (sny_ * snx_)
+                base = np.stack(
+                    [2 * (rem_u % snx_), 2 * (rem_u // snx_), 2 * iz_u],
+                    axis=1).astype(np.float32)        # (T, 3, lanes)
+            else:
+                iz_u = hm_c // (ny * nx)
+                rem_u = hm_c % (ny * nx)
+                base = np.stack(
+                    [(rem_u % nx), (rem_u // nx), iz_u],
+                    axis=1).astype(np.float32)        # (T, 3, lanes)
             base = base.reshape(t_kept, 3, nb, MAX_CELLS).transpose(
                 0, 2, 1, 3)                           # (T, nb, 3, 128)
             rayt = rayt_all[keep]
@@ -974,6 +1089,8 @@ def build_tiled_schedule(plan: Plan, field,
     if sparse:
         from dvren_tpu.fields.sparse_grid import BRICK as _BRICK
         n_rows = int(field.bricks.shape[0]) * _BRICK ** 3
+    elif cell_scale == 2:
+        n_rows = grid_ops.supercell_rows((nz, ny, nx))
     else:
         n_rows = grid_ops.fullpitch_rows((nz, ny, nx))
     return TiledSchedule(
@@ -991,6 +1108,7 @@ def build_tiled_schedule(plan: Plan, field,
         tile_px=tile_px,
         table_kind="sparse" if sparse else "dense",
         pitch=pitch,
+        cell_scale=cell_scale,
     )
 
 
@@ -1192,6 +1310,56 @@ def ct16_rows_to_table16(ct16, all_idx, meta, inv_map, w):
     return jnp.take(v16, inv_map, axis=0, mode="clip")
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gather_banks_f32(table, gathermap_all, plan, static):
+    """Planned bank-table gather for ARBITRARY row width (the supercell
+    route: (R_s, 108) tables; the 32-col cell route keeps the u16-domain
+    :func:`_gather_bank_tables`). Forward gathers through the bit-exact
+    u16 split (2-byte row gathers, ops/grid.py::take_rows_exact
+    rationale) and transposes in f32 - at w = 108 the lane padding is
+    only 128/108, so the u16-domain transpose buys little. Backward is
+    the same planned gather-transpose class reduction, in f32.
+
+    ``static`` = (w, group_shapes)."""
+    w, group_shapes = static
+    rows = grid_ops.take_rows_exact(table, gathermap_all)  # (S, w)
+    banks_all = jnp.swapaxes(rows.reshape(-1, MAX_CELLS, w), 1, 2)
+    out, off = [], 0
+    for t_cnt, nb in group_shapes:
+        out.append(banks_all[off:off + t_cnt * nb].reshape(
+            t_cnt, nb, w, MAX_CELLS))
+        off += t_cnt * nb
+    return tuple(out)
+
+
+def _gather_banks_f32_fwd(table, gathermap_all, plan, static):
+    return (_gather_banks_f32(table, gathermap_all, plan, static),
+            (plan, table.shape))
+
+
+def _gather_banks_f32_bwd(static, res, cts):
+    plan, tshape = res
+    w, _ = static
+    ct = jnp.concatenate([c.reshape(-1, w, MAX_CELLS) for c in cts])
+    rows = jnp.swapaxes(ct, 1, 2).reshape(-1, w)       # (S, w) f32
+    rows = jnp.concatenate([rows, jnp.zeros((1, w), rows.dtype)])
+    g = jnp.take(rows, plan.all_idx, axis=0, mode="clip")
+    parts = []
+    for off, n_k, c_k in plan.meta:
+        if c_k == 1:
+            parts.append(g[off:off + n_k])
+        else:
+            parts.append(g[off:off + n_k * c_k].reshape(
+                n_k, c_k, w).sum(axis=1))
+    parts.append(jnp.zeros((1, w), rows.dtype))
+    v = jnp.concatenate(parts)
+    return (jnp.take(v, plan.inv_map, axis=0, mode="clip"),
+            None, None)
+
+
+_gather_banks_f32.defvjp(_gather_banks_f32_fwd, _gather_banks_f32_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def bank_tables_from_params(sigma, color, gathermap_all, plan, static):
     """Dense-grid params -> per-group kernel bank tables in ONE
@@ -1324,9 +1492,10 @@ _groupset_from_params.defvjp(_groupset_from_params_fwd,
 
 def _dense_f32_route(field, sched) -> bool:
     """True when the schedule's planned bank gather can run the fused
-    params->banks route (dense f32 grid; sparse bricks and bf16/f16
-    tables keep the flat-table chain)."""
+    params->banks route (dense f32 grid; sparse bricks, bf16/f16 tables
+    and supercell schedules keep the flat-table chain)."""
     return (sched.table_kind == "dense"
+            and sched.cell_scale == 1
             and getattr(field, "packed_dtype", "float32") == "float32"
             and sched.gather_plan is not None
             and bool(sched.hostmap_all.size))
@@ -1348,6 +1517,10 @@ def _planned_bank_tables(field, sched, packed_flat):
             sched.gather_plan, static)
     if (packed_flat is not None and packed_flat.dtype == jnp.float32
             and sched.gather_plan is not None and sched.hostmap_all.size):
+        if sched.cell_scale == 2:
+            return _gather_banks_f32(
+                packed_flat, sched.gathermap_all, sched.gather_plan,
+                (int(packed_flat.shape[1]), static[1]))
         return _gather_bank_tables(packed_flat, sched.gathermap_all,
                                    sched.gather_plan, static)
     return None
@@ -1368,6 +1541,11 @@ def _schedule_table(field, schedule: "TiledSchedule") -> jnp.ndarray:
     check(tuple(int(v) for v in np.asarray(field.sigma.shape[:3]))
           == tuple(schedule.grid_shape),
           "schedule was built for a different grid resolution")
+    if schedule.cell_scale == 2:
+        # (R_s, 108) supercell vertex table - differentiable jnp build
+        # (zero pad + strided slices), so the whole params -> banks ->
+        # kernel chain autodiffs without a fused u16 route
+        return grid_ops.build_supercell_stencil(field.sigma, field.color)
     return grid_ops.build_packed_stencil_fullpitch(
         field.sigma, field.color,
         dtype=grid_ops.table_dtype(
@@ -1375,30 +1553,39 @@ def _schedule_table(field, schedule: "TiledSchedule") -> jnp.ndarray:
 
 
 def _group_tables(packed_flat: jnp.ndarray, group: TileGroup) -> jnp.ndarray:
-    """Gather + transpose the group's bank tables: (T, banks, 32, 128).
+    """Gather + transpose the group's bank tables: (T, banks, w, 128)
+    with w the table row width (32 cell stencil / 108 supercell).
 
     One row-gather per bank LANE (each a distinct cell of the tile's
     dense bank packing - no per-sample or per-chunk duplication) through
     the bit-exact u16 path."""
+    w = int(packed_flat.shape[1])
     if packed_flat.dtype == jnp.float32:
         rows = grid_ops.take_rows_exact(packed_flat, group.hostmap)
     else:
         rows = jnp.take(packed_flat, group.hostmap,
                         axis=0).astype(jnp.float32)
-    tabs = rows.reshape(group.n_tiles, group.banks, MAX_CELLS, 32)
+    tabs = rows.reshape(group.n_tiles, group.banks, MAX_CELLS, w)
     return jnp.swapaxes(tabs, 2, 3)
 
 
-def _group_reference_planes(plan: Plan, tabs, group: TileGroup, geom):
+def _group_reference_planes(plan: Plan, tabs, group: TileGroup, geom,
+                            cell_scale: int = 1):
     """Pure-jnp consumer of a tile group (the kernel's reference oracle and
     the non-TPU fallback): per-sample sigma/color planes in (N, K) layout
     plus dt/mask, ready for ops.integrate. Mirrors the kernel's in-graph
-    fraction recompute (ops/fused_tiles.py::_sample_geometry)."""
+    fraction recompute (ops/fused_tiles.py::_sample_geometry /
+    _sample_geometry_super)."""
     bbox_min, bbox_max, (gnz, gny, gnx) = geom
     t_cnt, nc = group.n_tiles, group.n_chunks
     packed = group.samp[:, :, 2].astype(jnp.int32)
     m = ((packed >> 15) & 1).astype(jnp.float32)
-    lidx = packed & 0x7FFF                        # tile-local bank lane
+    if cell_scale == 2:
+        lidx = packed & 0xFFF                     # tile-local bank lane
+        lb = ((packed >> 12) & 1, (packed >> 13) & 1, (packed >> 14) & 1)
+    else:
+        lidx = packed & 0x7FFF                    # tile-local bank lane
+        lb = None
     st = jax.lax.bitcast_convert_type(
         (group.samp[:, :, 0].astype(jnp.uint32) << 16)
         | group.samp[:, :, 1].astype(jnp.uint32), jnp.float32)
@@ -1426,7 +1613,10 @@ def _group_reference_planes(plan: Plan, tabs, group: TileGroup, geom):
         ext = float(bbox_max[ax]) - float(bbox_min[ax])
         inv_v = jnp.float32(1.0 / ext if ext != 0.0 else 0.0)
         f = ((p - lo_v) * inv_v) * jnp.float32(npts - 1)
-        return f - base_gather(ax)
+        basec = base_gather(ax)
+        if lb is not None:
+            basec = basec + lb[ax].astype(jnp.float32)
+        return f - basec
 
     tx = frac(0, 3, 0, gnx)
     ty = frac(1, 4, 1, gny)
@@ -1434,16 +1624,38 @@ def _group_reference_planes(plan: Plan, tabs, group: TileGroup, geom):
 
     # cube[t, c, cc, r, l] = tabs_f[t, cc, lidx[t, c, r, l]] over the
     # tile's flattened bank lanes
-    tabs_f = tabs.transpose(0, 2, 1, 3).reshape(t_cnt, 32, lanes)
+    w_t = int(tabs.shape[2])                      # 32 cell / 108 super
+    tabs_f = tabs.transpose(0, 2, 1, 3).reshape(t_cnt, w_t, lanes)
     cube = jnp.take_along_axis(
         tabs_f[:, None, :, :],
         lidx.reshape(t_cnt, nc, 1, 16 * 128), axis=-1).reshape(
-        t_cnt, nc, 32, 16, 128)
+        t_cnt, nc, w_t, 16, 128)
 
     wx = [1.0 - tx, tx]
     wy = [1.0 - ty, ty]
     wz = [m * (1.0 - tz), m * tz]
     planes = []
+    if cell_scale == 2:
+        # hat-basis selection over the 27-vertex supercell block: the
+        # nonzero products are exactly the cell-path corner weights
+        lbx, lby, lbz = (v.astype(jnp.int32) for v in lb)
+
+        def hats(w, lb_pl):
+            return [jnp.where(lb_pl == a, w[0],
+                              jnp.where(lb_pl == a - 1, w[1], 0.0))
+                    for a in range(3)]
+
+        hx, hy, hz = hats(wx, lbx), hats(wy, lby), hats(wz, lbz)
+        for ch in range(4):
+            acc = jnp.zeros_like(tx)
+            for vz in range(3):
+                for vy in range(3):
+                    for vx in range(3):
+                        acc = acc + ((hz[vz] * hy[vy]) * hx[vx]
+                                     * cube[:, :, ch * 27
+                                            + vz * 9 + vy * 3 + vx])
+            planes.append(acc)
+        return tuple(planes)
     for ch in range(4):
         acc = jnp.zeros_like(tx)
         for dz in (0, 1):
@@ -1466,11 +1678,12 @@ def _lanes_to_rays(a):
 
 
 def _group_outputs_reference(plan: Plan, packed_flat, group: TileGroup,
-                             geom):
+                             geom, cell_scale: int = 1):
     """Per-ray integration outputs for one group (pure jnp)."""
     tabs = _group_tables(packed_flat, group)
     sig, cr, cg, cb = (_lanes_to_rays(p) for p in
-                       _group_reference_planes(plan, tabs, group, geom))
+                       _group_reference_planes(plan, tabs, group, geom,
+                                               cell_scale=cell_scale))
 
     nc = group.n_chunks
     k_steps = nc * CHUNK
@@ -1528,6 +1741,7 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
     packed_flat = None if dense_f32 else _schedule_table(field, schedule)
 
     geom = (schedule.bbox[0], schedule.bbox[1], schedule.grid_shape)
+    stencil = "super" if schedule.cell_scale == 2 else "cell"
     with_cam = k is not None or c2w is not None
     check(not with_cam or use_kernel,
           "camera gradients ride the kernel path (use_kernel=True)")
@@ -1615,11 +1829,12 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
                 plan, geom, tabs, group.samp, group.base, rayts[gi],
                 group.k_enter, group.bank0, group.n_chunks,
                 subs=subs, gather=gather,
-                reduce=reduce, cam_grads=with_cam))
+                reduce=reduce, cam_grads=with_cam, stencil=stencil))
         return _compose_tiles(plan, raws, ids, fallback_parts,
                               tile_px=schedule.tile_px)
 
-    parts = [_group_outputs_reference(plan, packed_flat, group, geom)
+    parts = [_group_outputs_reference(plan, packed_flat, group, geom,
+                                      cell_scale=schedule.cell_scale)
              for group in schedule.groups] + fallback_parts
     if not parts:
         return windowed_mod._compose_planes(
@@ -1672,9 +1887,10 @@ def merge_view_schedules(scheds, plans=None) -> MergedViewSchedule:
               and s.grid_shape == base.grid_shape
               and s.bbox == base.bbox
               and s.table_kind == base.table_kind
-              and s.pitch == base.pitch,
+              and s.pitch == base.pitch
+              and s.cell_scale == base.cell_scale,
               "merge_view_schedules: schedules must share tile_px, pitch, "
-              "grid and bbox (build all views at one tile_px)")
+              "cell_scale, grid and bbox (build all views at one tile_px)")
     keys = sorted({(g.n_chunks, g.banks)
                    for s in scheds for g in s.groups})
     merged, slices_all, host_parts, gmap_parts = [], [], [], []
@@ -1726,7 +1942,7 @@ def merge_view_schedules(scheds, plans=None) -> MergedViewSchedule:
         fallback_rays=sum(s.fallback_rays for s in scheds),
         grid_shape=base.grid_shape, bbox=base.bbox,
         tile_px=base.tile_px, table_kind=base.table_kind,
-        pitch=base.pitch)
+        pitch=base.pitch, cell_scale=base.cell_scale)
     view_cams = None
     if plans is not None:
         check(len(plans) == len(scheds),
@@ -1766,6 +1982,7 @@ def render_tiled_stack(plan: Plan, field, merged: MergedViewSchedule,
     packed_flat = None if dense_f32 else _schedule_table(field, sched)
     geom = (sched.bbox[0], sched.bbox[1], sched.grid_shape)
     subs = (16 // sched.tile_px) ** 2
+    stencil = "super" if sched.cell_scale == 2 else "cell"
 
     if use_kernel:
         from dvren_tpu.ops import fused_tiles
@@ -1778,9 +1995,11 @@ def render_tiled_stack(plan: Plan, field, merged: MergedViewSchedule,
             raws.append(fused_tiles.render_tile_group_raw(
                 plan, geom, tabs, group.samp, group.base, group.rayt,
                 group.k_enter, group.bank0, group.n_chunks,
-                subs=subs, gather=gather, reduce=reduce))
+                subs=subs, gather=gather, reduce=reduce,
+                stencil=stencil))
     else:
-        parts = [_group_outputs_reference(plan, packed_flat, group, geom)
+        parts = [_group_outputs_reference(plan, packed_flat, group, geom,
+                                          cell_scale=sched.cell_scale)
                  for group in sched.groups]
 
     images = []
@@ -1873,7 +2092,9 @@ def render_tiled_phases(plan: Plan, schedule: TiledSchedule,
                 plan, geom, tb, g.samp, g.base, g.rayt, g.k_enter,
                 g.bank0, g.n_chunks,
                 subs=(16 // schedule.tile_px) ** 2,
-                gather=gather, reduce=reduce)
+                gather=gather, reduce=reduce,
+                stencil=("super" if schedule.cell_scale == 2
+                         else "cell"))
             for g, tb in zip(schedule.groups, tabs))
 
     def compose_fn(field, raws):

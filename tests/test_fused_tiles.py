@@ -286,6 +286,7 @@ def test_renderer_tiled_backward_camera_grads():
                                rtol=2e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_renderer_tile_pitch_bit_identical():
     """RenderOptions.tile_pitch=2 routes the tiled path through the
     cell-pair gather schedule; forward and backward are bit-identical to

@@ -178,6 +178,7 @@ def test_explicit_use_window_beats_auto_tiles(monkeypatch):
     assert r2._use_tiles(field)
 
 
+@pytest.mark.slow
 def test_auto_tiles_rescues_fine_grid(monkeypatch):
     """Fine grids under wide frusta overflow the 16px/8px slot tables
     (round 2 demoted exactly this class to the windowed path); auto mode

@@ -186,6 +186,7 @@ def test_pose_refinement_converges():
     assert err1 < err0 * 0.5
 
 
+@pytest.mark.slow
 def test_pose_refinement_converges_tiled():
     """Pose refinement riding the TILED fast path (round 3): camera
     gradients come from the fused kernel's ray-plane adjoint; the

@@ -251,6 +251,7 @@ def test_subtiled_rescues_fine_grid_overflow():
                         full)
 
 
+@pytest.mark.slow
 def test_subtiled_4px_rescues_2px_per_cell():
     """~2 px/cell (the 256^3-under-512^2 class scaled down: 48^3 under
     96^2): 8px sub-tiles still overflow, 4px (one block row per
@@ -336,6 +337,7 @@ def test_subtiled_gradients_match_full():
                                rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_quantized_schedule_bit_identical():
     """Kernel-variant quantization (round 3): rounding group (nc, nb)
     shapes up to the _QUANT series pads only fully-masked chunks and
@@ -367,6 +369,7 @@ def test_quantized_schedule_bit_identical():
     np.testing.assert_array_equal(np.asarray(ge[1]), np.asarray(gq[1]))
 
 
+@pytest.mark.slow
 def test_merged_view_schedule_matches_per_view():
     """Multi-view merge (round 3): tiles from different views sharing a
     (nc, nb) class render through ONE kernel call; the (V, H, W, 3) stack
@@ -411,6 +414,7 @@ def test_merged_view_schedule_matches_per_view():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pair_pitch_bit_identical():
     """pitch=2 packs runs at cell-PAIR granularity so the forward table
     gather fetches two consecutive packed rows per start (half the
@@ -448,6 +452,7 @@ def test_pair_pitch_bit_identical():
     np.testing.assert_array_equal(np.asarray(g1[1]), np.asarray(g2[1]))
 
 
+@pytest.mark.slow
 def test_pair_pitch_subtiled_and_merged():
     """pitch=2 composes with the fine-grid sub-tiled windows, shape
     quantization and the multi-view merge (the fit path). 4px sub-tiles
@@ -487,6 +492,7 @@ def test_pair_pitch_subtiled_and_merged():
         np.asarray(render_tiled_stack(plan, field, merged1)))
 
 
+@pytest.mark.slow
 def test_bwd_split_pallas_bit_identical(monkeypatch):
     """The Pallas bank-block -> u16 slot-row cotangent relayout
     (ops/packed_transpose.py::banks_to_u16_rows) is pure integer
@@ -581,6 +587,7 @@ def test_u16_transpose_kernels_bit_exact():
                                   np.asarray(ref_b).view(np.uint32))
 
 
+@pytest.mark.slow
 def test_groupset_merged_vjp_bit_identical(monkeypatch):
     """The merged params->output custom VJP (_groupset_from_params: the
     dense-f32 production route whose backward kernel emits u16 slot rows

@@ -49,8 +49,10 @@ def load_manifest(path: str) -> list[dict]:
 def run_cases(cases: list[dict]) -> list[dict]:
     """One pytest invocation for all nodes; parse the result per node."""
     nodes = [c["test"] for c in cases]
+    # -o addopts= : the contract runner ALWAYS runs its full node set,
+    # overriding the default suite's "-m 'not slow'" tier filter.
     cmd = [sys.executable, "-m", "pytest", "-q", "--no-header",
-           "--tb=line", *dict.fromkeys(nodes)]
+           "--tb=line", "-o", "addopts=", *dict.fromkeys(nodes)]
     proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
     out = proc.stdout + proc.stderr
 
