@@ -45,7 +45,10 @@ class FitResult:
     psnr_history: list[float] = dc_field(default_factory=list)
     loss_history: list[float] = dc_field(default_factory=list)
     steps_run: int = 0
-    wall_clock_s: float = 0.0
+    wall_clock_s: float = 0.0    # INCLUDES the schedule build (round 4:
+    #                              the build was previously outside the
+    #                              clock, hiding its cost)
+    schedule_build_s: float = 0.0  # host schedule build + merge + upload
     first_step_s: float = 0.0    # includes jit compile / cache load
     steady_step_ms: float = 0.0  # mean of the remaining steps
     reached_target: bool = False
@@ -112,12 +115,17 @@ def _scheduled_views(plan: Plan, cameras: Sequence[CameraConfig], field,
                                             build_tiled_schedule_auto,
                                             merge_view_schedules,
                                             render_tiled_stack)
+        # device=False: per-view schedules exist only to be MERGED -
+        # keep them host-side (numpy leaves) so the merge concatenates
+        # at memcpy speed and uploads once (a device-array merge cost
+        # 81 s of per-concat tunnel dispatches at the fit flagship).
         s0, _ = build_tiled_schedule_auto(plans[0], field, jitter=jitter,
-                                          quantize="uniform")
+                                          quantize="uniform",
+                                          device=False)
         per_view = [s0] + [
             build_tiled_schedule(p, field, jitter=jitter,
                                  tile_px=s0.tile_px, quantize="uniform",
-                                 cell_scale=s0.cell_scale)
+                                 cell_scale=s0.cell_scale, device=False)
             for p in plans[1:]]
         # Pin every view to the GLOBAL (nc, nb) maxima so the merged
         # schedule is ONE group = one Mosaic kernel variant pair for
@@ -133,7 +141,8 @@ def _scheduled_views(plan: Plan, cameras: Sequence[CameraConfig], field,
                                      tile_px=s0.tile_px,
                                      quantize="uniform",
                                      cell_scale=s0.cell_scale,
-                                     uniform_shape=(nc_g, nb_g))
+                                     uniform_shape=(nc_g, nb_g),
+                                     device=False)
                 for p in plans]
         # plans= so views with FALLBACK rays (slot overflow) regenerate
         # them under their own camera, not the base plan's
@@ -306,6 +315,7 @@ def fit_dense_grid(plan: Plan, field, cameras: Sequence[CameraConfig],
     auto = mode is None
     if auto:
         mode = scheduled_mode_for(field) or "plain"
+    t_build0 = time.perf_counter()
     views = None
     if mode in ("tiled", "windowed"):
         views = _scheduled_views(plan, cameras, field, mode)
@@ -327,13 +337,20 @@ def fit_dense_grid(plan: Plan, field, cameras: Sequence[CameraConfig],
         # Slot traffic in CELL-STENCIL-equivalents: a supercell slot
         # (cell_scale=2) carries 108 table values where a cell slot
         # carries 32, so weight by width - the HBM cost per slot per
-        # train step scales with the row bytes.
+        # train step scales with the row bytes. Demote to the windowed
+        # replay only when weighted slot traffic RIVALS the full
+        # lattice: measured at the fit flagship (64^3, 8 views @ 96^2,
+        # tools/supercell_probe.py), the supercell tiled step runs
+        # 47 ms on-chip (817k slots, weighted 2.8M) vs the windowed
+        # replay's ~150 ms over a 7.1M-sample lattice - the round-3
+        # "3x slots > lattice" rule predated supercell tables and
+        # wrongly demoted exactly this workload.
         wgt = 108 / 32 if views[1].sched.cell_scale == 2 else 1.0
         slots = sum(g.n_tiles * g.banks * 128
                     for g in views[1].sched.groups) * wgt
         lattice = sum(int(p.ray_count) * int(p.sampling.max_steps)
                       for p in views[0])
-        if 3 * slots > lattice:
+        if slots > lattice:
             mode = "windowed"
             views = _scheduled_views(plan, cameras, field, mode)
     k = max(int(config.sync_every), 1)
@@ -354,6 +371,7 @@ def fit_dense_grid(plan: Plan, field, cameras: Sequence[CameraConfig],
     targets = jnp.asarray(targets, jnp.float32)
 
     result = FitResult(field=field, mode=mode)
+    result.schedule_build_s = time.perf_counter() - t_build0
     t0 = time.perf_counter()
     # Run EXACTLY config.steps optimizer steps: full k-step blocks plus
     # one remainder block (its own compiled executable - scan length is
@@ -391,10 +409,13 @@ def fit_dense_grid(plan: Plan, field, cameras: Sequence[CameraConfig],
         if config.target_psnr is not None and ps[-1] >= config.target_psnr:
             result.reached_target = True
             break
-    result.wall_clock_s = time.perf_counter() - t0
+    steps_s = time.perf_counter() - t0
+    # wall_clock INCLUDES the schedule build (capture specialization is
+    # part of the cost of a fit, exactly as CUDA-Graph capture would be)
+    result.wall_clock_s = result.schedule_build_s + steps_s
     if result.steps_run > k:
         result.steady_step_ms = (
-            (result.wall_clock_s - result.first_step_s)
+            (steps_s - result.first_step_s)
             / (result.steps_run - k) * 1e3)
     result.field = field.with_params(*params)
     return result

@@ -210,7 +210,8 @@ def build_tiled_schedule_auto(plan: Plan, field,
                               jitter: np.ndarray | None = None,
                               occupancy: bool = False,
                               quantize: bool = False,
-                              pitch: int = 1):
+                              pitch: int = 1,
+                              device: bool = True):
     """Build the schedule at the coarsest configuration whose slot
     tables hold the scene: 16px cell tables first, then 2x2x2 SUPERCELL
     tables at 16px (8x the cells per slot - the coarse-view rescue,
@@ -221,7 +222,7 @@ def build_tiled_schedule_auto(plan: Plan, field,
     (schedule, note_or_None)."""
     sched = build_tiled_schedule(plan, field, jitter=jitter,
                                  occupancy=occupancy, quantize=quantize,
-                                 pitch=pitch)
+                                 pitch=pitch, device=device)
     note = None
     supercell_ok = (not hasattr(field, "bricks")
                     and getattr(field, "packed_dtype", "float32")
@@ -236,7 +237,7 @@ def build_tiled_schedule_auto(plan: Plan, field,
         s_fine = build_tiled_schedule(plan, field, jitter=jitter,
                                       occupancy=occupancy, tile_px=px,
                                       quantize=quantize, pitch=pitch,
-                                      cell_scale=scale)
+                                      cell_scale=scale, device=device)
         if s_fine.fallback_rays < sched.fallback_rays:
             sched = s_fine
             note = (f"tiled_subtiled_{px}px" if scale == 1
@@ -506,8 +507,8 @@ def build_tiled_schedule(plan: Plan, field,
                          quantize: bool = False,
                          pitch: int = 1,
                          cell_scale: int = 1,
-                         uniform_shape: tuple | None = None
-                         ) -> TiledSchedule:
+                         uniform_shape: tuple | None = None,
+                         device: bool = True) -> TiledSchedule:
     """Build the tile-table schedule for (plan, field bbox + resolution).
 
     ``jitter``: the (N, K) host table for stratified plans
@@ -553,6 +554,13 @@ def build_tiled_schedule(plan: Plan, field,
     check(tile_px in (4, 8, 16), "tile_px must be 4, 8 or 16")
     check(pitch in (1, 2), "pitch must be 1 or 2")
     check(cell_scale in (1, 2), "cell_scale must be 1 or 2")
+    # device=False keeps every schedule leaf as NUMPY: multi-view fits
+    # build per-view schedules only to merge them - uploading each view
+    # first made the merge concatenate DEVICE arrays, each jnp.concat a
+    # remote-compiled tunnel dispatch (measured 81 s for the 8-view fit
+    # flagship vs ~0 host-side). Numpy leaves merge at memcpy speed and
+    # the merged schedule uploads ONCE (merge_view_schedules).
+    put = jax.device_put if device else (lambda x: x)
     if cell_scale == 2:
         check(not hasattr(field, "bricks"),
               "cell_scale=2 (supercell tables) supports dense grids only")
@@ -1050,12 +1058,12 @@ def build_tiled_schedule(plan: Plan, field,
 
             tiled_samples += int(m_l[keep].sum())
             host_rows.append(uniq_r.reshape(-1))
-            hm_dev = jax.device_put(uniq_r.reshape(-1))
+            hm_dev = put(uniq_r.reshape(-1))
             if gmap is None:
                 gm_flat, gm_dev = uniq_r.reshape(-1), hm_dev
             else:
                 gm_flat = gmap.astype(np.int32).reshape(-1)
-                gm_dev = jax.device_put(gm_flat)
+                gm_dev = put(gm_flat)
             gmap_rows.append(gm_flat)
             groups.append(TileGroup(
                 n_chunks=nc,
@@ -1063,14 +1071,14 @@ def build_tiled_schedule(plan: Plan, field,
                 banks=nb,
                 hostmap=hm_dev,
                 gathermap=gm_dev,
-                samp=jax.device_put(samp),
-                base=jax.device_put(base),
-                rayt=jax.device_put(rayt),
-                bank0=jax.device_put(bank0),
-                ray_ids=jax.device_put(ray_ids_k),
-                k_enter=jax.device_put(ke_k),
-                pixel_ids=jax.device_put(pids.reshape(-1).astype(np.int32)),
-                tile_ids=jax.device_put(tile_ids_k),
+                samp=put(samp),
+                base=put(base),
+                rayt=put(rayt),
+                bank0=put(bank0),
+                ray_ids=put(ray_ids_k),
+                k_enter=put(ke_k),
+                pixel_ids=put(pids.reshape(-1).astype(np.int32)),
+                tile_ids=put(tile_ids_k),
                 samples=int(m_l[keep].sum()),
             ))
 
@@ -1096,9 +1104,9 @@ def build_tiled_schedule(plan: Plan, field,
     return TiledSchedule(
         groups=tuple(groups),
         fallback=fb,
-        hostmap_all=jax.device_put(hostmap_all),
-        gathermap_all=jax.device_put(gathermap_all),
-        gather_plan=_build_gather_plan(hostmap_all, n_rows),
+        hostmap_all=put(hostmap_all),
+        gathermap_all=put(gathermap_all),
+        gather_plan=_build_gather_plan(hostmap_all, n_rows, put=put),
         total_rays=n,
         tiled_samples=tiled_samples,
         full_lattice_samples=full_samples,
@@ -1112,7 +1120,8 @@ def build_tiled_schedule(plan: Plan, field,
     )
 
 
-def _build_gather_plan(hostmap_all: np.ndarray, n_cells: int) -> tuple:
+def _build_gather_plan(hostmap_all: np.ndarray, n_cells: int,
+                       put=jax.device_put) -> tuple:
     """Transpose-gather plan for the backward's d(table) accumulation,
     with NO scatter anywhere (XLA:TPU scatters run at ~20-45M rows/s on
     this chip - even a unique-row set-scatter of the active cells costs
@@ -1155,8 +1164,8 @@ def _build_gather_plan(hostmap_all: np.ndarray, n_cells: int) -> tuple:
     inv_map = np.full(n_cells, cell_order.size, np.int32)  # dummy zero row
     inv_map[cell_order] = np.arange(cell_order.size, dtype=np.int32)
     return GatherPlan(
-        all_idx=jax.device_put(np.concatenate(idx_parts)),
-        inv_map=jax.device_put(inv_map),
+        all_idx=put(np.concatenate(idx_parts)),
+        inv_map=put(inv_map),
         meta=tuple(meta))
 
 
@@ -1906,9 +1915,17 @@ def merge_view_schedules(scheds, plans=None) -> MergedViewSchedule:
         t_samples += sum(p.samples for p in parts)
 
         def cat(name):
-            if len(parts) == 1:
-                return getattr(parts[0], name)
-            return jnp.concatenate([getattr(p, name) for p in parts])
+            # Host-built (numpy-leaf) schedules merge at memcpy speed
+            # and upload ONCE; device-leaf schedules keep the jnp path
+            # (each concat is a remote dispatch on the tunnel - build
+            # per-view schedules with device=False when merging).
+            vals = [getattr(p, name) for p in parts]
+            if all(isinstance(v, np.ndarray) for v in vals):
+                return jax.device_put(
+                    vals[0] if len(vals) == 1 else np.concatenate(vals))
+            if len(vals) == 1:
+                return vals[0]
+            return jnp.concatenate(vals)
 
         host_parts.extend(np.asarray(p.hostmap) for p in parts)
         gmap_parts.extend(np.asarray(p.gathermap) for p in parts)

@@ -29,7 +29,7 @@ def main() -> int:
     parser.add_argument("--psnr", type=float, default=35.0)
     parser.add_argument("--max-steps", type=int, default=2000)
     parser.add_argument("--lr", type=float, default=5e-2)
-    parser.add_argument("--sync-every", type=int, default=8)
+    parser.add_argument("--sync-every", type=int, default=32)
     parser.add_argument("--mode", default=None,
                         choices=(None, "tiled", "windowed", "plain"),
                         help="schedule mode override (default: auto)")
@@ -104,6 +104,7 @@ def main() -> int:
         # (tens of seconds over the remote-compile tunnel); steady_step_ms
         # is the actual training rate - itself dominated by the tunnel's
         # ~36 ms/dispatch on this harness, not the chip.
+        "schedule_build_s": round(result.schedule_build_s, 2),
         "first_step_s": round(result.first_step_s, 2),
         "steady_step_ms": round(result.steady_step_ms, 1),
         "sync_every": args.sync_every,
