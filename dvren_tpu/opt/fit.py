@@ -115,18 +115,26 @@ def _scheduled_views(plan: Plan, cameras: Sequence[CameraConfig], field,
                                             build_tiled_schedule_auto,
                                             merge_view_schedules,
                                             render_tiled_stack)
+        from concurrent.futures import ThreadPoolExecutor
+
         # device=False: per-view schedules exist only to be MERGED -
         # keep them host-side (numpy leaves) so the merge concatenates
         # at memcpy speed and uploads once (a device-array merge cost
         # 81 s of per-concat tunnel dispatches at the fit flagship).
+        # Views build in parallel threads (the native run packer and
+        # numpy release the GIL; builds are pure host work here).
         s0, _ = build_tiled_schedule_auto(plans[0], field, jitter=jitter,
                                           quantize="uniform",
                                           device=False)
-        per_view = [s0] + [
-            build_tiled_schedule(p, field, jitter=jitter,
-                                 tile_px=s0.tile_px, quantize="uniform",
-                                 cell_scale=s0.cell_scale, device=False)
-            for p in plans[1:]]
+
+        def build_view(p, shape=None):
+            return build_tiled_schedule(
+                p, field, jitter=jitter, tile_px=s0.tile_px,
+                quantize="uniform", cell_scale=s0.cell_scale,
+                uniform_shape=shape, device=False)
+
+        with ThreadPoolExecutor(min(8, max(len(plans) - 1, 1))) as ex:
+            per_view = [s0] + list(ex.map(build_view, plans[1:]))
         # Pin every view to the GLOBAL (nc, nb) maxima so the merged
         # schedule is ONE group = one Mosaic kernel variant pair for
         # the whole multi-view step (per-view uniform shapes may differ;
@@ -136,14 +144,14 @@ def _scheduled_views(plan: Plan, cameras: Sequence[CameraConfig], field,
         if len(shapes) > 1:
             nc_g = max(sh[0] for sh in shapes)
             nb_g = max(sh[1] for sh in shapes)
-            per_view = [
-                build_tiled_schedule(p, field, jitter=jitter,
-                                     tile_px=s0.tile_px,
-                                     quantize="uniform",
-                                     cell_scale=s0.cell_scale,
-                                     uniform_shape=(nc_g, nb_g),
-                                     device=False)
-                for p in plans]
+            todo = [i for i, s in enumerate(per_view)
+                    if {(g.n_chunks, g.banks) for g in s.groups}
+                    != {(nc_g, nb_g)}]
+            with ThreadPoolExecutor(min(8, max(len(todo), 1))) as ex:
+                rebuilt = list(ex.map(
+                    lambda i: build_view(plans[i], (nc_g, nb_g)), todo))
+            for i, s in zip(todo, rebuilt):
+                per_view[i] = s
         # plans= so views with FALLBACK rays (slot overflow) regenerate
         # them under their own camera, not the base plan's
         scheds = merge_view_schedules(per_view, plans=plans)

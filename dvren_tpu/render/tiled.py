@@ -220,9 +220,14 @@ def build_tiled_schedule_auto(plan: Plan, field,
     the cells a table must hold; 4px can never overflow - <= 128
     samples per run, <= 256 lanes even at pitch 2). Returns
     (schedule, note_or_None)."""
+    # Probes skip the windowed-fallback construction (only the overflow
+    # COUNT ranks configurations); the chosen config is rebuilt with its
+    # fallback at the end when it still has overflow rays.
     sched = build_tiled_schedule(plan, field, jitter=jitter,
                                  occupancy=occupancy, quantize=quantize,
-                                 pitch=pitch, device=device)
+                                 pitch=pitch, device=device,
+                                 build_fallback=False)
+    chosen = (16, 1)
     note = None
     supercell_ok = (not hasattr(field, "bricks")
                     and getattr(field, "packed_dtype", "float32")
@@ -237,11 +242,19 @@ def build_tiled_schedule_auto(plan: Plan, field,
         s_fine = build_tiled_schedule(plan, field, jitter=jitter,
                                       occupancy=occupancy, tile_px=px,
                                       quantize=quantize, pitch=pitch,
-                                      cell_scale=scale, device=device)
+                                      cell_scale=scale, device=device,
+                                      build_fallback=False)
         if s_fine.fallback_rays < sched.fallback_rays:
             sched = s_fine
+            chosen = (px, scale)
             note = (f"tiled_subtiled_{px}px" if scale == 1
                     else f"tiled_supercell_{px}px")
+    if sched.fallback_rays:
+        sched = build_tiled_schedule(plan, field, jitter=jitter,
+                                     occupancy=occupancy,
+                                     tile_px=chosen[0],
+                                     quantize=quantize, pitch=pitch,
+                                     cell_scale=chosen[1], device=device)
     return sched, note
 
 
@@ -508,7 +521,8 @@ def build_tiled_schedule(plan: Plan, field,
                          pitch: int = 1,
                          cell_scale: int = 1,
                          uniform_shape: tuple | None = None,
-                         device: bool = True) -> TiledSchedule:
+                         device: bool = True,
+                         build_fallback: bool = True) -> TiledSchedule:
     """Build the tile-table schedule for (plan, field bbox + resolution).
 
     ``jitter``: the (N, K) host table for stratified plans
@@ -1087,8 +1101,16 @@ def build_tiled_schedule(plan: Plan, field,
     if fallback_rays:
         fb_ids = np.concatenate(fallback_rays)
         fb_count = int(fb_ids.size)
-        fb = windowed_mod.build_schedule(
-            plan, bbox_min, bbox_max, jitter=jitter, ray_subset=fb_ids)
+        # build_fallback=False: cascade PROBES only need the overflow
+        # COUNT to rank configurations - the discarded probes' windowed
+        # fallback schedules (with their device uploads) were ~1/3 of
+        # the fit flagship's schedule-build time. A schedule built this
+        # way with fb_count > 0 must not be rendered (fallback=None
+        # would silently drop its overflow rays); the auto cascade
+        # rebuilds the chosen config with the fallback when needed.
+        if build_fallback:
+            fb = windowed_mod.build_schedule(
+                plan, bbox_min, bbox_max, jitter=jitter, ray_subset=fb_ids)
 
     hostmap_all = (np.concatenate(host_rows) if host_rows
                    else np.zeros(0, np.int32))
@@ -1741,6 +1763,9 @@ def render_tiled(plan: Plan, field, schedule: TiledSchedule,
           "fraction constants depend on it)")
     check(getattr(field, "oob", OobPolicy.ZERO) == OobPolicy.ZERO,
           "tiled rendering requires an OOB_ZERO field")
+    check(schedule.fallback is not None or schedule.fallback_rays == 0,
+          "schedule was built with build_fallback=False (a cascade "
+          "probe) but has overflow rays - rebuild with the fallback")
 
     # Dense f32 fields route params -> bank tables through the fused u16
     # custom VJP (no (R, 32) f32 table in HBM); every other combination
@@ -1891,6 +1916,10 @@ def merge_view_schedules(scheds, plans=None) -> MergedViewSchedule:
     renderer must know each view's camera - the merged kernel groups
     themselves bake per-view rays host-side and don't need it."""
     base = scheds[0]
+    for s in scheds:
+        check(s.fallback is not None or s.fallback_rays == 0,
+              "merge_view_schedules: a view schedule was built with "
+              "build_fallback=False but has overflow rays")
     for s in scheds[1:]:
         check(s.tile_px == base.tile_px
               and s.grid_shape == base.grid_shape
