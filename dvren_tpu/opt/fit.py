@@ -10,6 +10,7 @@ workload.
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass, field as dc_field
 from typing import Callable, Sequence
@@ -303,6 +304,82 @@ def make_train_step(plan: Plan, cameras: Sequence[CameraConfig],
         return params, opt_state, loss
 
     return step
+
+
+def fit_hash_mlp(plan: Plan, field, cameras: Sequence[CameraConfig],
+                 targets: np.ndarray, config: FitConfig | None = None,
+                 checkpoint_cb: Callable | None = None) -> FitResult:
+    """Fit a HashMLPField (hash table + both MLP heads) to target views
+    with Adam through the fused hash tile kernel (ops/hash_tiles.py) -
+    the reference's hash-MLP is forward-only (hash_mlp_cpu.cpp; its CUDA
+    kernels are dead code), so a hash-MLP *fit* is beyond-reference
+    capability on a production fast path.
+
+    The schedule is pure frame layout (no field capture), so
+    ``schedule_build_s`` is milliseconds, and camera changes between
+    fits cost nothing but a rebuild of that layout.
+    """
+    from dvren_tpu.render.hash_tiled import (build_hash_schedule_stack,
+                                             render_hash_tiled_stack)
+
+    config = config or FitConfig()
+    optimizer = optax.adam(config.learning_rate)
+    params = field.params
+    opt_state = optimizer.init(params)
+    t_build0 = time.perf_counter()
+    stack = build_hash_schedule_stack(view_plans(plan, cameras))
+    targets = jnp.asarray(targets, jnp.float32)
+
+    def loss_fn(params, stack, targets):
+        pred = render_hash_tiled_stack(plan, field.with_params(params),
+                                       stack)
+        return mse(pred, targets)
+
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def raw_block(params, opt_state, targets, stack, k):
+        def body(carry, _):
+            p, o = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, stack, targets)
+            updates, o = optimizer.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=k)
+        return params, opt_state, losses
+
+    result = FitResult(field=field, mode="hash_tiled")
+    result.schedule_build_s = time.perf_counter() - t_build0
+    k = max(int(config.sync_every), 1)
+    t0 = time.perf_counter()
+    n_full, rem = divmod(config.steps, k)
+    blocks = [k] * n_full + ([rem] if rem else [])
+    ckpts_fired = 0
+    for i, blk in enumerate(blocks):
+        params, opt_state, loss = raw_block(
+            params, opt_state, targets, stack, blk)
+        if i == 0:
+            jax.block_until_ready(loss)
+            result.first_step_s = time.perf_counter() - t0
+        losses = np.asarray(loss, np.float64).reshape(-1)
+        ps = [float(psnr(jnp.float32(lf))) for lf in losses]
+        result.loss_history.extend(float(lf) for lf in losses)
+        result.psnr_history.extend(ps)
+        result.steps_run += blk
+        if checkpoint_cb is not None:
+            due = result.steps_run // max(config.log_every, 1)
+            if due > ckpts_fired:
+                ckpts_fired = due
+                checkpoint_cb(field.with_params(params),
+                              result.steps_run, ps[-1])
+        if config.target_psnr is not None and ps[-1] >= config.target_psnr:
+            result.reached_target = True
+            break
+    steps_s = time.perf_counter() - t0
+    result.wall_clock_s = result.schedule_build_s + steps_s
+    if result.steps_run > blocks[0]:
+        result.steady_step_ms = ((steps_s - result.first_step_s)
+                                 / (result.steps_run - blocks[0]) * 1e3)
+    result.field = field.with_params(params)
+    return result
 
 
 def fit_dense_grid(plan: Plan, field, cameras: Sequence[CameraConfig],

@@ -195,6 +195,9 @@ class Renderer:
         self._tiled_aot = None
         self._tiled_bwd_jit = None
         self._tiled_bwd_key = None
+        self._hash_schedule = None
+        self._hash_jit = None
+        self._hash_aot = None   # (executable, spec) when enable_graph
         self._last_mode = None
         self._last_ray_count = plan.ray_count
         self._override_jit = None
@@ -286,6 +289,13 @@ class Renderer:
             outputs = None
             self._last_mode = ("windowed" if self._tiled_demoted
                                else "tiled")
+        elif self._use_hash_tiles(field):
+            planes = self._forward_hash_tiled(field, stats)
+            jax.block_until_ready(planes)
+            stats.total_ms = (time.perf_counter() - t0) * 1e3
+            sample_count = self._analytic_sample_count()
+            outputs = None
+            self._last_mode = "hash_tiled"
         elif self._options.use_window:
             planes = self._forward_windowed(field, stats)
             jax.block_until_ready(planes)
@@ -401,13 +411,69 @@ class Renderer:
                 and getattr(field.sigma, "ndim", 0) == 3
                 and len(shape) == 3 and min(shape) >= 2)
 
+    def _hash_eligible(self, field) -> bool:
+        """Hash-MLP fields ride the slot-free fused kernel
+        (ops/hash_tiles.py) when the spec fits VMEM lanes."""
+        from dvren_tpu.ops.hash_tiles import fast_path_ok
+        return (isinstance(getattr(field, "params", None), dict)
+                and "hash_table" in field.params
+                and hasattr(field, "spec")
+                and fast_path_ok(field.spec))
+
+    def _use_hash_tiles(self, field) -> bool:
+        opt = self._options.use_tiles
+        if opt is False or not self._hash_eligible(field):
+            return False
+        if opt is True:
+            return True
+        # Auto: the default TPU hot path for eligible hash fields; an
+        # explicit use_window keeps the streamed/windowed semantics.
+        return (jax.default_backend() == "tpu"
+                and not self._options.use_window)
+
+    def _forward_hash_tiled(self, field, stats: RenderStats):
+        """Fused hash-MLP tile path (render/hash_tiled.py). The schedule
+        is pure frame layout (no field capture): built once per plan."""
+        from dvren_tpu.render import hash_tiled as hash_mod
+        if self._hash_schedule is None:
+            t0 = time.perf_counter()
+            self._hash_schedule = hash_mod.build_hash_schedule(
+                self._plan, jitter=self._jitter_host)
+            stats.notes.append(
+                f"hash_schedule_build_ms="
+                f"{(time.perf_counter() - t0) * 1e3:.3f}")
+        if self._hash_jit is None:
+            plan_ref = self._plan
+
+            def fwd(f, sched):
+                return hash_mod.render_hash_tiled(plan_ref, f, sched)
+
+            self._hash_jit = jax.jit(fwd)
+        if self._options.enable_graph:
+            if self._hash_aot is None or self._hash_aot[1] != field.spec:
+                t0 = time.perf_counter()
+                self._hash_aot = (self._hash_jit.lower(
+                    field, self._hash_schedule).compile(), field.spec)
+                stats.notes.append(
+                    f"graph_captured_aot_compile_ms="
+                    f"{(time.perf_counter() - t0) * 1e3:.3f}")
+            planes = self._hash_aot[0](field, self._hash_schedule)
+            stats.notes.append("graph_executed")
+        else:
+            planes = self._hash_jit(field, self._hash_schedule)
+        stats.notes.append("hash_tiled_path")
+        return planes
+
     def _use_tiles(self, field) -> bool:
         opt = self._options.use_tiles
         if opt is False:
             return False
         if opt is True:
+            if self._hash_eligible(field):
+                return False      # routed by _use_hash_tiles
             check(self._tile_eligible(field),
-                  "use_tiles requires a dense OOB_ZERO trilinear grid field")
+                  "use_tiles requires a dense OOB_ZERO trilinear grid "
+                  "field (hash-MLP fields ride the fused hash path)")
             return True
         # Auto: the default TPU hot path for eligible fields - but an
         # EXPLICIT use_window wins (users who select the window path get
@@ -736,7 +802,9 @@ class Renderer:
             raise DvrenError.unsupported(
                 "Renderer.backward targets dense voxel grids (the reference "
                 "hp_diff contract); train other field families through "
-                "jax.grad over dvren_tpu.render.pipeline.render")
+                "jax.grad over dvren_tpu.render.pipeline.render (hash-MLP: "
+                "render_hash_tiled / opt.fit.fit_hash_mlp ride the fused "
+                "kernel)")
         n = self._last_ray_count
         dl = np.asarray(dl_di, np.float32).reshape(-1)
         check(dl.size == n * 3,
@@ -803,6 +871,8 @@ class Renderer:
         """Static facts a cached backward executable was traced against;
         a later call with different field *metadata* (same array shapes)
         must rebuild, or gradients silently use the stale configuration."""
+        if isinstance(getattr(field, "params", None), dict):
+            return (getattr(field, "spec", None),)     # hash-MLP field
         return (tuple(field.bbox_min), tuple(field.bbox_max),
                 getattr(field, "interp", None), getattr(field, "oob", None),
                 getattr(field, "packed_dtype", None))
@@ -1039,7 +1109,8 @@ class Renderer:
         memory) - the view works at production sizes."""
         n = self._last_ray_count
         dl = np.asarray(dl_di, np.float32).reshape(n, 3)
-        if self._last_mode in ("streamed", "windowed", "tiled"):
+        if self._last_mode in ("streamed", "windowed", "tiled",
+                               "hash_tiled"):
             if self._last_field is None:
                 raise DvrenError.invalid_argument(
                     "per_sample_gradients requires a prior Forward")
@@ -1065,7 +1136,8 @@ class Renderer:
         if self._last_field is None:
             raise DvrenError.invalid_argument(
                 "packed_aux requires a prior Forward")
-        if self._last_mode in ("streamed", "windowed", "tiled"):
+        if self._last_mode in ("streamed", "windowed", "tiled",
+                               "hash_tiled"):
             return self._stream_parity_views(self._last_field, ("aux",))["aux"]
         out = self._last_outputs
         if out.intl.aux is None:  # pragma: no cover - render() keeps aux
@@ -1079,7 +1151,8 @@ class Renderer:
         ray_offset (N+1,) over live samples in ray-major order. Uses the
         native C packing when available. In streaming/windowed/tiled modes
         the lattice is recomputed tile-by-tile (bounded device memory)."""
-        if self._last_mode in ("streamed", "windowed", "tiled"):
+        if self._last_mode in ("streamed", "windowed", "tiled",
+                               "hash_tiled"):
             if self._last_field is None:
                 raise DvrenError.invalid_argument(
                     "packed_samples requires a prior Forward")

@@ -1,16 +1,14 @@
-"""Hash-MLP TPU session benchmark: streamed render throughput + a short
-Adam fit of the hash-MLP field against dense-grid target views.
+"""Hash-MLP TPU session benchmark: the FUSED fast path (round 4).
 
-VERDICT r2 missing/weak #8: the hash-MLP family had no measured TPU story.
-The render rides :func:`render_streamed` (the Renderer's automatic route
-for 512^2 plans - hash-MLP fields are not tile-eligible: no dense sigma
-grid to schedule against); training goes through the generic
-``opt.fit.make_train_step`` param-pytree path (the reference's hash-MLP
-has NO gradients at all - hash_mlp_cpu.cpp is forward-only, and its CUDA
-kernels are dead code, hash_mlp_cuda.cu:12-326).
+Measures the slot-free fused hash-MLP tile kernel (ops/hash_tiles.py)
+at the 512^2 headline frame, the legacy streamed route for comparison,
+and a multi-view Adam fit through the fused kernel to a STATED PSNR
+target (fit_hash_mlp). The reference's hash-MLP device kernels were
+built but never wired (hash_mlp_cuda.cu:12-326) and it has no hash-MLP
+gradients at all - every number here is beyond-reference capability.
 
 Prints one JSON line.
-Usage: python tools/hashmlp_bench.py [--width 512] [--steps 64]
+Usage: python tools/hashmlp_bench.py [--width 512] [--steps 128]
 """
 
 from __future__ import annotations
@@ -28,9 +26,12 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=512)
-    ap.add_argument("--steps", type=int, default=64)
-    ap.add_argument("--fit-steps", type=int, default=60)
-    ap.add_argument("--fit-width", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=128)
+    ap.add_argument("--fit-steps", type=int, default=400)
+    ap.add_argument("--fit-width", type=int, default=96)
+    ap.add_argument("--fit-views", type=int, default=4)
+    ap.add_argument("--fit-psnr", type=float, default=30.0)
+    ap.add_argument("--skip-streamed", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -43,15 +44,17 @@ def main():
 
     import jax.numpy as jnp
     import numpy as np
-    import optax
 
     from bench import _time_compiled
     from dvren_tpu import (
-        CameraConfig, HashMLPConfig, HashMLPField, Plan, PlanConfig,
-        SamplingConfig, SamplingMode,
+        CameraConfig, HashMLPField, Plan, PlanConfig, SamplingConfig,
+        SamplingMode,
     )
-    from dvren_tpu.render.pipeline import (plan_jitter_table,
-                                           render_streamed)
+    from dvren_tpu.ops.hashmlp import HashMLPSpec
+    from dvren_tpu.opt.fit import FitConfig, fit_hash_mlp, view_plans
+    from dvren_tpu.render.hash_tiled import (build_hash_schedule,
+                                             render_hash_tiled)
+    from dvren_tpu.render.pipeline import plan_jitter_table, render_streamed
 
     def log(msg):
         print(f"[hashmlp] {msg}", file=_sys.stderr, flush=True)
@@ -66,91 +69,132 @@ def main():
                                 mode=SamplingMode.STRATIFIED)))
     n_rays = plan.ray_count
     field = HashMLPField.init_random(jax.random.key(0))
-    jitter = jnp.asarray(plan_jitter_table(plan))
     log(f"device={jax.devices()[0]} rays={n_rays} steps={args.steps}")
 
-    # ------------------------------------------------ streamed forward
+    # ------------------------------------------------ fused tile forward
+    t0 = time.perf_counter()
+    sched = build_hash_schedule(plan)
+    sched_s = time.perf_counter() - t0
+    log(f"hash schedule build {sched_s:.2f}s "
+        f"({sched.n_tiles} tiles x {sched.n_chunks} chunks)")
+
     KF = 4
     scales = jnp.linspace(1.0, 1.01, KF)
 
-    def frames(scales, params):
+    def frames_tiled(scales, params, sched):
         def one(carry, s):
             p = jax.tree.map(lambda x: x * s, params)
-            f = field.with_params(p)
-            img = render_streamed(plan, f, jitter=jitter).image
+            img = render_hash_tiled(plan, field.with_params(p), sched).image
             return carry, img[::64, ::64].sum()
         return jax.lax.scan(one, 0.0, scales)[1]
 
     t0 = time.perf_counter()
-    fwd = jax.jit(frames).lower(scales, field.params).compile()
-    log(f"streamed fwd compile {time.perf_counter() - t0:.1f}s")
-    s = _time_compiled(fwd, [(scales, field.params),
-                             (scales * 1.003, field.params)], iters=3)
+    fwd = jax.jit(frames_tiled).lower(
+        scales, field.params, sched).compile()
+    log(f"fused fwd compile {time.perf_counter() - t0:.1f}s")
+    s = _time_compiled(fwd, [(scales, field.params, sched),
+                             (scales * 1.003, field.params, sched)],
+                       iters=3)
     fwd_ms = s / KF * 1e3
     fwd_mrays = n_rays / (s / KF) / 1e6
-    log(f"streamed fwd {fwd_ms:.1f} ms/frame -> {fwd_mrays:.2f} Mrays/s")
+    log(f"fused fwd {fwd_ms:.2f} ms/frame -> {fwd_mrays:.2f} Mrays/s")
 
-    # ------------------------------------------------ short Adam fit
+    # ------------------------------------------------ streamed reference
+    stream_mrays = None
+    if not args.skip_streamed:
+        jitter = jnp.asarray(plan_jitter_table(plan))
+
+        def frames_streamed(scales, params):
+            def one(carry, sc):
+                p = jax.tree.map(lambda x: x * sc, params)
+                img = render_streamed(plan, field.with_params(p),
+                                      jitter=jitter).image
+                return carry, img[::64, ::64].sum()
+            return jax.lax.scan(one, 0.0, scales)[1]
+
+        t0 = time.perf_counter()
+        fwd_st = jax.jit(frames_streamed).lower(
+            scales, field.params).compile()
+        log(f"streamed fwd compile {time.perf_counter() - t0:.1f}s")
+        s = _time_compiled(fwd_st, [(scales, field.params),
+                                    (scales * 1.003, field.params)],
+                           iters=3)
+        stream_mrays = n_rays / (s / KF) / 1e6
+        log(f"streamed fwd {s / KF * 1e3:.1f} ms/frame -> "
+            f"{stream_mrays:.2f} Mrays/s")
+
+    # ------------------------------------------------ multi-view fit
     fw = args.fit_width
     fplan = Plan.create(PlanConfig(
         width=fw, height=fw, t_near=0.2, t_far=2.2, seed=5,
         camera=CameraConfig(
             k=(fw * 1.2, 0, fw / 2, 0, fw * 1.2, fw / 2, 0, 0, 1),
             c2w=(1, 0, 0, 0.5, 0, 1, 0, 0.5, 0, 0, 1, -1.0)),
-        sampling=SamplingConfig(dt=2.0 / 32, max_steps=32)))
-    from dvren_tpu.render.pipeline import render as _render
-
-    # target: a procedural blob rendered through the same pipeline
-    g = 32
+        sampling=SamplingConfig(dt=2.0 / 64, max_steps=64)))
+    # y-axis orbit around the volume center, radius 1.5, look-at
+    cams = []
+    center = np.array([0.5, 0.5, 0.5], np.float32)
+    for v in range(args.fit_views):
+        th = 2 * np.pi * v / args.fit_views
+        eye = center + 1.5 * np.array(
+            [np.sin(th), 0.0, -np.cos(th)], np.float32)
+        fwd = (center - eye) / np.linalg.norm(center - eye)
+        up_w = np.array([0.0, 1.0, 0.0], np.float32)
+        right = np.cross(up_w, fwd)
+        right /= np.linalg.norm(right)
+        up = np.cross(fwd, right)
+        r = np.stack([right, up, fwd], axis=1)     # columns
+        c2w = np.concatenate([r, eye.reshape(3, 1)], axis=1)
+        cams.append(CameraConfig(
+            k=fplan.camera.k,
+            c2w=tuple(float(x) for x in c2w.reshape(-1))))
+    # ground truth: procedural dense blob rendered through the pipeline
+    g = 64
     zs, ys, xs = np.meshgrid(*([np.linspace(0, 1, g)] * 3), indexing="ij")
     r2 = (xs - .5) ** 2 + (ys - .5) ** 2 + (zs - .45) ** 2
     from dvren_tpu import DenseGridConfig, DenseGridField
+    from dvren_tpu.render.pipeline import render as _render
     truth = DenseGridField.create(DenseGridConfig(
         resolution=(g,) * 3,
-        sigma=(10 * np.exp(-r2 / .06)).reshape(-1),
+        sigma=(12 * np.exp(-r2 / .05)).reshape(-1),
         color=np.stack([xs, ys, 1 - zs], -1).reshape(-1)))
-    target = jax.jit(
-        lambda f: _render(fplan, f).planes.image)(truth)
+    fplans = view_plans(fplan, cams)
+    tgt = np.stack([np.asarray(jax.jit(
+        lambda f, p=pv: _render(p, f).planes.image)(truth))
+        for pv in fplans])
+    log(f"fit targets ready: {tgt.shape}")
 
-    opt = optax.adam(5e-3)
-    state = opt.init(field.params)
-
-    def loss_fn(params):
-        f = field.with_params(params)
-        img = _render(fplan, f).planes.image
-        return jnp.mean((img - target) ** 2)
-
-    @jax.jit
-    def step(params, state):
-        l, grads = jax.value_and_grad(loss_fn)(params)
-        u, state = opt.update(grads, state)
-        return optax.apply_updates(params, u), state, l
-
-    params = field.params
+    spec = HashMLPSpec(n_levels=8, table_size=128,
+                       base_resolution=2.0, finest_resolution=48.0)
+    f0 = HashMLPField.init_random(jax.random.key(3), spec=spec)
     t0 = time.perf_counter()
-    params, state, l0 = step(params, state)
-    jax.block_until_ready(l0)
-    first_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    losses = []
-    for _ in range(args.fit_steps - 1):
-        params, state, l = step(params, state)
-        losses.append(l)
-    jax.block_until_ready(losses[-1])
-    steady_ms = (time.perf_counter() - t0) / (args.fit_steps - 1) * 1e3
-    l_first, l_last = float(l0), float(losses[-1])
-    psnr0 = -10 * np.log10(max(l_first, 1e-12))
-    psnr1 = -10 * np.log10(max(l_last, 1e-12))
-    log(f"fit {args.fit_steps} steps @ {fw}^2: loss {l_first:.4f} -> "
-        f"{l_last:.4f} (PSNR {psnr0:.1f} -> {psnr1:.1f} dB), "
-        f"{steady_ms:.1f} ms/step steady")
-    assert l_last < l_first * 0.7, "hash-MLP fit failed to reduce loss"
+    res = fit_hash_mlp(fplan, f0, cams, tgt,
+                       FitConfig(steps=args.fit_steps, sync_every=25,
+                                 target_psnr=args.fit_psnr,
+                                 learning_rate=8e-3, log_every=100))
+    log(f"fit: {res.steps_run} steps, PSNR "
+        f"{res.psnr_history[0]:.1f} -> {res.psnr_history[-1]:.1f} dB, "
+        f"target {args.fit_psnr} reached={res.reached_target}, "
+        f"wall {res.wall_clock_s:.1f}s (build {res.schedule_build_s:.2f}s,"
+        f" first {res.first_step_s:.1f}s, steady "
+        f"{res.steady_step_ms:.1f} ms/step)")
 
     print(json.dumps({
-        "hashmlp_fwd_Mrays_per_s_512": round(fwd_mrays, 2),
-        "hashmlp_fwd_ms_per_frame": round(fwd_ms, 2),
-        "hashmlp_fit_steady_step_ms": round(steady_ms, 2),
-        "hashmlp_fit_psnr_first_last": [round(psnr0, 2), round(psnr1, 2)],
+        "hashmlp_fused_fwd_Mrays_per_s_512": round(fwd_mrays, 2),
+        "hashmlp_fused_fwd_ms_per_frame": round(fwd_ms, 2),
+        "hashmlp_schedule_build_s": round(sched_s, 2),
+        "hashmlp_streamed_fwd_Mrays_per_s_512":
+            round(stream_mrays, 2) if stream_mrays else None,
+        "hashmlp_fit_psnr_target": args.fit_psnr,
+        "hashmlp_fit_reached_target": bool(res.reached_target),
+        "hashmlp_fit_psnr_first_last": [
+            round(res.psnr_history[0], 2),
+            round(res.psnr_history[-1], 2)],
+        "hashmlp_fit_steps": res.steps_run,
+        "hashmlp_fit_wall_s": round(res.wall_clock_s, 2),
+        "hashmlp_fit_steady_step_ms": round(res.steady_step_ms, 2),
+        "hashmlp_fit_config": (f"{args.fit_views} views @ {fw}^2, "
+                               f"64 steps, L=8 T=128 finest=48"),
         "device": str(jax.devices()[0]),
     }))
 

@@ -32,12 +32,14 @@ GATE_CASES = {
         "img_basic", "img_accumulate", "img_roi_background",
         "fused_equivalence", "forward_oracle",
         "supercell_reference_vs_windowed", "supercell_kernel_parity",
+        "hash_tiled_forward_parity", "hash_tiled_stratified_parity",
     ],
     "gradient": [
         "diff_sigma_color", "diff_early_stop", "diff_fd_referee",
         "diff_grid_fd", "diff_camera_fd", "ray_camera_grads",
         "hash_mlp_grads", "multichip_dp_grads",
         "supercell_gradients", "supercell_camera_gradients",
+        "hash_tiled_gradients", "hash_tiled_fd_referee",
     ],
     "stability": ["int_early_stop", "int_constant", "int_gaussian"],
     "determinism": [
