@@ -126,6 +126,14 @@ def main():
     log(f"tiled fwd steady-state {tiled_fwd_s * 1e3:.2f} ms/frame -> "
         f"{tiled_fwd_mrays:.1f} Mrays/s")
 
+    # analytic DMA/gather floor for THIS schedule (pitch 1) vs the
+    # measurement above - the "at the floor" claim with numbers
+    # (utils/roofline.py; full phase attribution: tools/roofline.py)
+    from dvren_tpu.utils.roofline import forward_roofline
+    roofline = forward_roofline(sched, measured_ms=tiled_fwd_s * 1e3)
+    log(f"roofline: floor {roofline['floor_ms']['total']} ms, "
+        f"measured/floor {roofline['measured_over_floor']}")
+
     # Pair-pitch gather ablation (RenderOptions.tile_pitch=2: half the
     # forward table-gather starts for ~49% more slot lanes; bit-identical
     # images - tests/test_tiled.py). Headline takes the faster config.
@@ -295,6 +303,7 @@ def main():
                 sched.tiled_samples / sched.full_lattice_samples, 3),
             "tiled_fallback_rays": sched.fallback_rays,
             "dispatch_overhead_ms": 36.0,
+            "roofline": roofline,
             "config": f"{width}x{height}, {grid_n}^3 grid, "
                       f"{max_steps} steps, stratified",
             "device": str(jax.devices()[0]),

@@ -111,7 +111,6 @@ _MASK_PRECISION = jax.lax.Precision.HIGHEST
 # both are exact-product schemes differing only in f32 reassociation).
 DEFAULT_REDUCE = "mxu3"
 
-
 def _mask_dot(x, m):
     return jnp.dot(x, m, preferred_element_type=jnp.float32,
                    precision=_MASK_PRECISION)
@@ -128,17 +127,22 @@ def _split3_bf16(x):
 
 
 def _mask_dot3(x, m_bf16):
-    """x @ M for a {0,1} mask in THREE native bf16 MXU passes.
+    """x @ M for a {0,1} mask via the bf16 3-split, folded into ONE
+    tall MXU issue.
 
-    Splitting only the f32 operand (the mask is already bf16-exact) makes
-    every partial product exact, so three passes reconstruct the same sums
-    HIGHEST computes with six (it splits BOTH operands). The three partial
-    results re-add in f32 (<= 1 ulp reassociation vs a fused accumulate)."""
-    acc = None
-    for part in _split3_bf16(x):
-        d = jnp.dot(part, m_bf16, preferred_element_type=jnp.float32)
-        acc = d if acc is None else acc + d
-    return acc
+    Splitting only the f32 operand (the mask is already bf16-exact)
+    makes every partial product exact, so three passes reconstruct the
+    same sums HIGHEST computes with six (it splits BOTH operands).
+    Stacking the three split parts on the M axis turns them into one
+    (3M, 128) matmul whose row slices ARE the three per-part results
+    (each output row is an independent lane contraction), re-added in
+    the same hi + mid + lo order - bit-identical to the separate-pass
+    form at a third of the MXU issues (round 4)."""
+    hi, mid, lo = _split3_bf16(x)
+    big = jnp.concatenate([hi, mid, lo], axis=0)
+    d = jnp.dot(big, m_bf16, preferred_element_type=jnp.float32)
+    m = x.shape[0]
+    return d[:m] + d[m:2 * m] + d[2 * m:]
 
 
 def _scatter_dot_hi(x, oh):
@@ -149,14 +153,17 @@ def _scatter_dot_hi(x, oh):
 
 
 def _scatter_dot3(x, oh_bf16):
-    """Same contraction as :func:`_scatter_dot_hi` in THREE bf16 passes
-    (the one-hot is bf16-exact; see _mask_dot3)."""
-    acc = None
-    for part in _split3_bf16(x):
-        d = jax.lax.dot_general(part, oh_bf16, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        acc = d if acc is None else acc + d
-    return acc
+    """Same contraction as :func:`_scatter_dot_hi` via the bf16 3-split
+    folded into one tall issue (see :func:`_mask_dot3`). A shallower
+    split would save nothing here: at nch <= 32 channels even the
+    3-stacked M (96 rows) pads to ONE 128-row MXU tile, so depth only
+    trades exactness for zero passes - keep it exact."""
+    hi, mid, lo = _split3_bf16(x)
+    big = jnp.concatenate([hi, mid, lo], axis=0)
+    d = jax.lax.dot_general(big, oh_bf16, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    m = x.shape[0]
+    return d[:m] + d[m:2 * m] + d[2 * m:]
 
 
 def _lane_pos():
