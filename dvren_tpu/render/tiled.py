@@ -55,7 +55,7 @@ from dvren_tpu.ops.compose import ImagePlanes
 from dvren_tpu.ops.fused_tiles import DEFAULT_REDUCE
 from dvren_tpu.ops.integrate import integrate
 from dvren_tpu.render import windowed as windowed_mod
-from dvren_tpu.utils.pytree import pytree_dataclass
+from dvren_tpu.utils.pytree import device_put_tree, pytree_dataclass
 
 TILE_W = 16
 TILE_H = 16
@@ -574,7 +574,12 @@ def build_tiled_schedule(plan: Plan, field,
     # remote-compiled tunnel dispatch (measured 81 s for the 8-view fit
     # flagship vs ~0 host-side). Numpy leaves merge at memcpy speed and
     # the merged schedule uploads ONCE (merge_view_schedules).
-    put = jax.device_put if device else (lambda x: x)
+    # device=True ALSO builds numpy throughout and uploads in one
+    # batched tree-level put at the end: per-leaf device_put pays the
+    # relay's ~36 ms dispatch per array - ~130 leaves cost ~4.7 s of
+    # pure roundtrips at 512^2 (tools/upload_probe.py; the host build
+    # itself is ~1.7 s).
+    put = lambda x: x  # noqa: E731 - leaves stay numpy until the end
     if cell_scale == 2:
         check(not hasattr(field, "bricks"),
               "cell_scale=2 (supercell tables) supports dense grids only")
@@ -1110,7 +1115,8 @@ def build_tiled_schedule(plan: Plan, field,
         # rebuilds the chosen config with the fallback when needed.
         if build_fallback:
             fb = windowed_mod.build_schedule(
-                plan, bbox_min, bbox_max, jitter=jitter, ray_subset=fb_ids)
+                plan, bbox_min, bbox_max, jitter=jitter, ray_subset=fb_ids,
+                device=False)  # uploaded with the schedule tree below
 
     hostmap_all = (np.concatenate(host_rows) if host_rows
                    else np.zeros(0, np.int32))
@@ -1123,7 +1129,7 @@ def build_tiled_schedule(plan: Plan, field,
         n_rows = grid_ops.supercell_rows((nz, ny, nx))
     else:
         n_rows = grid_ops.fullpitch_rows((nz, ny, nx))
-    return TiledSchedule(
+    sched = TiledSchedule(
         groups=tuple(groups),
         fallback=fb,
         hostmap_all=put(hostmap_all),
@@ -1140,6 +1146,7 @@ def build_tiled_schedule(plan: Plan, field,
         pitch=pitch,
         cell_scale=cell_scale,
     )
+    return device_put_tree(sched) if device else sched
 
 
 def _build_gather_plan(hostmap_all: np.ndarray, n_cells: int,
@@ -1945,13 +1952,13 @@ def merge_view_schedules(scheds, plans=None) -> MergedViewSchedule:
 
         def cat(name):
             # Host-built (numpy-leaf) schedules merge at memcpy speed
-            # and upload ONCE; device-leaf schedules keep the jnp path
-            # (each concat is a remote dispatch on the tunnel - build
-            # per-view schedules with device=False when merging).
+            # and upload ONCE (the batched tree-level put below);
+            # device-leaf schedules keep the jnp path (each concat is a
+            # remote dispatch on the tunnel - build per-view schedules
+            # with device=False when merging).
             vals = [getattr(p, name) for p in parts]
             if all(isinstance(v, np.ndarray) for v in vals):
-                return jax.device_put(
-                    vals[0] if len(vals) == 1 else np.concatenate(vals))
+                return vals[0] if len(vals) == 1 else np.concatenate(vals)
             if len(vals) == 1:
                 return vals[0]
             return jnp.concatenate(vals)
@@ -1979,9 +1986,10 @@ def merge_view_schedules(scheds, plans=None) -> MergedViewSchedule:
                          if s.gather_plan is not None), 1))
     sched = TiledSchedule(
         groups=tuple(merged), fallback=None,
-        hostmap_all=jax.device_put(hostmap_all),
-        gathermap_all=jax.device_put(gathermap_all),
-        gather_plan=_build_gather_plan(hostmap_all, n_rows),
+        hostmap_all=hostmap_all,
+        gathermap_all=gathermap_all,
+        gather_plan=_build_gather_plan(hostmap_all, n_rows,
+                                       put=lambda x: x),
         total_rays=sum(s.total_rays for s in scheds),
         tiled_samples=t_samples,
         full_lattice_samples=sum(s.full_lattice_samples for s in scheds),
@@ -2002,12 +2010,15 @@ def merge_view_schedules(scheds, plans=None) -> MergedViewSchedule:
           "merge_view_schedules: a view has fallback (slot-overflow) "
           "rays, whose rays are regenerated at render time - pass "
           "plans= so the stack renderer uses each view's own camera")
-    return MergedViewSchedule(
+    # ONE batched upload for the merged groups, gather plan AND the
+    # per-view fallbacks (per-leaf device_put pays ~36 ms relay
+    # dispatch each - utils/pytree.py::device_put_tree)
+    return device_put_tree(MergedViewSchedule(
         sched=sched,
         view_fallbacks=tuple(s.fallback for s in scheds),
         view_slices=tuple(slices_all),
         n_views=len(scheds),
-        view_cams=view_cams)
+        view_cams=view_cams))
 
 
 def render_tiled_stack(plan: Plan, field, merged: MergedViewSchedule,

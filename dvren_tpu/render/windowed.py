@@ -184,11 +184,15 @@ jax.tree_util.register_pytree_node(
 
 def build_schedule(plan: Plan, bbox_min, bbox_max, block: int = 32768,
                    jitter: np.ndarray | None = None,
-                   ray_subset: np.ndarray | None = None) -> WindowedSchedule:
+                   ray_subset: np.ndarray | None = None,
+                   device: bool = True) -> WindowedSchedule:
     """``jitter``: the full (N, K) host table (plan_jitter_table) when the
     plan samples stratified; its window rows are gathered here and shipped
     to the device once. ``ray_subset``: restrict the schedule to these
-    global ray ids (the tiled path's overflow fallback)."""
+    global ray ids (the tiled path's overflow fallback). ``device=False``
+    keeps leaves as numpy (callers embedding the schedule in a larger
+    tree upload it in THEIR batched put - see utils/pytree.py::
+    device_put_tree; per-leaf puts pay ~36 ms relay dispatch each)."""
     k_enter, k_count = _windows(plan, bbox_min, bbox_max)
     n = plan.ray_count
     if ray_subset is not None:
@@ -219,20 +223,24 @@ def build_schedule(plan: Plan, bbox_min, bbox_max, block: int = 32768,
             rows = np.minimum(ids, n - 1)
             cols = np.minimum(ke[:, None] + np.arange(budget)[None, :],
                               jitter.shape[1] - 1)
-            jit_rows = jax.device_put(jitter[rows[:, None], cols])
+            jit_rows = jitter[rows[:, None], cols]
         groups.append((budget,
-                       jax.device_put(ids.astype(np.int32)),
-                       jax.device_put(ke.astype(np.int32)),
+                       ids.astype(np.int32),
+                       ke.astype(np.int32),
                        jit_rows))
         windowed += ids.size * budget
 
-    return WindowedSchedule(
+    sched = WindowedSchedule(
         groups=tuple(groups),
         total_rays=n,
         skipped_rays=n - int(live.size),
         full_lattice_samples=n * plan.sampling.max_steps,
         windowed_samples=windowed,
     )
+    if device:
+        from dvren_tpu.utils.pytree import device_put_tree
+        sched = device_put_tree(sched)
+    return sched
 
 
 def render_windowed(
@@ -521,24 +529,22 @@ def build_stack_schedule(plans, bbox_min, bbox_max, block: int = 32768,
             rows = np.minimum(safe % n, jitter.shape[0] - 1)
             cols = np.minimum(ke[:, None] + np.arange(budget)[None, :],
                               jitter.shape[1] - 1)
-            jit_rows = jax.device_put(jitter[rows[:, None], cols])
-        groups.append((budget,
-                       jax.device_put(ids.astype(np.int32)),
-                       jax.device_put(ke),
-                       jit_rows,
-                       jax.device_put(o_g),
-                       jax.device_put(d_g),
-                       jax.device_put(tf)))
+            jit_rows = jitter[rows[:, None], cols]
+        groups.append((budget, ids.astype(np.int32), ke, jit_rows,
+                       o_g, d_g, tf))
         windowed += ids.size * budget
 
-    return WindowedStackSchedule(
+    # one batched upload (per-leaf device_put pays ~36 ms relay
+    # dispatch each; see utils/pytree.py::device_put_tree)
+    from dvren_tpu.utils.pytree import device_put_tree
+    return device_put_tree(WindowedStackSchedule(
         groups=tuple(groups),
         n_views=v_cnt,
         view_hw=(p0.height, p0.width),
         total_rays=vn,
         skipped_rays=vn - int(live.size),
         full_lattice_samples=vn * p0.sampling.max_steps,
-        windowed_samples=windowed)
+        windowed_samples=windowed))
 
 
 def _stack_group_outputs(plan, budget, field, ids, k_enter, block_jitter,
