@@ -241,17 +241,37 @@ def _mlp_heads(enc, sc, *, spec, lay):
 
 def _outer_sum(x_planes, y_planes):
     """sum over all chunk samples of x_a * y_b -> (len(x), len(y)):
-    one lane-contraction per block row (rows stacked on M/N; HIGHEST
-    precision - these matrices are tiny)."""
+    one lane-contraction per block row, both operands ZERO-PADDED to a
+    full 8-sublane block.
+
+    The padding is what makes this compile on real TPU: a dot with a
+    1-row operand lowers in Mosaic to a vector.multi_reduction, and the
+    cross-row accumulation (out = out + dot_r) then fuses into that
+    reduction as a non-constant accumulator - rejected with "only
+    constant accumulators supported" (CPU interpret mode never sees the
+    lowering). 8-sublane operands lower to tpu.matmul and the
+    accumulation stays a plain vector add; padded rows contribute exact
+    zeros. (Lane-concatenating the 16 rows into one wide contraction
+    also fails: tpu.concatenate on lanes rejects inputs at different
+    sublane offsets.) HIGHEST precision - these matrices are tiny."""
+    nx, ny = len(x_planes), len(y_planes)
+    zero = None
     out = None
     for r in range(ROWS):
         xr = jnp.concatenate([p[r:r + 1, :] for p in x_planes], axis=0)
         yr = jnp.concatenate([p[r:r + 1, :] for p in y_planes], axis=0)
+        if nx < 8 or ny < 8:
+            if zero is None:
+                zero = jnp.zeros((8, LANES), jnp.float32)
+            if nx < 8:
+                xr = jnp.concatenate([xr, zero[:8 - nx]], axis=0)
+            if ny < 8:
+                yr = jnp.concatenate([yr, zero[:8 - ny]], axis=0)
         d = jax.lax.dot_general(xr, yr, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=_HI)
         out = d if out is None else out + d
-    return out
+    return out[:nx, :ny]
 
 
 def _pad_lanes(x, lanes=LANES):
