@@ -81,7 +81,7 @@ def build_hash_schedule(plan: Plan,
             np.minimum(k, np.asarray(jitter).shape[1] - 1)]
     else:
         jit = np.float32(0.5)
-    st = (base_t[None, None, :] + jit * dt).astype(np.float32)
+    st = np.asarray(base_t[None, None, :] + jit * dt, np.float32)
     st = np.broadcast_to(st, (t_cnt, 256, k_steps))
     # dead pad rays march anyway; their lattice mask (k < k_max,
     # base_t < t_far) matches live rays, so force their sample_t past
@@ -99,12 +99,12 @@ def build_hash_schedule(plan: Plan,
                      (st_bits & np.uint32(0xFFFF)).astype(np.uint16)],
                     axis=2)                   # (T, nc, 2, 16, 128)
 
-    ot = o[safe].astype(np.float32)
-    dtn = d[safe].astype(np.float32)
+    ot = o[safe].astype(np.float32, copy=False)
+    dtn = d[safe].astype(np.float32, copy=False)
     rayt = np.stack(
         [ot[:, :, i].reshape(t_cnt, 2, 128) for i in range(3)]
         + [dtn[:, :, i].reshape(t_cnt, 2, 128) for i in range(3)],
-        axis=1).astype(np.float32).reshape(t_cnt, 12, 128)
+        axis=1).reshape(t_cnt, 12, 128)
 
     # pad the group to a multiple of 8 tiles (kernel DMA blocks)
     t_pad = -(-t_cnt // 8) * 8

@@ -16,6 +16,7 @@ a loss and lets ``jax.grad`` flow into field parameters and camera inputs.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -71,14 +72,27 @@ def plan_jitter_table(plan: Plan):
     Exact uint64 splitmix64 (ops.rng.jitter_table); pass the result (or a
     device_put of it) into :func:`render`/:func:`render_streamed` so the
     compiled program stays free of the uint32 hash emulation.
+
+    Cached on (seed, rays, steps): the table is camera-INDEPENDENT, so a
+    moving-camera sweep rebuilding per-frame schedules reuses it (it was
+    3.6 of the 4.9 s hash-schedule rebuild at 512^2). The cached array
+    is read-only; copy before mutating.
     """
     from dvren_tpu.core.plan import SamplingMode
-    from dvren_tpu.ops import rng
 
     if plan.sampling.mode != SamplingMode.STRATIFIED:
         return None
-    return rng.jitter_table(plan.seed, plan.ray_count,
-                            plan.sampling.max_steps)
+    return _jitter_table_cached(plan.seed, plan.ray_count,
+                                plan.sampling.max_steps)
+
+
+@functools.lru_cache(maxsize=2)
+def _jitter_table_cached(seed: int, n_rays: int, n_steps: int):
+    from dvren_tpu.ops import rng
+
+    table = rng.jitter_table(seed, n_rays, n_steps)
+    table.setflags(write=False)
+    return table
 
 
 def render(
