@@ -36,8 +36,8 @@ one-hot contractions: the 8 corner one-hots of one block row stack to a
 adjoints emits every corner/feature contribution at once.
 
 Requires ``table_size <= 128`` and a power of two (the default 16 is),
-``hidden_dim <= 8`` and ``encoding_dim <= 128``; other specs fall back
-to the streamed XLA path.
+``hidden_dim <= 8`` and ``encoding_dim <= 64`` (see ``fast_path_ok``);
+other specs fall back to the streamed XLA path.
 """
 
 from __future__ import annotations

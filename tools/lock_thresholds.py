@@ -27,6 +27,8 @@ def main() -> int:
 
     with open(args.bench) as f:
         bench = json.load(f)
+    if "value" not in bench and "parsed" in bench:
+        bench = bench["parsed"]   # driver wrapper format (BENCH_rNN.json)
     fwd = float(bench["value"]) * args.margin
     fb = float(bench.get("extra", {}).get("fwdbwd_Mrays_per_s", 0.0)) \
         * args.margin

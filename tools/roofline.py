@@ -10,7 +10,8 @@ time = prefix(n) - prefix(n-1)); the floor assumes phases serialize
 (each consumes the previous one's output).
 
 Usage: python tools/roofline.py [--width 512] [--grid 64] [--steps 128]
-Writes ROOFLINE_r04.json next to the repo root and prints it.
+                                [--cell-scale 1|2] [--pitch 1|2]
+Writes ROOFLINE_r05.json next to the repo root and prints it.
 """
 from __future__ import annotations
 
@@ -29,6 +30,8 @@ def main():
     ap.add_argument("--grid", type=int, default=64)
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--kf", type=int, default=8)
+    ap.add_argument("--cell-scale", type=int, default=1, choices=(1, 2))
+    ap.add_argument("--pitch", type=int, default=1, choices=(1, 2))
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -51,7 +54,9 @@ def main():
 
     plan, field = _scene(args.width, args.width, args.grid, args.steps)
     n_rays = plan.ray_count
-    sched = build_tiled_schedule(plan, field, jitter=plan_jitter_table(plan))
+    sched = build_tiled_schedule(plan, field, jitter=plan_jitter_table(plan),
+                                 cell_scale=args.cell_scale,
+                                 pitch=args.pitch)
     tables_fn, kernel_fn, compose_fn = render_tiled_phases(plan, sched)
     streams = rf.forward_streams(sched)
     floors = rf.floor_ms(streams)
@@ -98,7 +103,10 @@ def main():
     }
     result = {
         "metric": "fwd_roofline_512",
-        "config": f"{args.width}^2, {args.grid}^3, {args.steps} steps",
+        "config": f"{args.width}^2, {args.grid}^3, {args.steps} steps, "
+                  f"cell_scale={args.cell_scale}, pitch={args.pitch}",
+        "cell_scale": args.cell_scale,
+        "pitch": args.pitch,
         "bw_GBps": rf.HBM_GBPS,
         "u16_starts_per_s": rf.U16_STARTS_PER_S,
         "streams": {k: {"MB": round(v["bytes"] / 1e6, 2),
@@ -112,7 +120,7 @@ def main():
         "fwd_Mrays_per_s": round(n_rays / t_full / 1e3, 2),
         "device": str(jax.devices()[0]),
     }
-    out_path = args.out or _os.path.join(root, "ROOFLINE_r04.json")
+    out_path = args.out or _os.path.join(root, "ROOFLINE_r05.json")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
