@@ -521,6 +521,7 @@ def build_tiled_schedule(plan: Plan, field,
                          pitch: int = 1,
                          cell_scale: int = 1,
                          uniform_shape: tuple | None = None,
+                         all_tiles: bool = False,
                          device: bool = True,
                          build_fallback: bool = True) -> TiledSchedule:
     """Build the tile-table schedule for (plan, field bbox + resolution).
@@ -568,6 +569,9 @@ def build_tiled_schedule(plan: Plan, field,
     check(tile_px in (4, 8, 16), "tile_px must be 4, 8 or 16")
     check(pitch in (1, 2), "pitch must be 1 or 2")
     check(cell_scale in (1, 2), "cell_scale must be 1 or 2")
+    check(not all_tiles or quantize == "uniform"
+          or uniform_shape is not None,
+          "all_tiles requires uniform quantization (one shape class)")
     # device=False keeps every schedule leaf as NUMPY: multi-view fits
     # build per-view schedules only to merge them - uploading each view
     # first made the merge concatenate DEVICE arrays, each jnp.concat a
@@ -665,14 +669,24 @@ def build_tiled_schedule(plan: Plan, field,
         # schedule's own maxima - a multi-view fit pins every view to
         # the global maxima so the merge is one group).
         live_nc = n_chunks_tile[tile_live & (n_chunks_tile > 0)]
-        if live_nc.size:
-            nc_u = int(live_nc.max())
+        if live_nc.size or all_tiles:
+            nc_u = int(live_nc.max()) if live_nc.size else 1
             if uniform_shape is not None:
                 check(uniform_shape[0] >= nc_u,
                       "uniform_shape nc below this schedule's maximum")
                 nc_u = int(uniform_shape[0])
             n_chunks_tile = np.where(
                 tile_live & (n_chunks_tile > 0), nc_u, n_chunks_tile)
+            if all_tiles:
+                # Camera-stable mode: EVERY image tile joins the single
+                # uniform group (dead tiles carry fully-masked chunks -
+                # their samples contribute exact zeros and their raw
+                # heads equal the zero tiles the composer would have
+                # used), so the schedule's pytree structure is a pure
+                # function of (plan geometry, uniform_shape, tile_px,
+                # pitch) and one jitted render replays every camera.
+                tile_live = np.ones_like(tile_live)
+                n_chunks_tile = np.full_like(n_chunks_tile, nc_u)
     elif quantize:
         nc_cap = -(-k_max // CHUNK)
         lut = np.array([_quant_up(v, nc_cap)
