@@ -62,7 +62,10 @@ _HI = jax.lax.Precision.HIGHEST
 
 def level_resolutions(spec: HashMLPSpec) -> tuple:
     """Per-level resolutions with ops/hashmlp.py::eval_planes' float32
-    arithmetic (base * exp(l * ln(finest/base)/(L-1)))."""
+    arithmetic (base * exp(l * ln(finest/base)/(L-1))), or the spec's
+    explicit ``resolutions`` when set."""
+    if spec.resolutions is not None:
+        return tuple(float(np.float32(r)) for r in spec.resolutions)
     L = spec.n_levels
     denom = np.float32(L - 1) if L > 1 else np.float32(1)
     log_scale = np.float32(

@@ -45,6 +45,14 @@ class HashMLPSpec:
     hidden_dim: int = 8
     base_resolution: float = 2.0
     finest_resolution: float = 16.0
+    # Optional EXPLICIT per-level resolutions (tuple of floats, length
+    # n_levels). None keeps the reference's geometric formula
+    # base*exp(l*ln(finest/base)/(L-1)) (hash_mlp_cpu.cpp:31-34) -
+    # whose f32 exp() lands 1-2 ulp off integers (e.g. 7.9999995 for a
+    # 4..32 ladder). Integer power-of-two ladders (4, 8, 16, 32) make
+    # the per-level cell arithmetic exact, which the NGP-scale fused
+    # grid path requires (ops/hash_grid.py::grid_path_ok).
+    resolutions: tuple | None = None
 
     @property
     def encoding_dim(self) -> int:
@@ -101,7 +109,9 @@ def encode(positions: jnp.ndarray, hash_table: jnp.ndarray,
 
     feats = []
     for level in range(levels):
-        res = spec.base_resolution * jnp.exp(level * log_scale)
+        res = (jnp.float32(spec.resolutions[level])
+               if spec.resolutions is not None
+               else spec.base_resolution * jnp.exp(level * log_scale))
         scaled = positions * res
         i0 = jnp.floor(scaled).astype(jnp.int32)
         frac = scaled - i0.astype(jnp.float32)
@@ -208,7 +218,9 @@ def eval_planes(px, py, pz, params: dict, spec: HashMLPSpec):
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (1, t_size), 1)
     enc_rows = []
     for level in range(levels):
-        res = spec.base_resolution * jnp.exp(level * log_scale)
+        res = (jnp.float32(spec.resolutions[level])
+               if spec.resolutions is not None
+               else spec.base_resolution * jnp.exp(level * log_scale))
         sx, sy, sz = pxf * res, pyf * res, pzf * res
         x0 = jnp.floor(sx).astype(jnp.int32)
         y0 = jnp.floor(sy).astype(jnp.int32)

@@ -14,6 +14,7 @@ The composition reuses the dense path's tile composer (the kernel's
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -200,3 +201,91 @@ def render_hash_tiled(plan: Plan, field,
         schedule.n_chunks)
     return tiled_mod._compose_tiles(
         plan, [raw], [schedule.tile_ids], [], tile_px=16)
+
+
+# -------------------------------------------------- NGP-scale grid path
+
+@dataclass(frozen=True)
+class _HashSchedProxy:
+    """Scheduler-facing view of a hash-MLP field for the NGP-scale grid
+    path (ops/hash_grid.py): the unit bbox (the reference hardcodes
+    field bounds to [0,1]^3, hp_internal.hpp:29-30) and the finest
+    level's point lattice as the cell grid. OOB-ZERO: the grid path
+    defines the field as zero outside the unit cube (the toy in-kernel
+    path evaluates hash noise everywhere; trained content lives inside)."""
+
+    schedule_grid_shape: tuple
+    bbox_min: tuple = (0.0, 0.0, 0.0)
+    bbox_max: tuple = (1.0, 1.0, 1.0)
+
+
+def build_hash_grid_schedule(plan: Plan, field,
+                             jitter: np.ndarray | None = None,
+                             tile_px: int | None = None,
+                             quantize=False,
+                             uniform_shape=None,
+                             device: bool = True):
+    """Tile-table schedule for the hash grid path: the DENSE scheduler
+    over the spec's finest-level lattice (one slot per finest cell; all
+    level lookups resolve from that cell's packed row).
+
+    ``tile_px=None`` auto-cascades 16 -> 8 -> 4 px sub-tiles to the
+    coarsest configuration with zero slot overflow (the grid path has
+    no windowed fallback - the streamed referee's OOB semantics differ
+    outside the unit cube)."""
+    from dvren_tpu.ops import hash_grid
+
+    check(hash_grid.grid_path_ok(field.spec),
+          "hash grid path unavailable for this spec (see "
+          "ops/hash_grid.py::grid_path_ok)")
+    proxy = _HashSchedProxy(
+        schedule_grid_shape=hash_grid.grid_shape(field.spec))
+    build = functools.partial(
+        tiled_mod.build_tiled_schedule, plan, proxy, jitter=jitter,
+        quantize=quantize, uniform_shape=uniform_shape,
+        build_fallback=False)
+    if tile_px is not None:
+        return build(tile_px=tile_px, device=device)
+    sched = None
+    for px in (16, 8, 4):
+        sched = build(tile_px=px, device=False)
+        if sched.fallback_rays == 0:
+            break
+    check(sched.fallback_rays == 0,
+          "hash grid schedule overflows even 4px sub-tiles")
+    if device:
+        from dvren_tpu.utils.pytree import device_put_tree
+        sched = device_put_tree(sched)
+    return sched
+
+
+def render_hash_grid_tiled(plan: Plan, field, schedule) -> ImagePlanes:
+    """NGP-scale fused hash render: packed multi-level table build +
+    planned bank gather + the hash-grid kernel + tile composition.
+    Traceable and differentiable in ``field.params`` (hash table via
+    the bank cotangent's planned gather-transpose + the table build's
+    adjoint; MLP heads via the kernel's scalar-vector grads)."""
+    from dvren_tpu.ops import hash_grid
+    from dvren_tpu.ops.hash_tiles import pack_mlp_scalars
+
+    check(schedule.fallback_rays == 0 and schedule.fallback is None,
+          "hash grid path requires zero overflow rays (rebuild the "
+          "schedule with tile_px=8)")
+    check(tuple(schedule.grid_shape)
+          == hash_grid.grid_shape(field.spec),
+          "schedule was built for a different finest resolution")
+    packed = hash_grid.build_hash_grid_table(field.params, field.spec)
+    static = (int(packed.shape[1]),
+              tuple((g.n_tiles, g.banks) for g in schedule.groups))
+    tabs = tiled_mod._gather_banks_f32(
+        packed, schedule.gathermap_all, schedule.gather_plan, static)
+    sc = pack_mlp_scalars(field.params, field.spec)
+    subs = (16 // schedule.tile_px) ** 2
+    raws = [
+        hash_grid.render_hash_grid_group_raw(
+            plan, field.spec, tabs[i], g.samp, g.base, g.rayt,
+            g.k_enter, g.bank0, g.n_chunks, sc, subs=subs)
+        for i, g in enumerate(schedule.groups)]
+    return tiled_mod._compose_tiles(
+        plan, raws, [g.tile_ids for g in schedule.groups], [],
+        tile_px=schedule.tile_px)

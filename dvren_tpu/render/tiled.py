@@ -615,6 +615,10 @@ def build_tiled_schedule(plan: Plan, field,
     if sparse:
         nz, ny, nx = (int(v) for v in field.grid_shape)
         occ_host = np.asarray(field.occupancy)
+    elif hasattr(field, "schedule_grid_shape"):
+        # virtual cell grid (hash-grid fast path: the finest level's
+        # point lattice, ops/hash_grid.py::grid_shape)
+        nz, ny, nx = (int(v) for v in field.schedule_grid_shape)
     else:
         nz, ny, nx = (int(v) for v in np.asarray(field.sigma.shape[:3]))
     check(min(nx, ny, nz) >= 2, "tiled rendering requires grid dims >= 2")

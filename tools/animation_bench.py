@@ -13,7 +13,7 @@ capture-specialization model's worst case; VERDICT r3 missing #3).
 
 Usage: python tools/animation_bench.py [--frames 120] [--res 512]
         [--cam-frames 6]
-Prints one JSON line -> ANIM_r04.json material.
+Prints one JSON line -> ANIM_rNN.json material.
 """
 
 from __future__ import annotations
@@ -113,20 +113,22 @@ def main() -> int:
         f"{anim_fps:.1f} frames/s over {args.frames} frames")
 
     # ---------------- phase (b): moving camera, per-frame rebuild ------
+    # The tiled path rides the camera-stable renderer (render/animate.py):
+    # pinned uniform shapes + canonical stats = ONE compiled executable
+    # for every pose; per-frame cost is host build + upload + dispatch.
+    from dvren_tpu.render.animate import MovingCameraRenderer
+
+    mover = MovingCameraRenderer(plan, field)
+    log(f"moving-cam pinned uniform_shape {mover.uniform_shape}")
     tiled_cam_s = []
     win_cam_s = []
     win_render = None
-    tiled_render = None
     for i in range(args.cam_frames):
         ang = 2 * math.pi * i / max(args.cam_frames, 1)
         p_i = plan_for(0.5 + 0.1 * math.sin(ang), 0.5 + 0.05 * math.cos(ang))
         jit_i = plan_jitter_table(p_i)
         t0 = time.perf_counter()
-        s_i = build_tiled_schedule(p_i, field, jitter=jit_i)
-        if tiled_render is None:
-            tiled_render = jax.jit(
-                lambda f, s, _p=p_i: render_tiled(_p, f, s).image)
-        img = tiled_render(field, s_i)
+        img = mover.render(p_i, field).image
         img.block_until_ready()
         float(img[0, 0, 0])  # force fetch (relay acks early)
         tiled_cam_s.append(time.perf_counter() - t0)
@@ -150,6 +152,7 @@ def main() -> int:
 
     out = {
         "metric": "animation_frames_per_s_512",
+        "moving_cam_compiles": mover.cache_size(),
         "value": round(anim_fps, 2),
         "unit": "frames/s",
         "fixed_cam_ms_per_frame": round(s * 1e3, 2),

@@ -123,6 +123,93 @@ def main():
         log(f"streamed fwd {s / KF * 1e3:.1f} ms/frame -> "
             f"{stream_mrays:.2f} Mrays/s")
 
+    # ------------------------- NGP-scale grid path (round 5, T=4096)
+    # Host-resolved multi-level tables through the dense bank machinery
+    # (ops/hash_grid.py). The spec this path exists for: realistic
+    # table sizes the in-kernel path cannot hold (T >= 2^12).
+    from dvren_tpu.render.hash_tiled import (build_hash_grid_schedule,
+                                             render_hash_grid_tiled)
+
+    gspec = HashMLPSpec(n_levels=4, features_per_level=2,
+                        table_size=4096, hidden_dim=8,
+                        base_resolution=4.0, finest_resolution=32.0,
+                        resolutions=(4, 8, 16, 32))
+    gfield = HashMLPField.init_random(jax.random.key(1), spec=gspec)
+    grid_fwd_mrays = grid_stream_mrays = None
+    grid_fb_mrays = None
+    try:
+        t0 = time.perf_counter()
+        gsched = build_hash_grid_schedule(
+            plan, gfield, jitter=plan_jitter_table(plan))
+        gsched_s = time.perf_counter() - t0
+        log(f"grid-path schedule build {gsched_s:.2f}s "
+            f"(groups {[(g.n_chunks, g.n_tiles, g.banks) for g in gsched.groups]})")
+
+        def frames_grid(scales, params, sched):
+            def one(carry, s):
+                p = jax.tree.map(lambda x: x * s, params)
+                img = render_hash_grid_tiled(
+                    plan, gfield.with_params(p), sched).image
+                return carry, img[::64, ::64].sum()
+            return jax.lax.scan(one, 0.0, scales)[1]
+
+        t0 = time.perf_counter()
+        gfwd = jax.jit(frames_grid).lower(
+            scales, gfield.params, gsched).compile()
+        log(f"grid-path fwd compile {time.perf_counter() - t0:.1f}s")
+        s = _time_compiled(gfwd, [(scales, gfield.params, gsched),
+                                  (scales * 1.003, gfield.params,
+                                   gsched)], iters=3)
+        grid_fwd_mrays = n_rays / (s / KF) / 1e6
+        log(f"grid-path fwd (T=4096) {s / KF * 1e3:.2f} ms/frame -> "
+            f"{grid_fwd_mrays:.2f} Mrays/s")
+
+        # fwd+bwd train-step rate at the same spec
+        gtarget = jnp.zeros((w, w, 3), jnp.float32)
+
+        def gloss(params, sched):
+            img = render_hash_grid_tiled(
+                plan, gfield.with_params(params), sched).image
+            return jnp.mean((img - gtarget) ** 2)
+
+        def gsteps(params, sched):
+            def body(p, _):
+                l, g = jax.value_and_grad(gloss)(p, sched)
+                return jax.tree.map(lambda a, b: a - 1e-3 * b, p, g), l
+            return jax.lax.scan(body, params, None, length=3)
+
+        t0 = time.perf_counter()
+        gfb = jax.jit(gsteps).lower(gfield.params, gsched).compile()
+        log(f"grid-path fwd+bwd compile {time.perf_counter() - t0:.1f}s")
+        pb = jax.tree.map(lambda x: x * 1.0001, gfield.params)
+        s = _time_compiled(gfb, [(gfield.params, gsched), (pb, gsched)],
+                           iters=2) / 3
+        grid_fb_mrays = n_rays / s / 1e6
+        log(f"grid-path fwd+bwd {s * 1e3:.2f} ms/step -> "
+            f"{grid_fb_mrays:.2f} Mrays/s")
+
+        # streamed reference at the SAME T=4096 spec
+        if not args.skip_streamed:
+            jitter = jnp.asarray(plan_jitter_table(plan))
+
+            def frames_gs(scales, params):
+                def one(carry, sc):
+                    p = jax.tree.map(lambda x: x * sc, params)
+                    img = render_streamed(plan, gfield.with_params(p),
+                                          jitter=jitter).image
+                    return carry, img[::64, ::64].sum()
+                return jax.lax.scan(one, 0.0, scales)[1]
+
+            gst = jax.jit(frames_gs).lower(scales, gfield.params).compile()
+            s = _time_compiled(gst, [(scales, gfield.params),
+                                     (scales * 1.003, gfield.params)],
+                               iters=3)
+            grid_stream_mrays = n_rays / (s / KF) / 1e6
+            log(f"streamed fwd at T=4096 {s / KF * 1e3:.1f} ms/frame -> "
+                f"{grid_stream_mrays:.2f} Mrays/s")
+    except Exception as e:
+        log(f"grid path failed: {type(e).__name__}: {e}")
+
     # ------------------------------------------------ multi-view fit
     fw = args.fit_width
     fplan = Plan.create(PlanConfig(
@@ -185,6 +272,13 @@ def main():
         "hashmlp_schedule_build_s": round(sched_s, 2),
         "hashmlp_streamed_fwd_Mrays_per_s_512":
             round(stream_mrays, 2) if stream_mrays else None,
+        "hashgrid_T4096_fwd_Mrays_per_s_512":
+            round(grid_fwd_mrays, 2) if grid_fwd_mrays else None,
+        "hashgrid_T4096_fwdbwd_Mrays_per_s_512":
+            round(grid_fb_mrays, 2) if grid_fb_mrays else None,
+        "hashgrid_T4096_streamed_Mrays_per_s_512":
+            round(grid_stream_mrays, 2) if grid_stream_mrays else None,
+        "hashgrid_spec": "L=4 F=2 T=4096 ladder 4-8-16-32",
         "hashmlp_fit_psnr_target": args.fit_psnr,
         "hashmlp_fit_reached_target": bool(res.reached_target),
         "hashmlp_fit_psnr_first_last": [

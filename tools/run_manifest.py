@@ -46,14 +46,40 @@ def load_manifest(path: str) -> list[dict]:
     return [c for c in cases if "test" in c]
 
 
+def _case_durations(xml_path: str) -> dict:
+    """node-id -> seconds from the junit report (best effort: classname
+    ``tests.test_x`` + test name reconstruct ``tests/test_x.py::name``)."""
+    import xml.etree.ElementTree as ET
+
+    times = {}
+    try:
+        for tc in ET.parse(xml_path).getroot().iter("testcase"):
+            cls = (tc.get("classname") or "").replace(".", "/")
+            node = f"{cls}.py::{tc.get('name')}"
+            times[node] = times.get(node, 0.0) + float(tc.get("time", 0))
+    except Exception:
+        pass
+    return times
+
+
 def run_cases(cases: list[dict]) -> list[dict]:
     """One pytest invocation for all nodes; parse the result per node."""
+    import tempfile
+    import time as _time
+
     nodes = [c["test"] for c in cases]
+    xml = tempfile.NamedTemporaryFile(suffix=".xml", delete=False)
+    xml.close()
     # -o addopts= : the contract runner ALWAYS runs its full node set,
     # overriding the default suite's "-m 'not slow'" tier filter.
     cmd = [sys.executable, "-m", "pytest", "-q", "--no-header",
-           "--tb=line", "-o", "addopts=", *dict.fromkeys(nodes)]
+           "--tb=line", "-o", "addopts=", f"--junit-xml={xml.name}",
+           *dict.fromkeys(nodes)]
+    t0 = _time.perf_counter()
     proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+    wall_s = _time.perf_counter() - t0
+    durations = _case_durations(xml.name)
+    os.unlink(xml.name)
     out = proc.stdout + proc.stderr
 
     # Parse pytest's terse failure lines into per-node status.
@@ -77,7 +103,8 @@ def run_cases(cases: list[dict]) -> list[dict]:
         else:
             status, message = "pass", ""
         results.append({"name": case["name"], "status": status,
-                        "message": message})
+                        "message": message,
+                        "seconds": round(durations.get(node, 0.0), 2)})
 
     # Collection errors (missing test): every case in a file that failed to
     # collect is a failure.
@@ -86,13 +113,27 @@ def run_cases(cases: list[dict]) -> list[dict]:
             if r["status"] == "pass":
                 r["status"] = "fail"
                 r["message"] = f"pytest exited {proc.returncode}"
-    return results
+    return results, wall_s
 
 
-def build_scoreboard(results: list[dict]) -> dict:
+# The slow tier is bounded: the whole manifest (incl. slow-marked
+# cases) must finish inside this wall-clock budget or the scoreboard
+# fails (VERDICT r4 weak #7 - CI latency creep).
+WALL_BUDGET_S = 1500.0
+
+
+def build_scoreboard(results: list[dict], wall_s: float) -> dict:
     summary = {"pass": 0, "fail": 0, "skip": 0}
     for r in results:
         summary[r["status"]] += 1
+    summary["wall_s"] = round(wall_s, 1)
+    summary["wall_budget_s"] = WALL_BUDGET_S
+    if wall_s > WALL_BUDGET_S:
+        summary["fail"] += 1
+        results.append({"name": "manifest_wall_budget", "status": "fail",
+                        "message": f"manifest took {wall_s:.0f}s "
+                                   f"> {WALL_BUDGET_S:.0f}s budget",
+                        "seconds": round(wall_s, 2)})
     return {"cases": results, "summary": summary}
 
 
@@ -108,8 +149,8 @@ def main() -> int:
                           {"pass": 0, "fail": 1, "skip": 0},
                           "error": "empty manifest"}))
         return 1
-    results = run_cases(cases)
-    scoreboard = build_scoreboard(results)
+    results, wall_s = run_cases(cases)
+    scoreboard = build_scoreboard(results, wall_s)
     print(json.dumps(scoreboard))
     return 1 if scoreboard["summary"]["fail"] > 0 else 0
 
