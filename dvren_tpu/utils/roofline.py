@@ -126,16 +126,22 @@ def forward_roofline(sched, measured_ms: float | None = None,
         out["measured_ms"] = round(measured_ms, 3)
         out["measured_over_floor"] = round(measured_ms / floors["total"],
                                            2)
-    # Round-5 attribution (ROOFLINE_r05_cs1 + tools/build16_probe2.py):
-    # the serial-phase floor model is conservative in one direction and
-    # optimistic in the other - the u16 build is FULLY OVERLAPPED in
-    # situ (removing it does not change the frame time), the planned
-    # bank gather runs ~3.7x faster than the 150M starts/s probe rate,
-    # and the KERNEL is VPU-issue-bound at ~3.2x its byte floor (the 32
-    # window expansions per chunk pace it, not DMA). Supercell tables
-    # at the headline config measure 23.4 vs 12.0 ms (cs2): the 27-
-    # vertex hat selection trades gather starts for MORE VPU work, so
-    # they stay a coarse-view (training) tool.
-    out["attribution"] = ("build overlapped; kernel VPU-bound ~3.2x "
-                          "byte floor (ROOFLINE_r05_cs1)")
+    # Round-5 attribution (ROOFLINE_r05_cs1, tools/build16_probe2.py,
+    # tools/singlebank_probe.py): the serial-phase floor model does not
+    # describe the pipeline. Measured in situ: the u16 build is FULLY
+    # OVERLAPPED (precomputing it changes nothing), the planned bank
+    # gather runs ~3.7x faster than the 150M starts/s probe rate, and
+    # the KERNEL phase sits at ~3.2x its byte floor - but it is NOT
+    # expansion-issue-bound either: a single-bank expansion ablation
+    # (half the gather/select ops per chunk) moves the frame time only
+    # 0.7%. Also measured neutral-or-worse at the headline: pitch-2
+    # (fewer starts, more lanes), bf16 tables, mxu-vs-mxu3 reduce, and
+    # supercell tables (23.4 vs 12.0 ms, cs2 - the 27-vertex hat
+    # selection costs more than the saved starts; supercells stay a
+    # coarse-view training tool). The residual is in DMA granularity /
+    # per-grid-step overheads, unresolved by any single-op ablation.
+    out["attribution"] = (
+        "build overlapped; kernel ~3.2x byte floor but NOT "
+        "expansion-bound (single-bank ablation -0.7%); see "
+        "ROOFLINE_r05_cs1 + tools/singlebank_probe.py")
     return out
