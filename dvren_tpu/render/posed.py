@@ -113,7 +113,7 @@ class PosedRenderer:
 
     def __init__(self, base_plan: Plan, field, nc_pin=None, nb_pin=None,
                  ez_pin=None, headroom=(1, 2, 2), use_kernel: bool = True,
-                 fused: bool | None = None):
+                 fused: bool | None = None, probe_plans=None):
         check(getattr(field, "oob", OobPolicy.ZERO) == OobPolicy.ZERO,
               "posed rendering requires an OOB_ZERO field")
         check(getattr(field, "interp", InterpMode.LINEAR)
@@ -170,9 +170,21 @@ class PosedRenderer:
             self._jt_k = jnp.asarray(np.ascontiguousarray(
                 jtt.transpose(1, 0, 2)))                     # (T, K, 256)
 
+        # Device-resident constants are passed as jit ARGUMENTS, never
+        # closed over: closure arrays embed as HLO literals (the jitter
+        # table alone is 134 MB at 512^2) - slow remote compiles and no
+        # persistent-cache hits (CLAUDE.md).
+        self._consts = (self._jt_k, self._ray_ids, self._pixel_ids,
+                        self._tile_ids)
         if nc_pin is None or nb_pin is None or ez_pin is None:
-            k0, c2w0 = self._cam_arrays(base_plan)
-            stats = np.asarray(jax.jit(self._probe_stats)(k0, c2w0))
+            # ``probe_plans``: representative poses of the intended
+            # sweep - the pins take the elementwise max over them (the
+            # probe executable is shared, so extra poses cost one
+            # dispatch each, not a recompile)
+            probe_fn = jax.jit(self._probe_stats)
+            stats = np.stack([
+                np.asarray(probe_fn(*self._cam_arrays(p), self._consts))
+                for p in [base_plan] + list(probe_plans or [])]).max(0)
             span_c, run_max, ez_max, nb_need = (int(v) for v in stats)
             check(run_max <= 2 * MAX_CELLS,
                   f"sliced-box run exceeds 2 banks at the base pose "
@@ -232,7 +244,7 @@ class PosedRenderer:
                 np.float32(p.sampling.dt), nudge, lo, inv,
                 (nx, ny, nz))
 
-    def _mask_full(self, o, d):
+    def _mask_full(self, o, d, jt_k):
         """Pass A: the exact in-bbox sample mask over the FULL lattice,
         (T, K, 256) layout -> per-tile window (tke, span)."""
         p = self._plan
@@ -241,10 +253,7 @@ class PosedRenderer:
             self._lattice_consts()
         kf = jnp.arange(K, dtype=jnp.float32)[None, :, None]
         base_t = t_near + kf * dt
-        if self._jt_k is None:
-            jt = jnp.float32(0.5)
-        else:
-            jt = self._jt_k
+        jt = jnp.float32(0.5) if jt_k is None else jt_k
         st = base_t + jt * dt
         st = jnp.where(st >= t_far, nudge, st)
         m = jnp.broadcast_to(base_t < t_far, st.shape)
@@ -259,7 +268,7 @@ class PosedRenderer:
         span = jnp.maximum(klast + 1 - tke, 0).astype(jnp.int32)
         return tke, span
 
-    def _window_lattice(self, o, d, tke, nc):
+    def _window_lattice(self, o, d, tke, nc, jt_k):
         """Pass B: st / cell indices / mask in the kernel's
         (T, nc, 16, 128) window layout (chunk boundaries at tke)."""
         p = self._plan
@@ -268,11 +277,11 @@ class PosedRenderer:
         t_near, t_far, dt, nudge, lo, inv, (nx, ny, nz) = \
             self._lattice_consts()
         nc8 = nc * CHUNK
-        if self._jt_k is None:
+        if jt_k is None:
             jw = jnp.full((T, nc, 16, 128), 0.5, jnp.float32)
         else:
             pad = jnp.zeros((T, nc8, 256), jnp.float32)
-            jtp = jnp.concatenate([self._jt_k, pad], axis=1)
+            jtp = jnp.concatenate([jt_k, pad], axis=1)
             jw = jax.vmap(
                 lambda a, s: jax.lax.dynamic_slice_in_dim(a, s, nc8, 0)
             )(jtp, tke)                                  # (T, nc8, 256)
@@ -299,14 +308,16 @@ class PosedRenderer:
                                 npts - 2).astype(jnp.int32))
         return st, idx[0], idx[1], idx[2], m
 
-    def _probe_stats(self, k, c2w):
+    def _probe_stats(self, k, c2w, consts):
         """Init-time device probe at full-lattice chunking: (window span
         chunks, max run lanes, max z-slices, banks needed)."""
+        jt_k = consts[0]
         o, d = self._tile_rays_planes(k, c2w)
-        tke, span = self._mask_full(o, d)
+        tke, span = self._mask_full(o, d, jt_k)
         K = self._plan.sampling.max_steps
         zero = jnp.zeros_like(tke)
-        st, ix, iy, iz, m = self._window_lattice(o, d, zero, K // CHUNK)
+        st, ix, iy, iz, m = self._window_lattice(o, d, zero, K // CHUNK,
+                                                 jt_k)
         stats = self._run_stats(ix, iy, iz, m, ez=32)
         _, _, _, _, run_lanes, ez_max = stats
         cur, _off = self._pack_offsets(run_lanes)
@@ -363,16 +374,17 @@ class PosedRenderer:
         return cur, jnp.stack(offs, -1)                  # (T,), (T, nc)
 
     # ------------------------------------------------------------------
-    def _build_schedule(self, k, c2w):
+    def _build_schedule(self, k, c2w, consts):
         """The full device schedule build: (T-group TiledSchedule pytree,
         diagnostics (4,) i32 [span_chunks, max_run, ez_max, nb_needed])."""
         nc, nb, ez = self.nc_pin, self.nb_pin, self.ez_pin
         T = self._t_cnt
         nz, ny, nx = self._grid
 
+        jt_k, ray_ids, pixel_ids, tile_ids = consts
         o, d = self._tile_rays_planes(k, c2w)
-        tke, span = self._mask_full(o, d)
-        st, ix, iy, iz, m = self._window_lattice(o, d, tke, nc)
+        tke, span = self._mask_full(o, d, jt_k)
+        st, ix, iy, iz, m = self._window_lattice(o, d, tke, nc, jt_k)
         z0, (x0s, y0s, exs, areas, prefix), zrel, m, run_lanes, ez_max \
             = self._run_stats(ix, iy, iz, m, ez)
         cur, off = self._pack_offsets(run_lanes)
@@ -444,8 +456,8 @@ class PosedRenderer:
             hostmap=hm_flat, gathermap=hm_flat,
             samp=samp, base=base, rayt=rayt,
             bank0=(off // MAX_CELLS).astype(jnp.int32)[:, :, None],
-            ray_ids=self._ray_ids, k_enter=tke,
-            pixel_ids=self._pixel_ids, tile_ids=self._tile_ids,
+            ray_ids=ray_ids, k_enter=tke,
+            pixel_ids=pixel_ids, tile_ids=tile_ids,
             samples=0)
         sched = TiledSchedule(
             groups=(group,), fallback=None,
@@ -458,7 +470,7 @@ class PosedRenderer:
             tile_px=16, table_kind="dense", pitch=1, cell_scale=1)
         return sched, diag
 
-    def _build_and_render(self, sigma, color, k, c2w):
+    def _build_and_render(self, sigma, color, k, c2w, consts):
         """Single-dispatch build + render (TPU mode). Do NOT use on the
         CPU backend: its kLoop fusion pulls the whole ~100-op hostmap
         decode chain into the render's cube gather as producers and
@@ -466,7 +478,7 @@ class PosedRenderer:
         split at 128^2/16^3; opt-barriers and trip-1 while_loops are
         both simplified away before its fusion pass)."""
         field = self._field_tpl.with_params(sigma, color)
-        sched, diag = self._build_schedule(k, c2w)
+        sched, diag = self._build_schedule(k, c2w, consts)
         planes = render_tiled(self._plan, field, sched,
                               use_kernel=self._use_kernel)
         return planes, diag
@@ -480,7 +492,7 @@ class PosedRenderer:
               "PosedRenderer: plan differs from the base plan beyond "
               "the camera (re-create the renderer)")
         k, c2w = self._cam_arrays(plan)
-        sched, diag = self._sched_fn(k, c2w)
+        sched, diag = self._sched_fn(k, c2w, self._consts)
         self._check_diag(np.asarray(diag))
         return sched
 
@@ -519,14 +531,44 @@ class PosedRenderer:
         k, c2w = self._cam_arrays(plan)
         if self._fused:
             planes, diag = self._render_fn(field.sigma, field.color, k,
-                                           c2w)
+                                           c2w, self._consts)
         else:
-            sched, diag = self._sched_fn(k, c2w)
+            sched, diag = self._sched_fn(k, c2w, self._consts)
             planes = self._consume_fn(field.sigma, field.color, sched)
         self._last_diag = diag
         if check_diag:
             self._check_diag(np.asarray(diag))
         return planes
+
+    def render_sweep(self, plans, field, check_diag: bool = True):
+        """Render a POSE SWEEP in one dispatch: ``lax.scan`` over the
+        stacked cameras with the fused build+render as the body (the
+        ~36 ms tunnel dispatch amortizes across the sweep). Returns
+        (images (F, H, W, 3), diags (F, 4)). TPU mode only (the scan
+        body hits the CPU backend's fusion pathology; see
+        :meth:`_build_and_render`)."""
+        check(self._fused, "render_sweep needs fused mode (TPU)")
+        for p in plans:
+            check(_plan_geometry(p) == self._geom,
+                  "PosedRenderer: plan differs from the base plan "
+                  "beyond the camera (re-create the renderer)")
+        self._field_tpl = field
+        ks = jnp.stack([self._cam_arrays(p)[0] for p in plans])
+        c2ws = jnp.stack([self._cam_arrays(p)[1] for p in plans])
+        if not hasattr(self, "_sweep_fn"):
+            def sweep(sigma, color, ks, c2ws, consts):
+                def body(_, kc):
+                    planes, diag = self._build_and_render(
+                        sigma, color, kc[0], kc[1], consts)
+                    return 0, (planes.image, diag)
+                return jax.lax.scan(body, 0, (ks, c2ws))[1]
+            self._sweep_fn = jax.jit(sweep)
+        images, diags = self._sweep_fn(field.sigma, field.color, ks,
+                                       c2ws, self._consts)
+        self._last_diag = jax.numpy.max(diags, axis=0)
+        if check_diag:
+            self._check_diag(np.asarray(self._last_diag))
+        return images, diags
 
     def check_ok(self):
         """Validate the most recent frame's pin diagnostics (raises on

@@ -150,6 +150,50 @@ def main() -> int:
     t_cam = float(np.mean(tiled_cam_s[1:])) if len(tiled_cam_s) > 1 else 0.0
     w_cam = float(np.mean(win_cam_s[1:])) if len(win_cam_s) > 1 else 0.0
 
+    # ---------------- phase (c): device-built pose schedules ----------
+    # The PosedRenderer builds the schedule ON DEVICE inside the render
+    # program (render/posed.py): per-frame cost is one dispatch (fused)
+    # or two (split); render_sweep amortizes the dispatch over a sweep.
+    from dvren_tpu.render.posed import PosedRenderer
+
+    cam_plans = []
+    for i in range(max(args.cam_frames, 2)):
+        ang = 2 * math.pi * i / max(args.cam_frames, 1)
+        cam_plans.append(plan_for(0.5 + 0.1 * math.sin(ang),
+                                  0.5 + 0.05 * math.cos(ang)))
+    t0 = time.perf_counter()
+    posed = PosedRenderer(plan, field, probe_plans=cam_plans[::2])
+    log(f"posed init {time.perf_counter() - t0:.1f}s pins "
+        f"nc={posed.nc_pin} nb={posed.nb_pin} ez={posed.ez_pin}")
+    posed_s = []
+    for i, p_i in enumerate(cam_plans):
+        t0 = time.perf_counter()
+        img = posed.render(p_i, field, check_diag=False).image
+        float(np.asarray(img[0, 0, 0]))
+        posed_s.append(time.perf_counter() - t0)
+        log(f"posed cam frame {i}: {posed_s[-1]:.3f}s")
+    posed.check_ok()
+    p_cam = float(np.mean(posed_s[1:]))
+    p_sweep = 0.0
+    if posed._fused:
+        from dvren_tpu.utils.timing import time_compiled
+        t0 = time.perf_counter()
+        imgs, diags = posed.render_sweep(cam_plans, field)
+        float(np.asarray(imgs[0, 0, 0, 0]))
+        log(f"posed sweep compile {time.perf_counter() - t0:.1f}s")
+        ks = [np.stack([np.asarray(posed._cam_arrays(q)[0])
+                        for q in pp])
+              for pp in (cam_plans, cam_plans[::-1])]
+        c2 = [np.stack([np.asarray(posed._cam_arrays(q)[1])
+                        for q in pp])
+              for pp in (cam_plans, cam_plans[::-1])]
+        p_sweep = time_compiled(
+            posed._sweep_fn,
+            [(field.sigma, field.color, ks[0], c2[0]),
+             (field.sigma, field.color, ks[1], c2[1])],
+            iters=3) / len(cam_plans)
+        log(f"posed sweep: {p_sweep*1e3:.1f} ms/frame amortized")
+
     out = {
         "metric": "animation_frames_per_s_512",
         "moving_cam_compiles": mover.cache_size(),
@@ -159,6 +203,9 @@ def main() -> int:
         "fixed_cam_schedule_build_s": round(build_s, 2),
         "moving_cam_tiled_s_per_frame": round(t_cam, 2),
         "moving_cam_windowed_s_per_frame": round(w_cam, 2),
+        "moving_cam_posed_s_per_frame": round(p_cam, 4),
+        "moving_cam_posed_sweep_s_per_frame": round(p_sweep, 4),
+        "posed_pins": [posed.nc_pin, posed.nb_pin, posed.ez_pin],
         "frames": args.frames,
         "cam_frames": args.cam_frames,
         "config": f"{w}x{h}, {g}^3 grid, {args.steps} steps",
