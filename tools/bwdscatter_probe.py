@@ -5,20 +5,25 @@ backward's one-hot scatter emission, and what would a single-bank
 The backward's d(table) emission contracts each block row's (32, 128)
 weighted cotangents against a (256, 128) one-hot over the chunk's
 TWO-bank window (ops/fused_tiles.py::_bwd_kernel) - ~1.6 TFLOP/step at
-the 512^2/64^3 headline (16 rows x nc x T tile-passes of 128x128@128x256
-with the 3-split M padded to one 128-row tile). Two cost models, both
-WRONG-VALUED (timing only):
+the 512^2/64^3 headline. Variants (run ONE per process - pass
+--variant; each uses its own compile-cache dir so cache pollution
+cannot alias programs):
 
+  base:  the production step (bit-identical to bench.py's fwd+bwd)
   half:  contract against the first bank's 128 slots only and zero-pad
          bank 1 - the exact cost of a bank-aligned schedule (runs never
-         cross banks) + single-bank scatter kernel variant.
-  none:  skip the scatter entirely - the scatter's total share.
+         cross banks) + single-bank scatter kernel variant. WRONG
+         GRADIENTS wherever a run crosses banks.
+  none:  skip the scatter entirely - the scatter's total share. ZERO
+         field gradients (the printed param-delta checksum MUST be 0,
+         proving the patch entered the trace).
 
-    python tools/bwdscatter_probe.py
+    for v in base half none; do python tools/bwdscatter_probe.py --variant $v; done
 """
 
 from __future__ import annotations
 
+import argparse
 import os as _os
 import sys as _sys
 import time
@@ -28,12 +33,17 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
 
 
 def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--variant", default="base",
+                   choices=("base", "half", "none"))
+    args = p.parse_args()
+
     import jax
-    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     jax.config.update("jax_compilation_cache_dir",
-                      _os.path.join(root, ".jax_cache"))
+                      f"/tmp/jc_bwdscatter_{args.variant}")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
+    import numpy as np
 
     from bench import _scene, _time_compiled
     from dvren_tpu.ops import fused_tiles as ft
@@ -44,13 +54,31 @@ def main():
     def log(m):
         print(f"[bwdscatter] {m}", file=_sys.stderr, flush=True)
 
+    def _scatter_half(x, oh_bf16):
+        hi, mid, lo = ft._split3_bf16(x)
+        big = jnp.concatenate([hi, mid, lo], axis=0)
+        d = jax.lax.dot_general(big, oh_bf16[:ft.LANES],
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        m = x.shape[0]
+        d = d[:m] + d[m:2 * m] + d[2 * m:]
+        return jnp.concatenate(
+            [d, jnp.zeros((m, ft.LANES), jnp.float32)], axis=1)
+
+    def _scatter_none(x, oh_bf16):
+        return jnp.zeros((x.shape[0], oh_bf16.shape[0]), jnp.float32)
+
+    if args.variant == "half":
+        ft._Mxu3Reduce.scatter_dot = staticmethod(_scatter_half)
+    elif args.variant == "none":
+        ft._Mxu3Reduce.scatter_dot = staticmethod(_scatter_none)
+
     plan, field = _scene(512, 512, 64, 128)
     sched = build_tiled_schedule(plan, field,
                                  jitter=plan_jitter_table(plan))
-    import numpy as np
-    target = jnp.asarray(np.zeros((512, 512, 3), np.float32))
+    target = jnp.zeros((512, 512, 3), jnp.float32)
     params = (field.sigma, field.color)
-    params_b = (field.sigma * 1.001, field.color)
+    params_b = (params[0] * 1.0001, params[1])
     tiled_mod.BWD_SPLIT = "xla"
     KB = 4
 
@@ -65,50 +93,23 @@ def main():
             return ((p[0] - 1e-3 * g[0], p[1] - 1e-3 * g[1]), l)
         return jax.lax.scan(body, p0, None, length=KB)
 
-    def timed(name):
-        ft._tile_op.cache_clear()
-        t0 = time.perf_counter()
-        fn = jax.jit(train_steps).lower(params, sched).compile()
-        log(f"{name}: compile {time.perf_counter() - t0:.1f}s")
-        s = _time_compiled(fn, [(params, sched), (params_b, sched)],
-                           iters=3) / KB
-        log(f"{name}: {s * 1e3:.2f} ms/step")
-        return s * 1e3
-
-    t_base = timed("baseline (two-bank scatter, mxu3)")
-
-    orig = ft._Mxu3Reduce.scatter_dot
-
-    def _scatter_half(x, oh_bf16):
-        hi, mid, lo = ft._split3_bf16(x)
-        big = jnp.concatenate([hi, mid, lo], axis=0)
-        d = jax.lax.dot_general(big, oh_bf16[:ft.LANES], (((1,), (1,)),
-                                                          ((), ())),
-                                preferred_element_type=jnp.float32)
-        m = x.shape[0]
-        d = d[:m] + d[m:2 * m] + d[2 * m:]
-        return jnp.concatenate(
-            [d, jnp.zeros((m, ft.LANES), jnp.float32)], axis=1)
-
-    def _scatter_none(x, oh_bf16):
-        return jnp.zeros((x.shape[0], oh_bf16.shape[0]), jnp.float32)
-
-    results = {}
-    for name, fn in (("half", _scatter_half), ("none", _scatter_none)):
-        ft._Mxu3Reduce.scatter_dot = staticmethod(fn)
-        try:
-            results[name] = timed(f"scatter={name} (timing-only, wrong "
-                                  "gradients)")
-        finally:
-            ft._Mxu3Reduce.scatter_dot = orig
-    ft._tile_op.cache_clear()
+    t0 = time.perf_counter()
+    fn = jax.jit(train_steps).lower(params, sched).compile()
+    log(f"{args.variant}: compile {time.perf_counter() - t0:.1f}s")
+    # patch-applied proof: the param delta is 0 for 'none'
+    (p_out, _l) = fn(params, sched)
+    dsum = float(jnp.abs(p_out[0] - params[0]).sum())
+    log(f"{args.variant}: |d sigma| after {KB} steps = {dsum:.3e}")
+    s = _time_compiled(fn, [(params, sched), (params_b, sched)],
+                       iters=3) / KB
+    log(f"{args.variant}: {s * 1e3:.2f} ms/step")
 
     import json
     print(json.dumps({
         "metric": "bwdscatter_probe",
-        "base_ms": round(t_base, 2),
-        "half_ms": round(results.get("half", 0.0), 2),
-        "none_ms": round(results.get("none", 0.0), 2),
+        "variant": args.variant,
+        "ms_per_step": round(s * 1e3, 2),
+        "dsigma_sum": dsum,
         "config": "512^2 64^3 128 steps, xla split, mxu3",
         "device": str(jax.devices()[0]),
     }))
