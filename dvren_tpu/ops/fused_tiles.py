@@ -356,8 +356,18 @@ class _Windows:
                  subs):
         self.subs = subs
         self.rps = ROWS // subs
-        self.b0s = [b0_ref[(tile_idx * nc + c) * subs + s]
-                    for s in range(subs)]
+        # bank0 scalars carry an ALIGNED bit at 30 (render/tiled.py):
+        # set when the window's run provably fits bank b0 alone (never
+        # crosses into b0+1) - the backward's scatter then contracts
+        # against a 128-slot one-hot instead of the 256-slot two-bank
+        # window (measured 6 ms of the 40 ms headline train step,
+        # tools/bwdscatter_probe.py). Bit clear = the original two-bank
+        # path, so schedules that never set it (posed, pre-flag) are
+        # unchanged.
+        raw = [b0_ref[(tile_idx * nc + c) * subs + s]
+               for s in range(subs)]
+        self.b0s = [r & 0x3FFF for r in raw]
+        self.aligned = [(r >> 30) & 1 for r in raw]
         self.mats = []
         self.bases = []
         for b0 in self.b0s:
@@ -843,30 +853,56 @@ def _bwd_kernel(ke_ref, b0_ref, tabs_ref, samp_ref, base_ref, rayt_ref,
 
             slot = jax.lax.broadcasted_iota(jnp.int32,
                                             (2 * LANES, LANES), 0)
+            slot1 = slot[:LANES]
             rps = ROWS // subs
             for s2 in range(subs):
-                d01 = jnp.zeros((nch, 2 * LANES), jnp.float32)
-                for r in range(s2 * rps, (s2 + 1) * rps):
-                    d_cr = jnp.concatenate(
-                        [p[r:r + 1, :] for p in wp], axis=0)  # (nch, 128)
-                    # one-hot oh[s, l] = [idx2[r, l] == s], s spanning
-                    # BOTH banks (s >= 128 = bank 1); contract on lanes:
-                    # d[ch, s] = sum_l d_cr * oh. One 256-slot matmul
-                    # replaces the earlier per-bank pair - same partial
-                    # products and add order per output column
-                    # (bit-identical), half the MXU issues and ONE
-                    # bf16 3-split of d_cr per row instead of two.
-                    lrow = jnp.broadcast_to(idx2[r:r + 1, :],
-                                            (2 * LANES, LANES))
-                    oh = (slot == lrow).astype(red.onehot_dtype)
-                    d01 = d01 + red.scatter_dot(d_cr, oh)
-                # In-place bank accumulation into the sub-tile's window;
-                # when a window clamps (b1 == b0) no idx2 reaches bank-1
-                # slots, so the second half of d01 is exactly zero.
                 b0 = w2.b0s[s2]
-                b1 = jnp.minimum(b0 + 1, nb - 1)
-                acc_set(b0, acc_get(b0) + d01[:, :LANES])
-                acc_set(b1, acc_get(b1) + d01[:, LANES:])
+                rows2 = range(s2 * rps, (s2 + 1) * rps)
+
+                # Single-bank fast path: the schedule's ALIGNED bit
+                # promises every slot of this window lives in bank b0
+                # (idx2 < 128), so the one-hot narrows to 128 slots -
+                # half the MXU tile-passes AND half the one-hot compare
+                # work. Same partial products in the same add order per
+                # slot column as the wide path (whose bank-1 half is
+                # exactly zero here): bit-identical bank gradients.
+                @pl.when(w2.aligned[s2] == 1)
+                def _aligned(b0=b0, rows2=rows2):
+                    d0 = jnp.zeros((nch, LANES), jnp.float32)
+                    for r in rows2:
+                        d_cr = jnp.concatenate(
+                            [p[r:r + 1, :] for p in wp], axis=0)
+                        lrow = jnp.broadcast_to(idx2[r:r + 1, :],
+                                                (LANES, LANES))
+                        oh = (slot1 == lrow).astype(red.onehot_dtype)
+                        d0 = d0 + red.scatter_dot(d_cr, oh)
+                    acc_set(b0, acc_get(b0) + d0)
+
+                @pl.when(w2.aligned[s2] == 0)
+                def _wide(b0=b0, rows2=rows2):
+                    d01 = jnp.zeros((nch, 2 * LANES), jnp.float32)
+                    for r in rows2:
+                        d_cr = jnp.concatenate(
+                            [p[r:r + 1, :] for p in wp], axis=0)
+                        # one-hot oh[s, l] = [idx2[r, l] == s], s
+                        # spanning BOTH banks (s >= 128 = bank 1);
+                        # contract on lanes: d[ch, s] = sum_l d_cr * oh.
+                        # One 256-slot matmul replaces the earlier
+                        # per-bank pair - same partial products and add
+                        # order per output column (bit-identical), half
+                        # the MXU issues and ONE bf16 3-split of d_cr
+                        # per row instead of two.
+                        lrow = jnp.broadcast_to(idx2[r:r + 1, :],
+                                                (2 * LANES, LANES))
+                        oh = (slot == lrow).astype(red.onehot_dtype)
+                        d01 = d01 + red.scatter_dot(d_cr, oh)
+                    # In-place bank accumulation into the sub-tile's
+                    # window; when a window clamps (b1 == b0) no idx2
+                    # reaches bank-1 slots, so the second half of d01 is
+                    # exactly zero.
+                    b1 = jnp.minimum(b0 + 1, nb - 1)
+                    acc_set(b0, acc_get(b0) + d01[:, :LANES])
+                    acc_set(b1, acc_get(b1) + d01[:, LANES:])
 
             if cam and stencil == "super":
                 # Supercell camera adjoint: same chain as the cell

@@ -127,7 +127,14 @@ class TileGroup:
     #                          expands to sample layout with two lane
     #                          shuffles (round 2 shipped the 8x-replicated
     #                          (6, 16, 128) planes - 44 MB/frame at 512^2)
-    bank0: jnp.ndarray       # (T, nc) int32 window start bank per chunk
+    bank0: jnp.ndarray       # (T, nc, n_sub) int32: window start bank
+    #                          per (chunk, sub-tile) in bits 0..13, plus
+    #                          the ALIGNED bit at 30 - set when the
+    #                          window's run provably fits bank b0 alone;
+    #                          the backward kernel then contracts a
+    #                          single-bank 128-slot one-hot (bit-
+    #                          identical gradients, half the scatter
+    #                          MXU work; fused_tiles.py::_Windows)
     ray_ids: jnp.ndarray     # (T, 256) int32 global ray id per tile lane
     #                          (dead/pad rays -> 0; their weights are 0 so
     #                          camera-gradient flow through ray 0 carries
@@ -523,7 +530,8 @@ def build_tiled_schedule(plan: Plan, field,
                          uniform_shape: tuple | None = None,
                          all_tiles: bool = False,
                          device: bool = True,
-                         build_fallback: bool = True) -> TiledSchedule:
+                         build_fallback: bool = True,
+                         bank_aligned: bool = False) -> TiledSchedule:
     """Build the tile-table schedule for (plan, field bbox + resolution).
 
     ``jitter``: the (N, K) host table for stratified plans
@@ -860,13 +868,22 @@ def build_tiled_schedule(plan: Plan, field,
         # scan, so iterate the (small, <= nc*n_sub) RUN axis in Python
         # and keep every tile in numpy vectors (the per-(tile,run) scalar
         # loop was ~260k interpreted iterations at 512^2/4px).
+        # ``bank_aligned=True`` additionally rounds ANY run that would
+        # straddle a bank boundary up to the next bank, so every run
+        # <= 128 cells lives in one bank (the backward's scatter then
+        # contracts a 128-slot one-hot instead of the 256-slot two-bank
+        # window - the ALIGNED bit below; measured 1.18x lane inflation
+        # at 512^2/64^3 for ~6 ms off the 40 ms train step).
         lanes_f = lanes3.reshape(t_cnt, nc * n_sub).astype(np.int64)
         offs_f = np.zeros((t_cnt, nc * n_sub), np.int64)
         cur = np.zeros(t_cnt, np.int64)
         for r in range(nc * n_sub):
             n_c = lanes_f[:, r]
-            cur = np.where(n_c > MAX_CELLS,
-                           -(-cur // MAX_CELLS) * MAX_CELLS, cur)
+            if bank_aligned:
+                align = (n_c > 0) & (cur % MAX_CELLS + n_c > MAX_CELLS)
+            else:
+                align = n_c > MAX_CELLS
+            cur = np.where(align, -(-cur // MAX_CELLS) * MAX_CELLS, cur)
             # Empty runs anchor at lane 0: their samples are all masked
             # (weight 0) but must still index a VALID lane - ``cur`` can
             # equal the block's total lane count here, one past the bank
@@ -1009,7 +1026,17 @@ def build_tiled_schedule(plan: Plan, field,
             base = base.reshape(t_kept, 3, nb, MAX_CELLS).transpose(
                 0, 2, 1, 3)                           # (T, nb, 3, 128)
             rayt = rayt_all[keep]
-            bank0 = (off[keep] // MAX_CELLS).astype(np.int32)
+            # bank0 scalars carry the window start bank PLUS an ALIGNED
+            # bit (30): set when the run provably fits bank b0 alone
+            # (off%128 + n <= 128) - the backward kernel then takes the
+            # single-bank scatter path (ops/fused_tiles.py::_Windows).
+            # Opportunistic: set whenever a run happens not to straddle,
+            # even without bank_aligned packing.
+            n_keep = lanes3[keep]
+            fits = (n_keep > 0) & (off[keep] % MAX_CELLS + n_keep
+                                   <= MAX_CELLS)
+            bank0 = ((off[keep] // MAX_CELLS)
+                     | (fits.astype(np.int64) << 30)).astype(np.int32)
             #        (T, nc, n_sub) -> the kernel's flat (t*nc + c)*subs + s
 
             ids_k = ids[keep]

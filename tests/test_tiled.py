@@ -664,3 +664,47 @@ def test_merged_views_fallback_uses_view_camera():
         single = render_tiled(p, field, scheds[v]).image
         np.testing.assert_array_equal(np.asarray(stack[v]),
                                       np.asarray(single))
+
+
+@pytest.mark.slow
+def test_bank_aligned_scatter_bit_identical():
+    """The ALIGNED bit (bank0 bit 30) routes the backward's one-hot
+    scatter to a single-bank 128-slot contraction; both with the
+    opportunistic flags on the default packing and with the fully
+    bank-aligned packing (bank_aligned=True), images AND kernel
+    gradients must be bit-identical to the two-bank path (same partial
+    products in the same add order; render/tiled.py, fused_tiles.py)."""
+    import dataclasses
+
+    plan, field = scene(mode=SamplingMode.STRATIFIED)
+    jitter = plan_jitter_table(plan)
+    s_def = build_tiled_schedule(plan, field, jitter=jitter,
+                                 device=False)
+    s_al = build_tiled_schedule(plan, field, jitter=jitter, device=False,
+                                bank_aligned=True)
+    b0 = np.concatenate([np.asarray(g.bank0).reshape(-1)
+                         for g in s_al.groups])
+    assert ((b0 >> 30) & 1).any()   # flags actually present
+
+    def strip(s):
+        gs = tuple(dataclasses.replace(
+            g, bank0=np.asarray(g.bank0) & 0x3FFF) for g in s.groups)
+        return dataclasses.replace(s, groups=gs)
+
+    def loss(params, s):
+        f = field.with_params(*params)
+        img = render_tiled(plan, f, s, use_kernel=True).image
+        return jnp.sum(img * 0.001 + img ** 2 * 0.01)
+
+    params = (field.sigma, field.color)
+    imgs, grads = [], []
+    for s in (s_def, strip(s_def), s_al, strip(s_al)):
+        imgs.append(np.asarray(
+            render_tiled(plan, field, s, use_kernel=True).image))
+        grads.append(jax.grad(loss)(params, s))
+    for i in (1, 2, 3):
+        np.testing.assert_array_equal(imgs[i], imgs[0])
+        np.testing.assert_array_equal(np.asarray(grads[i][0]),
+                                      np.asarray(grads[0][0]))
+        np.testing.assert_array_equal(np.asarray(grads[i][1]),
+                                      np.asarray(grads[0][1]))
