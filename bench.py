@@ -213,6 +213,37 @@ def main():
     if best_split == "pallas":
         tiled_fb_mrays, tiled_fb_s = fb_pallas_mrays, sp / KB
 
+    # Bank-aligned train-step ablation: bank_aligned=True packs runs so
+    # none straddles a bank (~92% single-bank scatter windows vs ~50%
+    # opportunistic on the default packing, for 1.18x bank-gather
+    # lanes); gradients are BIT-identical (in-suite), so headline the
+    # faster of the two (tools/bwdscatter_probe.py attribution).
+    fb_aligned_mrays = None
+    best_sched = "default"
+    try:
+        tiled_mod.BWD_SPLIT = "xla"
+        sched_al = build_tiled_schedule(plan, field, jitter=jitter_np,
+                                        bank_aligned=True)
+        t0 = time.perf_counter()
+        fb_scan_al = jax.jit(train_steps).lower(params,
+                                                sched_al).compile()
+        log(f"tiled fwd+bwd bank-aligned compile "
+            f"{time.perf_counter() - t0:.1f}s")
+        sa = _time_compiled(
+            fb_scan_al, [(params, sched_al), (params_b, sched_al)],
+            iters=3)
+        fb_aligned_mrays = n_rays / (sa / KB) / 1e6
+        log(f"tiled fwd+bwd bank-aligned steady-state "
+            f"{sa / KB * 1e3:.2f} ms/step -> "
+            f"{fb_aligned_mrays:.1f} Mrays/s")
+        if fb_aligned_mrays > tiled_fb_mrays:
+            tiled_fb_mrays, tiled_fb_s = fb_aligned_mrays, sa / KB
+            best_sched = "bank_aligned"
+    except Exception as e:
+        log(f"bank-aligned ablation failed: {type(e).__name__}: {e}")
+    finally:
+        sched_al = fb_scan_al = None
+
     # bf16 packed-table perf mode (documented ~1e-3 field precision)
     import dataclasses as _dc
     field_bf16 = _dc.replace(field, packed_dtype="bfloat16")
@@ -287,6 +318,10 @@ def main():
                                        if fwd_pitch2_mrays else None),
             "fwdbwd_Mrays_per_s": round(tiled_fb_mrays, 2),
             "bwd_split": best_split,
+            "fwdbwd_sched": best_sched,
+            "fwdbwd_bank_aligned_Mrays_per_s": (
+                round(fb_aligned_mrays, 2) if fb_aligned_mrays
+                else None),
             "fwdbwd_pallas_split_Mrays_per_s": (
                 round(fb_pallas_mrays, 2) if fb_pallas_mrays else None),
             "fwd_bf16_table_Mrays_per_s": round(tiled_bf16_mrays, 2),

@@ -189,8 +189,8 @@ def main() -> int:
               for pp in (cam_plans, cam_plans[::-1])]
         p_sweep = time_compiled(
             posed._sweep_fn,
-            [(field.sigma, field.color, ks[0], c2[0]),
-             (field.sigma, field.color, ks[1], c2[1])],
+            [(field.sigma, field.color, ks[0], c2[0], posed._consts),
+             (field.sigma, field.color, ks[1], c2[1], posed._consts)],
             iters=3) / len(cam_plans)
         log(f"posed sweep: {p_sweep*1e3:.1f} ms/frame amortized")
 

@@ -36,11 +36,16 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--variant", default="base",
                    choices=("base", "half", "none"))
+    p.add_argument("--aligned", action="store_true",
+                   help="build the schedule with bank_aligned=True "
+                        "(REAL gradients - the production lever the "
+                        "half cost-model approximates)")
     args = p.parse_args()
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
-                      f"/tmp/jc_bwdscatter_{args.variant}")
+                      f"/tmp/jc_bwdscatter_{args.variant}"
+                      + ("_al" if args.aligned else ""))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
@@ -75,7 +80,14 @@ def main():
 
     plan, field = _scene(512, 512, 64, 128)
     sched = build_tiled_schedule(plan, field,
-                                 jitter=plan_jitter_table(plan))
+                                 jitter=plan_jitter_table(plan),
+                                 bank_aligned=args.aligned)
+    import numpy as np
+    b0 = np.concatenate([np.asarray(g.bank0).reshape(-1)
+                         for g in sched.groups])
+    log(f"aligned={args.aligned}: flagged windows "
+        f"{((b0 >> 30) & 1).mean():.2f} of all, "
+        f"hostmap lanes {int(sched.hostmap_all.size)}")
     target = jnp.zeros((512, 512, 3), jnp.float32)
     params = (field.sigma, field.color)
     params_b = (params[0] * 1.0001, params[1])
@@ -107,7 +119,7 @@ def main():
     import json
     print(json.dumps({
         "metric": "bwdscatter_probe",
-        "variant": args.variant,
+        "variant": args.variant + ("+aligned" if args.aligned else ""),
         "ms_per_step": round(s * 1e3, 2),
         "dsigma_sum": dsum,
         "config": "512^2 64^3 128 steps, xla split, mxu3",

@@ -134,8 +134,8 @@ def main() -> int:
               for pp in (poses, poses[::-1])]
         s = time_compiled(
             sweep_fn,
-            [(field.sigma, field.color, ks[0], c2[0]),
-             (field.sigma, field.color, ks[1], c2[1])],
+            [(field.sigma, field.color, ks[0], c2[0], pr._consts),
+             (field.sigma, field.color, ks[1], c2[1], pr._consts)],
             iters=4) / args.poses
         out["sweep_s_per_frame"] = round(s, 4)
         log(f"sweep: {s*1e3:.1f} ms/frame amortized over {args.poses}")
