@@ -76,7 +76,8 @@ def _plan_geometry(plan: Plan) -> tuple:
     return (plan.width, plan.height, float(plan.t_near),
             float(plan.t_far), float(plan.sampling.dt),
             int(plan.sampling.max_steps), int(plan.sampling.mode),
-            int(plan.seed), (roi.x, roi.y, roi.width, roi.height))
+            int(plan.seed), (roi.x, roi.y, roi.width, roi.height),
+            int(plan.camera.model))
 
 
 def _tiles_transpose(a, ty_n, tx_n):
@@ -219,13 +220,18 @@ class PosedRenderer:
 
     # ------------------------------------------------------------------
     def _cam_arrays(self, plan: Plan):
+        """(K (3,3), c2w-with-scale (4,4)): ortho_scale rides row 3 so
+        every camera parameter incl. orthographic scale crosses the jit
+        boundary in one array."""
         k = jnp.asarray(plan.camera.k, jnp.float32).reshape(3, 3)
         c2w = jnp.asarray(plan.camera.c2w, jnp.float32).reshape(3, 4)
-        return k, c2w
+        s = jnp.full((1, 4), jnp.float32(plan.camera.ortho_scale))
+        return k, jnp.concatenate([c2w, s], axis=0)
 
     def _tile_rays_planes(self, k, c2w):
         """Device raygen -> per-axis (T, 256) origin/direction planes."""
-        rays = generate_rays(self._plan, k=k, c2w=c2w)
+        rays = generate_rays(self._plan, k=k, c2w=c2w[:3],
+                             ortho_scale=c2w[3, 0])
         o = [_tiles_transpose(rays.origins[:, i][None], self._ty_n,
                               self._tx_n)[0] for i in range(3)]
         d = [_tiles_transpose(rays.directions[:, i][None], self._ty_n,
